@@ -1,0 +1,85 @@
+"""Entity-bucketed, ts-sorted partition harness — the shared substrate for
+every windowed operator and the as-of join (SURVEY.md §2-B R1, §7 Phase 3,
+hard-part 1: per-entity contiguity).
+
+Scale shape
+-----------
+The engine's ONE wide exchange per pipeline is here: rows are bucketed by
+a stable hash of the entity key (``functions.hashing.bucket_of`` — the
+same function everywhere, so co-partitioned stages align) and shuffled
+with ``groupby(_BUCKET).map_groups``.  Inside a bucket the scan callback
+receives a pandas DataFrame sorted by (entity, ts, tiebreak); per-entity
+work is then vectorized with pandas' C groupby kernels — never a Python
+loop over rows.  An entity never crosses a bucket, so window state never
+crosses a node; bucket count scales with the cluster (SURVEY.md §4).
+
+Determinism: bucket ids come from a seeded SipHash (no PYTHONHASHSEED),
+and ties on ts are broken by an explicit tiebreak column, so resume runs
+reproduce partition contents bit-for-bit (SURVEY.md §7 hard-part 2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import bucket_of
+
+_BUCKET = "__fx_bucket"
+
+__all__ = ["add_bucket_column", "sorted_scan", "_BUCKET"]
+
+
+def add_bucket_column(ds, entity_col: str, num_buckets: int, seed: int = 0):
+    """ds + deterministic ``__fx_bucket`` column (vectorized, stateless)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(entity_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            _BUCKET, pa.array(bucket_of(col, num_buckets, seed=seed), type=pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sorted_scan(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+    seed: int = 0,
+    drop_bucket: bool = True,
+):
+    """Run ``fn`` over each entity-bucket, sorted by (entity, ts, tiebreak).
+
+    ``fn``: DataFrame → DataFrame, already sorted, all rows of any entity
+    present and contiguous.  This is where backfill / lag / sessionize /
+    rolling implement themselves as vectorized per-entity segment ops.
+    """
+    bucketed = add_bucket_column(ds, entity_col, num_buckets, seed=seed)
+    sort_cols = [entity_col, ts_col, *tiebreak_cols]
+
+    def run_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort")
+        out = fn(df)
+        if drop_bucket and _BUCKET in out.columns:
+            out = out.drop(columns=[_BUCKET])
+        return out
+
+    return bucketed.groupby(_BUCKET).map_groups(run_bucket, batch_format="pandas")
+
+
+def entity_segments(df: pd.DataFrame, entity_col: str) -> np.ndarray:
+    """Boolean mask: True where a new entity run starts (df pre-sorted)."""
+    ent = df[entity_col].to_numpy()
+    new = np.empty(len(ent), dtype=bool)
+    if len(ent):
+        new[0] = True
+        new[1:] = ent[1:] != ent[:-1]
+    return new
