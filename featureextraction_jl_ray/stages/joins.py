@@ -1,0 +1,155 @@
+"""Join operators (SURVEY.md §2-B J3–J5).
+
+- ``broadcast_join``: the small side (dimension table) is materialized
+  once, ``ray.put`` into the object store, and probed per batch with a
+  pandas hash merge — zero shuffle of the big side.  This is the default
+  for star-schema joins at 100 TB (fact side streams; dim side is MBs).
+- ``semi_join`` / ``anti_join``: broadcast the key set, filter with a
+  vectorized ``isin`` — no shuffle, no row expansion.
+- ``hash_join``: thin wrapper over Ray Data's native hash-partitioned
+  ``Dataset.join`` for big-big joins (both sides shuffle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+
+__all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join"]
+
+
+def _small_side_to_pandas(small) -> pd.DataFrame:
+    if isinstance(small, pd.DataFrame):
+        return small
+    if isinstance(small, pa.Table):
+        return arrow_to_pandas_safe(small)
+    # a Dataset: materialize — caller asserts it is the SMALL side
+    tables = [ray.get(r) for r in small.to_arrow_refs()]
+    return arrow_to_pandas_safe(pa.concat_tables(tables))
+
+
+class _BroadcastProbe:
+    """Actor-pool probe: resolves the broadcast dim table once per actor."""
+
+    def __init__(self, ref, on, right_on, how, suffix):
+        self._dim = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self._on = on
+        self._right_on = right_on
+        self._how = how
+        self._suffix = suffix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(batch)
+        merged = df.merge(
+            self._dim,
+            how=self._how,
+            left_on=self._on,
+            right_on=self._right_on,
+            suffixes=("", self._suffix),
+        )
+        drop = [
+            c for c in self._right_on if c not in self._on and c in merged.columns
+        ]
+        if drop:
+            merged = merged.drop(columns=drop)
+        return pandas_to_arrow(merged)
+
+
+def broadcast_join(
+    big,
+    small,
+    *,
+    on,
+    right_on=None,
+    how: str = "left",
+    suffix: str = "_r",
+    concurrency=(1, 8),
+    batch_size: int | None = None,
+):
+    """Stream ``big`` and hash-probe the broadcast ``small`` per batch.
+
+    ``small`` may be a pandas DataFrame, Arrow table, or a (small!)
+    Dataset.  ``how`` ∈ {left, inner}.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError("broadcast_join supports how='left'|'inner'")
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    dim = _small_side_to_pandas(small)
+    ref = ray.put(dim)
+    return big.map_batches(
+        _BroadcastProbe,
+        fn_constructor_args=(ref, on, right_on, how, suffix),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _key_set_filter(big, keys, on, keep_in: bool):
+    on = [on] if isinstance(on, str) else list(on)
+
+    if isinstance(keys, (pd.DataFrame, pa.Table)):
+        keys_df = _small_side_to_pandas(keys) if not isinstance(keys, pd.DataFrame) else keys
+    else:
+        keys_df = keys.to_pandas()
+    if len(on) == 1:
+        key_set = set(keys_df[on[0]].tolist())
+    else:
+        key_set = set(map(tuple, keys_df[on].itertuples(index=False)))
+    ref = ray.put(key_set)
+
+    class Probe:
+        def __init__(self):
+            self._keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(on) == 1:
+                vals = batch.column(on[0]).to_numpy(zero_copy_only=False)
+                mask = np.fromiter(
+                    (v in self._keys for v in vals), dtype=bool, count=len(vals)
+                )
+            else:
+                cols = [batch.column(c).to_numpy(zero_copy_only=False) for c in on]
+                mask = np.fromiter(
+                    (t in self._keys for t in zip(*cols)), dtype=bool, count=batch.num_rows
+                )
+            if not keep_in:
+                mask = ~mask
+            return batch.filter(pa.array(mask))
+
+    return big.map_batches(
+        Probe, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+
+def semi_join(big, keys, *, on):
+    """Rows of ``big`` whose key appears in ``keys`` (broadcast set probe)."""
+    return _key_set_filter(big, keys, on, keep_in=True)
+
+
+def anti_join(big, keys, *, on):
+    """Rows of ``big`` whose key does NOT appear in ``keys``."""
+    return _key_set_filter(big, keys, on, keep_in=False)
+
+
+def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partitions: int = 16):
+    """Big-big equi-join via Ray Data's native hash-partitioned join."""
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = on if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    )
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )

@@ -27,6 +27,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import bucket_of
+from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 
 _BUCKET = "__fx_bucket"
 
@@ -65,14 +66,18 @@ def sorted_scan(
     bucketed = add_bucket_column(ds, entity_col, num_buckets, seed=seed)
     sort_cols = [entity_col, ts_col, *tiebreak_cols]
 
-    def run_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(sort_cols, kind="mergesort")
+    # map_groups runs in pyarrow format and we convert ourselves: the
+    # default pandas conversion would turn nullable int64 (e.g. 64-bit
+    # phash after a lag) into lossy float64 (functions/pdconv.py).
+    def run_bucket(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        df = df.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         out = fn(df)
         if drop_bucket and _BUCKET in out.columns:
             out = out.drop(columns=[_BUCKET])
-        return out
+        return pandas_to_arrow(out)
 
-    return bucketed.groupby(_BUCKET).map_groups(run_bucket, batch_format="pandas")
+    return bucketed.groupby(_BUCKET).map_groups(run_bucket, batch_format="pyarrow")
 
 
 def entity_segments(df: pd.DataFrame, entity_col: str) -> np.ndarray:

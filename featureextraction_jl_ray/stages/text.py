@@ -1,0 +1,180 @@
+"""Text-analysis operators for training-data pipelines (task brief:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+All stages are stateful actor-pool ``map_batches`` classes: regexes and
+stopword tables compile once per actor in ``__init__``; ``__call__`` is
+vectorized pandas/pyarrow per batch.  Runs over the driver's
+``documents(doc_id, text, lang, source, n_chars)`` table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_hash_array
+
+__all__ = [
+    "TokenStats",
+    "QualityScore",
+    "LangId",
+    "Fingerprint",
+    "with_token_stats",
+    "with_quality",
+    "with_langid",
+    "with_fingerprint",
+]
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language ID (public-knowledge lists; this is a heuristic, not a model).
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was",
+           "with", "on", "as", "are", "this", "be", "at", "by", "not", "from"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "zu",
+           "den", "von", "im", "auf", "für", "des", "sich", "dem", "ich", "es"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "du", "pas", "que",
+           "qui", "dans", "pour", "sur", "avec", "au", "ce", "il", "ne"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que", "en",
+           "no", "por", "con", "para", "del", "se", "su", "al", "lo"},
+    "it": {"il", "la", "le", "e", "è", "un", "una", "di", "che", "in", "non",
+           "per", "con", "del", "si", "da", "al", "lo", "gli", "ma"},
+}
+
+
+class TokenStats:
+    """token count (whitespace + BPE-ish word/punct regex) per document."""
+
+    def __init__(self, text_col: str = "text"):
+        self._text_col = text_col
+        # BPE-ish pretokenizer: word pieces, numbers, punctuation runs
+        self._tok = re.compile(r"[A-Za-zÀ-ÿ]+|\d+|[^\sA-Za-zÀ-ÿ\d]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._text_col).to_pandas()
+        ws = texts.str.split().str.len().fillna(0).astype(np.int64)
+        bpe = texts.str.findall(self._tok).str.len().fillna(0).astype(np.int64)
+        return batch.append_column("n_tokens_ws", pa.array(ws)).append_column(
+            "n_tokens", pa.array(bpe)
+        )
+
+
+class QualityScore:
+    """Length / punctuation / stopword-ratio quality heuristics."""
+
+    def __init__(self, text_col: str = "text"):
+        self._text_col = text_col
+        self._word = re.compile(r"[a-zà-ÿ]+")
+        self._stop = _STOPWORDS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._text_col).to_pandas()
+        n_chars = texts.str.len().fillna(0).astype(np.int64)
+        alpha = texts.str.count(r"[A-Za-zÀ-ÿ]").fillna(0)
+        punct = texts.str.count(r"[^\w\s]").fillna(0)
+        words = texts.str.lower().str.findall(self._word)
+        n_words = words.str.len().fillna(0)
+        stop = words.map(lambda ws: sum(1 for w in ws if w in self._stop))
+        alpha_ratio = (alpha / n_chars.clip(lower=1)).astype(np.float64)
+        punct_ratio = (punct / n_chars.clip(lower=1)).astype(np.float64)
+        stop_ratio = (stop / n_words.clip(lower=1)).astype(np.float64)
+        mean_wlen = (alpha / n_words.clip(lower=1)).astype(np.float64)
+        score = (
+            0.4 * alpha_ratio
+            + 0.3 * np.minimum(stop_ratio * 3.0, 1.0)
+            + 0.2 * (1.0 - np.minimum(punct_ratio * 4.0, 1.0))
+            + 0.1 * np.clip((mean_wlen - 2.0) / 6.0, 0.0, 1.0)
+        )
+        out = batch
+        for name, arr in [
+            ("alpha_ratio", alpha_ratio),
+            ("punct_ratio", punct_ratio),
+            ("stop_ratio", stop_ratio),
+            ("quality_score", score),
+        ]:
+            out = out.append_column(name, pa.array(arr.to_numpy(), type=pa.float64()))
+        return out
+
+
+class LangId:
+    """Stopword-profile language ID over the supported language set."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self._text_col = text_col
+        self._out_col = out_col
+        self._word = re.compile(r"[a-zà-ÿ]+")
+        self._profiles = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._text_col).to_pandas()
+        words = texts.str.lower().str.findall(self._word)
+
+        def classify(ws):
+            if not ws:
+                return "unk"
+            best, best_hits = "unk", 0
+            for lang, prof in self._profiles.items():
+                hits = sum(1 for w in ws if w in prof)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            return best
+
+        pred = words.map(classify)
+        return batch.append_column(self._out_col, pa.array(pred, type=pa.string()))
+
+
+class Fingerprint:
+    """Deterministic 64-bit document fingerprint: min of rolling-hashed
+    character 8-grams (a winnowing-style content fingerprint) + full-text
+    stable hash for exact dedup."""
+
+    def __init__(self, text_col: str = "text", k: int = 8):
+        self._text_col = text_col
+        self._k = k
+        self._base = np.uint64(1099511628211)
+
+    def _rolling_min(self, s: str) -> np.int64:
+        if len(s) < self._k:
+            s = s + " " * (self._k - len(s))
+        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < self._k:
+            b = np.pad(b, (0, self._k - len(b)))
+        h = np.zeros(len(b) - self._k + 1, dtype=np.uint64)
+        acc = np.zeros_like(h)
+        for i in range(self._k):
+            acc = acc * self._base + b[i : len(b) - self._k + 1 + i].astype(np.uint64)
+        h = acc
+        return np.int64(h.min() - np.uint64(1 << 63)) if len(h) else np.int64(0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._text_col).to_pandas().fillna("")
+        fp = np.fromiter(
+            (self._rolling_min(t) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        exact = stable_hash_array(texts.to_numpy(), seed=3).astype(np.int64)
+        return batch.append_column("fingerprint", pa.array(fp)).append_column(
+            "text_hash", pa.array(exact)
+        )
+
+
+def _actor_stage(cls):
+    def apply(ds, *, concurrency=(1, 8), batch_size: int | None = 4096, **kw):
+        return ds.map_batches(
+            cls,
+            fn_constructor_kwargs=kw,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    return apply
+
+
+with_token_stats = _actor_stage(TokenStats)
+with_quality = _actor_stage(QualityScore)
+with_langid = _actor_stage(LangId)
+with_fingerprint = _actor_stage(Fingerprint)

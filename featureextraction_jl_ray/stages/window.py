@@ -1,0 +1,233 @@
+"""Windowed per-entity operators — backfill, lag/lead, gap sessionize,
+trailing rolling aggregates (SURVEY.md §2-B W1–W4; BASELINE.json:6/14
+"backfill, lag/lead-k, gap-based sessionize … monotonic-deque/sorted-run
+structure").
+
+Every operator is a vectorized callback run under
+:func:`..stages.partition.sorted_scan`: one hash shuffle on the entity
+key, then per-bucket pandas DataFrames sorted by (entity, ts, tiebreak).
+Per-entity semantics use pandas' C groupby kernels (shift / ffill /
+cumsum) — no Python loop over rows.  Rolling max/min uses pandas'
+time-based rolling, which implements the monotonic-deque algorithm
+internally (O(1) amortized per row).
+
+Leakage contract (BASELINE.json:6 "zero temporal leakage"): every
+operator here looks strictly backward in event time — lag, ffill and
+trailing windows use only rows with ts' ≤ ts of the same entity.  ``lead``
+is provided for *label* construction and is documented as forward-looking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .partition import sorted_scan
+
+__all__ = [
+    "with_lag",
+    "with_backfill",
+    "with_sessionize",
+    "with_rolling",
+    "with_windows",
+]
+
+_AGG_NAMES = ("count", "sum", "mean", "min", "max")
+
+
+def _sessionize_frame(
+    df: pd.DataFrame, entity_col: str, ts_col: str, gap_us: int, out_col: str
+) -> pd.DataFrame:
+    """session_id = running count of gap breaks within each entity (0-based)."""
+    ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    # factorize → plain int codes (robust to nullable/EA entity dtypes)
+    codes = pd.factorize(df[entity_col], use_na_sentinel=False)[0]
+    ent_change = np.empty(len(df), dtype=bool)
+    if len(df):
+        ent_change[0] = True
+        ent_change[1:] = codes[1:] != codes[:-1]
+    gap_break = np.empty(len(df), dtype=bool)
+    if len(df):
+        gap_break[0] = False
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+    new_session = ent_change | gap_break
+    # cumsum of session starts, re-zeroed per entity
+    run_id = np.cumsum(new_session)
+    first_run_of_entity = np.where(ent_change, run_id, 0)
+    first_run_of_entity = np.maximum.accumulate(first_run_of_entity)
+    df[out_col] = (run_id - first_run_of_entity).astype(np.int64)
+    return df
+
+
+def _rolling_frame(
+    df: pd.DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    window: str | pd.Timedelta,
+    aggs: tuple[str, ...],
+    prefix: str,
+) -> pd.DataFrame:
+    """Trailing event-time window [ts − window, ts] per entity."""
+    src = value_col
+    if isinstance(df[value_col].dtype, pd.api.extensions.ExtensionDtype):
+        # rolling kernels need a plain numpy dtype; aggregates are float anyway
+        src = "__fx_rollsrc"
+        df[src] = df[value_col].astype("float64")
+    g = df.groupby(entity_col, sort=False).rolling(
+        window=pd.Timedelta(window), on=ts_col, closed="both"
+    )[src]
+    for agg in aggs:
+        if agg not in _AGG_NAMES:
+            raise ValueError(f"unsupported rolling agg {agg!r}; use {_AGG_NAMES}")
+        out = getattr(g, agg)().to_numpy()
+        if agg == "count":
+            out = out.astype(np.int64)
+        df[f"{prefix}{agg}"] = out
+    if src != value_col:
+        df = df.drop(columns=[src])
+    return df
+
+
+def with_lag(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    cols,
+    *,
+    k: int = 1,
+    lead: bool = False,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+    suffix: str | None = None,
+):
+    """Add ``lag{k}_<col>`` (or ``lead{k}_<col>``) within each entity (W2)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    shift = -k if lead else k
+    name = suffix if suffix is not None else (f"lead{k}_" if lead else f"lag{k}_")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(entity_col, sort=False)
+        for c in cols:
+            df[f"{name}{c}"] = g[c].shift(shift)
+        return df
+
+    return sorted_scan(
+        ds, entity_col, ts_col, fn, num_buckets=num_buckets, tiebreak_cols=tiebreak_cols
+    )
+
+
+def with_backfill(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    cols,
+    *,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Forward-fill nulls from the nearest EARLIER row of the same entity
+    (W1 — "backfill" in the north-star's sense: filling gaps backward in
+    time never forward, so no leakage)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(entity_col, sort=False)
+        for c in cols:
+            df[c] = g[c].ffill()
+        return df
+
+    return sorted_scan(
+        ds, entity_col, ts_col, fn, num_buckets=num_buckets, tiebreak_cols=tiebreak_cols
+    )
+
+
+def with_sessionize(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    *,
+    gap: str | pd.Timedelta = "30min",
+    out_col: str = "session_id",
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Gap-based session ids per entity (W3): a new session starts when
+    ts − prev_ts > gap; ids are 0-based per entity."""
+    gap_us = int(pd.Timedelta(gap).value // 1000)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return _sessionize_frame(df, entity_col, ts_col, gap_us, out_col)
+
+    return sorted_scan(
+        ds, entity_col, ts_col, fn, num_buckets=num_buckets, tiebreak_cols=tiebreak_cols
+    )
+
+
+def with_rolling(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window: str | pd.Timedelta = "1h",
+    aggs: tuple[str, ...] = ("count", "sum"),
+    prefix: str | None = None,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Trailing rolling aggregates over [ts − window, ts] per entity (W4)."""
+    prefix = prefix if prefix is not None else f"roll_{value_col}_"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return _rolling_frame(df, entity_col, ts_col, value_col, window, aggs, prefix)
+
+    return sorted_scan(
+        ds, entity_col, ts_col, fn, num_buckets=num_buckets, tiebreak_cols=tiebreak_cols
+    )
+
+
+def with_windows(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    *,
+    lag_cols=(),
+    lag_k: int = 1,
+    backfill_cols=(),
+    session_gap: str | None = None,
+    session_col: str = "session_id",
+    rolling: dict | None = None,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Fused one-pass variant: all requested window features in a SINGLE
+    shuffle + scan (the flagship pipeline uses this — at 100 TB, four
+    separate scans would mean four shuffles)."""
+    gap_us = int(pd.Timedelta(session_gap).value // 1000) if session_gap else None
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(entity_col, sort=False)
+        for c in [lag_cols] if isinstance(lag_cols, str) else list(lag_cols):
+            df[f"lag{lag_k}_{c}"] = g[c].shift(lag_k)
+        for c in (
+            [backfill_cols] if isinstance(backfill_cols, str) else list(backfill_cols)
+        ):
+            df[c] = g[c].ffill()
+        if gap_us is not None:
+            df = _sessionize_frame(df, entity_col, ts_col, gap_us, session_col)
+        if rolling:
+            df = _rolling_frame(
+                df,
+                entity_col,
+                ts_col,
+                rolling["value_col"],
+                rolling.get("window", "1h"),
+                tuple(rolling.get("aggs", ("count", "sum"))),
+                rolling.get("prefix", f"roll_{rolling['value_col']}_"),
+            )
+        return df
+
+    return sorted_scan(
+        ds, entity_col, ts_col, fn, num_buckets=num_buckets, tiebreak_cols=tiebreak_cols
+    )

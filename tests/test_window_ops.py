@@ -1,0 +1,264 @@
+"""Engine-semantics tests vs the DuckDB oracle (SURVEY.md §5.2 №3):
+window operators and the as-of join over the driver's `events` table."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from featureextraction_jl_ray.stages.asof import asof_join
+from featureextraction_jl_ray.stages.window import (
+    with_backfill,
+    with_lag,
+    with_rolling,
+    with_sessionize,
+    with_windows,
+)
+
+KEY = ["user_id", "ts", "event_id"]
+
+
+@pytest.fixture(scope="module")
+def db(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    return con
+
+
+def events_ds(ray, sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def cmp(ray_ds, oracle_df, check_cols, sort_key=KEY):
+    got = ray_ds.to_pandas().sort_values(sort_key, ignore_index=True)
+    want = oracle_df.sort_values(sort_key, ignore_index=True)
+    assert len(got) == len(want), (len(got), len(want))
+    for c in check_cols:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            np.testing.assert_allclose(
+                g.to_numpy(dtype=float), w.to_numpy(dtype=float), rtol=1e-9, atol=1e-12,
+                err_msg=c,
+            )
+        else:
+            gv, wv = g.astype("object"), w.astype("object")
+            gv = gv.where(pd.notna(gv), None)
+            wv = wv.where(pd.notna(wv), None)
+            assert (gv == wv).all(), f"mismatch in {c}"
+
+
+def test_lag_lead_vs_duckdb(ray_session, sf_dir, db):
+    ds = with_lag(
+        events_ds(ray_session, sf_dir),
+        "user_id",
+        "ts",
+        ["value"],
+        k=1,
+        tiebreak_cols=("event_id",),
+        num_buckets=16,
+    )
+    ds = with_lag(ds, "user_id", "ts", ["value"], k=2, lead=True,
+                  tiebreak_cols=("event_id",), num_buckets=16)
+    want = db.execute(
+        """
+        SELECT *,
+          lag(value, 1) OVER w AS lag1_value,
+          lead(value, 2) OVER w AS lead2_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    ).fetchdf()
+    cmp(ds, want, ["lag1_value", "lead2_value"])
+
+
+def test_sessionize_vs_duckdb(ray_session, sf_dir, db):
+    ds = with_sessionize(
+        events_ds(ray_session, sf_dir),
+        "user_id",
+        "ts",
+        gap="30min",
+        num_buckets=16,
+        tiebreak_cols=("event_id",),
+    )
+    want = db.execute(
+        """
+        SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM (
+          SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL 30 MINUTE OR
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+          FROM events)
+        """
+    ).fetchdf()
+    cmp(ds, want, ["session_id"])
+
+
+def test_rolling_vs_duckdb(ray_session, sf_dir, db):
+    ds = with_rolling(
+        events_ds(ray_session, sf_dir),
+        "user_id",
+        "ts",
+        "value",
+        window="1h",
+        aggs=("count", "sum", "mean", "max"),
+        num_buckets=16,
+        tiebreak_cols=("event_id",),
+    )
+    want = db.execute(
+        """
+        SELECT *,
+          count(value) OVER w AS roll_value_count,
+          sum(value)   OVER w AS roll_value_sum,
+          avg(value)   OVER w AS roll_value_mean,
+          max(value)   OVER w AS roll_value_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    ).fetchdf()
+    cmp(ds, want, ["roll_value_count", "roll_value_sum", "roll_value_mean", "roll_value_max"])
+
+
+def test_backfill_vs_duckdb(ray_session, sf_dir, db):
+    # derive a sparse column: value only on 'click' rows, then ffill
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def sparse(t: pa.Table) -> pa.Table:
+        v = pc.if_else(
+            pc.equal(t["event_type"], "click"), t["value"], pa.scalar(None, pa.float64())
+        )
+        return t.append_column("sparse_value", v)
+
+    ds = events_ds(ray_session, sf_dir).map_batches(sparse, batch_format="pyarrow")
+    ds = with_backfill(ds, "user_id", "ts", ["sparse_value"], num_buckets=16,
+                       tiebreak_cols=("event_id",))
+    want = db.execute(
+        """
+        SELECT *, last_value(sparse_value IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS filled
+        FROM (SELECT *, CASE WHEN event_type = 'click' THEN value END AS sparse_value
+              FROM events)
+        """
+    ).fetchdf()
+    got = ds.to_pandas().sort_values(KEY, ignore_index=True)
+    want = want.sort_values(KEY, ignore_index=True)
+    np.testing.assert_allclose(
+        got["sparse_value"].to_numpy(dtype=float),
+        want["filled"].to_numpy(dtype=float),
+        rtol=1e-12,
+    )
+
+
+def test_fused_windows_single_pass(ray_session, sf_dir, db):
+    ds = with_windows(
+        events_ds(ray_session, sf_dir),
+        "user_id",
+        "ts",
+        lag_cols=["value"],
+        lag_k=1,
+        session_gap="30min",
+        rolling={"value_col": "value", "window": "1h", "aggs": ("count",)},
+        num_buckets=16,
+        tiebreak_cols=("event_id",),
+    )
+    want = db.execute(
+        """
+        SELECT *,
+          lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1_value,
+          count(value) OVER (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS roll_value_count
+        FROM events
+        """
+    ).fetchdf()
+    cmp(ds, want, ["lag1_value", "roll_value_count"])
+
+
+def test_asof_join_vs_duckdb(ray_session, sf_dir, db):
+    """Left = all events; right = per-user 'purchase' state (unique per
+    (user, ts)); attach latest purchase value at or before each event."""
+    left = events_ds(ray_session, sf_dir)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    right = (
+        events_ds(ray_session, sf_dir)
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "ts"])
+        .max("value")
+    )
+    right = right.map_batches(
+        lambda t: t.rename_columns(["user_id", "ts", "state_value"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id", right_cols=["state_value"], num_buckets=16,
+        left_tiebreak=("event_id",),
+    )
+    want = db.execute(
+        """
+        SELECT e.*, r.state_value
+        FROM events e
+        ASOF LEFT JOIN (
+          SELECT user_id, ts, max(value) AS state_value
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        ) r ON e.user_id = r.user_id AND e.ts >= r.ts
+        """
+    ).fetchdf()
+    cmp(out, want, ["state_value"])
+
+
+def test_asof_tolerance_and_leakage(ray_session, sf_dir):
+    """Tolerance variant + leakage probe: right rows strictly in the future
+    must never be attached (BASELINE.json:6 zero temporal leakage)."""
+    import pyarrow as pa
+
+    left = ray_session.data.from_arrow(
+        pa.table(
+            {
+                "e": ["a", "a", "b"],
+                "ts": pa.array(
+                    pd.to_datetime(["2024-01-01 10:00", "2024-01-01 12:00",
+                                    "2024-01-01 10:00"]),
+                    type=pa.timestamp("us"),
+                ),
+                "row": [0, 1, 2],
+            }
+        )
+    )
+    right = ray_session.data.from_arrow(
+        pa.table(
+            {
+                "e": ["a", "a", "b"],
+                "ts": pa.array(
+                    pd.to_datetime(["2024-01-01 09:00", "2024-01-01 11:59",
+                                    "2024-01-01 10:30"]),  # b's state is FUTURE
+                    type=pa.timestamp("us"),
+                ),
+                "cap": ["old", "new", "LEAK_future"],
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, on="ts", by="e", right_cols=["cap"], num_buckets=4)
+        .to_pandas()
+        .sort_values("row", ignore_index=True)
+    )
+    assert out["cap"].tolist() == ["old", "new", None]
+    # tolerance: 30min window drops the 09:00 state for the 10:00 row
+    out2 = (
+        asof_join(left, right, on="ts", by="e", right_cols=["cap"],
+                  tolerance="30min", num_buckets=4)
+        .to_pandas()
+        .sort_values("row", ignore_index=True)
+    )
+    assert out2["cap"].tolist() == [None, "new", None]
