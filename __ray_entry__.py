@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,42 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SYNTH_CACHE_DIR = "/tmp/fx_synth_cache"
+
+
+def _synth_paths(n_entities: int = 200, seed: int = 42):
+    from featureextraction_jl_ray.synth import SynthConfig, write_synth_tables
+
+    cfg = SynthConfig(n_entities=n_entities, seed=seed)
+    return cfg, write_synth_tables(cfg, _SYNTH_CACHE_DIR)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (BASELINE.json north_star): as-of join + windowed
+    features + whitened-PCA transform over the deterministic synthetic
+    image+caption tables (driver-mandated input shape, BASELINE.json:15),
+    at sf0.001-ish scale."""
+    import ray.data as rd
+
+    from featureextraction_jl_ray.pipelines.flagship import (
+        FlagshipConfig,
+        run_flagship,
+    )
+
+    _, paths = _synth_paths(n_entities=200, seed=42)
+    images = rd.read_parquet(paths["images"])
+    captions = rd.read_parquet(paths["captions"])
+    ds, _model = run_flagship(images, captions, cfg=FlagshipConfig(num_buckets=16))
+    return ds
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from featureextraction_jl_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from featureextraction_jl_ray import queries as q
+
+    return q.ORACLE_SQL

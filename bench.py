@@ -1,0 +1,158 @@
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline flagship pipeline + representative
+operator pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and prints ONE JSON
+line:  {"metric", "value" (headline sec), "unit", "queries", "sf",
+"num_cpus", ...}.
+
+--scaling: runs the plain bench in TWO FRESH PROCESSES at num_cpus=8 and
+num_cpus=32 on the same input (page cache warmed by the first run's
+synth/cache step) and prints throughput at both plus the scaling
+efficiency (R_32/R_8)/4 — the sandbox evidence for the north_rule's
+N→4N ≥ 0.8 criterion (see BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline synthetic image table size (cached in /tmp across runs)
+BENCH_ENTITIES = int(os.environ.get("FX_BENCH_ENTITIES", "30000"))
+
+
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from featureextraction_jl_ray import queries as q
+    from featureextraction_jl_ray.pipelines.flagship import (
+        FlagshipConfig,
+        fit_flagship_model,
+        run_flagship,
+    )
+    from featureextraction_jl_ray.synth import SynthConfig, write_synth_tables
+
+    # ---- headline: flagship image pipeline ---------------------------------
+    cfg = SynthConfig(n_entities=BENCH_ENTITIES, img_size=16, seed=42,
+                      num_partitions=64)
+    paths = write_synth_tables(cfg, "/tmp/fx_bench_cache")  # cached: untimed gen
+    images = rd.read_parquet(paths["images"])
+    captions = rd.read_parquet(paths["captions"])
+    n_images = images.count()  # warms page cache, untimed
+
+    fcfg = FlagshipConfig(num_buckets=max(64, NUM_CPUS * 4), k=16,
+                          decode_concurrency=(1, NUM_CPUS),
+                          transform_concurrency=(1, NUM_CPUS))
+    t0 = time.time()
+    model = fit_flagship_model(images, fcfg)
+    out, _ = run_flagship(images, captions, cfg=fcfg, model=model)
+    rows = out.count()
+    headline_sec = round(time.time() - t0, 3)
+    assert rows == n_images, (rows, n_images)
+
+    # ---- representative operator pipelines over $GRAFT_SF_DIR --------------
+    queries = {}
+
+    def consume(res):
+        if hasattr(res, "count"):
+            res.count()
+
+    bench_queries = [
+        "agg_lineitem",
+        "hash_join_agg",
+        "broadcast_join_agg",
+        "asof_join",
+        "lag_lead",
+        "sessionize",
+        "rolling",
+        "dedup_events",
+        "topn_per_customer",
+        "pca_whiten_transform",
+        "knn_bruteforce",
+        "minhash_near_dup",
+    ]
+    for name in bench_queries:
+        fn = q.QUERIES[name]
+        t0 = time.time()
+        consume(fn(SF_DIR))
+        queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "flagship end-to-end sec (as-of join + windowed features + "
+                  "whitened-PCA over synthetic image+caption table)",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "num_cpus": NUM_CPUS,
+        "headline_rows": rows,
+        "headline_rows_per_sec": round(rows / headline_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run_at(lo_cpus)
+    hi = run_at(hi_cpus)
+    r_lo = lo["headline_rows_per_sec"]
+    r_hi = hi["headline_rows_per_sec"]
+    eff = (r_hi / r_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency (rows/s at 32 cpus vs 8 cpus, fresh "
+                  "processes, same input)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "rows_per_sec_8": r_lo,
+        "rows_per_sec_32": r_hi,
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,742 @@
+"""Driver-contract query registry (SURVEY.md §2-B X3): one entry per
+implemented operator, each with a DuckDB oracle where the semantics are
+SQL-expressible (the driver's correctness gate compares row count, schema
+and an order-insensitive value hash; computed columns are named
+IDENTICALLY in the Ray code and the SQL).
+
+Non-SQL-expressible entries (PCA/whitening/kernel centering — eigen-
+decompositions; MinHash/SimHash/ANN — sketch algorithms; the image
+flagship — binary payloads) have no ORACLE_SQL entry and get the
+driver's rows-only check; their numerics are covered by the pytest
+NumPy/DuckDB oracles instead (tests/test_kernels.py etc.).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _events(sf_dir):
+    return _rd().read_parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# A2: grouped aggregates with map-side combiners (TPC-H Q1 flavor)
+# ---------------------------------------------------------------------------
+
+def q_agg_lineitem(sf_dir):
+    from .stages.groupagg import grouped_aggregate
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_price": ("l_extendedprice", "sum"),
+            "avg_qty": ("l_quantity", "mean"),
+            "n": ("l_quantity", "count"),
+        },
+        num_buckets=8,
+    )
+
+
+SQL_AGG_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_price,
+       avg(l_quantity) AS avg_qty,
+       count(l_quantity) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# M1/M2/M3: filter + computed column + projection (vectorized Arrow)
+# ---------------------------------------------------------------------------
+
+def q_filter_project(sf_dir):
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev).select(
+            ["l_orderkey", "l_linenumber", "revenue"]
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4 native hash join / J3 broadcast join (same result, two physical plans)
+# ---------------------------------------------------------------------------
+
+def q_hash_join_agg(sf_dir):
+    from .stages.groupagg import grouped_aggregate
+    from .stages.joins import hash_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       how="inner", num_partitions=8)
+    return grouped_aggregate(
+        joined,
+        "c_mktsegment",
+        {"n_orders": ("o_totalprice", "count"), "sum_price": ("o_totalprice", "sum")},
+        num_buckets=4,
+    )
+
+
+def q_broadcast_join_agg(sf_dir):
+    from .stages.groupagg import grouped_aggregate
+    from .stages.joins import broadcast_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                            how="inner")
+    return grouped_aggregate(
+        joined,
+        "c_mktsegment",
+        {"n_orders": ("o_totalprice", "count"), "sum_price": ("o_totalprice", "sum")},
+        num_buckets=4,
+    )
+
+
+SQL_JOIN_AGG = """
+SELECT c_mktsegment,
+       count(o_totalprice) AS n_orders,
+       sum(o_totalprice) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# J5 semi / anti join
+# ---------------------------------------------------------------------------
+
+def q_semi_join(sf_dir):
+    from .stages.joins import semi_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    building = cust.loc[cust.c_mktsegment == "BUILDING", ["c_custkey"]].rename(
+        columns={"c_custkey": "o_custkey"}
+    )
+    return semi_join(orders, building, on="o_custkey")
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+"""
+
+
+def q_anti_join(sf_dir):
+    from .stages.joins import anti_join
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    big = orders.loc[orders.o_totalprice > 400000.0, ["o_custkey"]].rename(
+        columns={"o_custkey": "c_custkey"}
+    )
+    return anti_join(cust, big.drop_duplicates(), on="c_custkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# R2 global top-k / A3 distinct / D1 union
+# ---------------------------------------------------------------------------
+
+def q_topk_orders(sf_dir):
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_distinct_types(sf_dir):
+    ds = _events(sf_dir).select_columns(["event_type"])
+    return ds.groupby("event_type").count().select_columns(["event_type"])
+
+
+SQL_DISTINCT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+def q_union_counts(sf_dir):
+    from .stages.groupagg import grouped_aggregate
+
+    ev = _events(sf_dir)
+    clicks = ev.filter(expr="event_type == 'click'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    both = clicks.union(purchases)
+    return grouped_aggregate(
+        both, "event_type", {"n": ("event_id", "count")}, num_buckets=4
+    )
+
+
+SQL_UNION_COUNTS = """
+SELECT event_type, count(event_id) AS n FROM (
+  SELECT * FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT * FROM events WHERE event_type = 'purchase')
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 as-of joins (events left, latest purchase state right)
+# ---------------------------------------------------------------------------
+
+def _purchase_state(sf_dir):
+    ev = _events(sf_dir)
+    right = ev.filter(expr="event_type == 'purchase'")
+    right = right.groupby(["user_id", "ts"]).max("value")
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "ts", "state_value"])
+
+    return right.map_batches(rn, batch_format="pyarrow")
+
+
+def q_asof_join(sf_dir):
+    from .stages.asof import asof_join
+
+    left = _events(sf_dir).select_columns(["event_id", "user_id", "ts", "value"])
+    out = asof_join(
+        left,
+        _purchase_state(sf_dir),
+        on="ts",
+        by="user_id",
+        right_cols=["state_value"],
+        num_buckets=32,
+        left_tiebreak=("event_id",),
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "value", "state_value"])
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id, e.ts, e.value, r.state_value
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max(value) AS state_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+) r ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+
+def q_asof_tolerance(sf_dir):
+    from .stages.asof import asof_join
+
+    left = _events(sf_dir).select_columns(["event_id", "user_id", "ts", "value"])
+    out = asof_join(
+        left,
+        _purchase_state(sf_dir),
+        on="ts",
+        by="user_id",
+        right_cols=["state_value"],
+        tolerance="1h",
+        num_buckets=32,
+        left_tiebreak=("event_id",),
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "value", "state_value"])
+
+
+SQL_ASOF_TOLERANCE = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS state_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT event_id, user_id, ts, value, state_value FROM (
+  SELECT e.event_id, e.user_id, e.ts, e.value, r.state_value, r.ts AS rts
+  FROM events e
+  LEFT JOIN r ON e.user_id = r.user_id
+             AND r.ts <= e.ts AND r.ts >= e.ts - INTERVAL 1 HOUR
+  QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY r.ts DESC) = 1)
+"""
+
+
+# ---------------------------------------------------------------------------
+# W1–W4 window operators
+# ---------------------------------------------------------------------------
+
+def q_lag_lead(sf_dir):
+    from .stages.window import with_lag
+
+    ds = with_lag(_events(sf_dir), "user_id", "ts", ["value"], k=1,
+                  num_buckets=32, tiebreak_cols=("event_id",))
+    ds = with_lag(ds, "user_id", "ts", ["value"], k=2, lead=True,
+                  num_buckets=32, tiebreak_cols=("event_id",))
+    return ds.select_columns(["event_id", "user_id", "ts", "lag1_value", "lead2_value"])
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id, ts,
+       lag(value, 1)  OVER w AS lag1_value,
+       lead(value, 2) OVER w AS lead2_value
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_sessionize(sf_dir):
+    from .stages.window import with_sessionize
+
+    ds = with_sessionize(_events(sf_dir), "user_id", "ts", gap="30min",
+                         num_buckets=32, tiebreak_cols=("event_id",))
+    return ds.select_columns(["event_id", "user_id", "ts", "session_id"])
+
+
+SQL_SESSIONIZE = """
+SELECT event_id, user_id, ts,
+       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+FROM (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new FROM events)
+"""
+
+
+def q_rolling(sf_dir):
+    from .stages.window import with_rolling
+
+    ds = with_rolling(_events(sf_dir), "user_id", "ts", "value", window="1h",
+                      aggs=("count", "sum", "max"), num_buckets=32,
+                      tiebreak_cols=("event_id",))
+    return ds.select_columns(
+        ["event_id", "user_id", "ts", "roll_value_count", "roll_value_sum",
+         "roll_value_max"]
+    )
+
+
+SQL_ROLLING = """
+SELECT event_id, user_id, ts,
+       count(value) OVER w AS roll_value_count,
+       sum(value)   OVER w AS roll_value_sum,
+       max(value)   OVER w AS roll_value_max
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_backfill(sf_dir):
+    from .stages.window import with_backfill
+
+    def sparse(t: pa.Table) -> pa.Table:
+        v = pc.if_else(pc.equal(t["event_type"], "click"), t["value"],
+                       pa.scalar(None, pa.float64()))
+        return t.append_column("click_value", v)
+
+    ds = _events(sf_dir).map_batches(sparse, batch_format="pyarrow")
+    ds = with_backfill(ds, "user_id", "ts", ["click_value"], num_buckets=32,
+                       tiebreak_cols=("event_id",))
+    return ds.select_columns(["event_id", "user_id", "ts", "click_value"])
+
+
+SQL_BACKFILL = """
+SELECT event_id, user_id, ts,
+       last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS click_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# D2 exact dedup (salted) — events and documents
+# ---------------------------------------------------------------------------
+
+def q_dedup_events(sf_dir):
+    from .stages.dedup import exact_dedup
+
+    ds = exact_dedup(
+        _events(sf_dir),
+        ["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+        num_salts=8,
+        num_buckets=32,
+    )
+    return ds.select_columns(["event_id", "user_id", "event_type", "ts"])
+
+
+SQL_DEDUP_EVENTS = """
+SELECT event_id, user_id, event_type, ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+"""
+
+
+def q_dedup_documents(sf_dir):
+    from .stages.dedup import exact_dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(ds, ["text"], order_cols=["doc_id"], num_salts=4, num_buckets=32)
+    return out.select_columns(["doc_id", "lang", "source", "n_chars"])
+
+
+SQL_DEDUP_DOCUMENTS = """
+SELECT doc_id, lang, source, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# A4/R2 per-group top-n
+# ---------------------------------------------------------------------------
+
+def q_topn_per_customer(sf_dir):
+    from .stages.groupagg import grouped_topn
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_topn(orders, "o_custkey", ["o_totalprice", "o_orderkey"],
+                        n=2, ascending=[False, True], num_buckets=32)
+
+
+SQL_TOPN_PER_CUSTOMER = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (SQL-expressible parts)
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir):
+    from .stages.text import with_token_stats
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = with_token_stats(ds)
+    return out.select_columns(["doc_id", "n_tokens_ws"])
+
+
+SQL_DOC_STATS = """
+SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws
+FROM documents
+"""
+
+
+def q_doc_ratios(sf_dir):
+    from .stages.text import with_quality
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = with_quality(ds)
+    return out.select_columns(["doc_id", "alpha_ratio", "punct_ratio"])
+
+
+SQL_DOC_RATIOS = """
+SELECT doc_id,
+  CAST(length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS DOUBLE)
+    / greatest(length(text), 1) AS alpha_ratio,
+  CAST(length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]_]', '', 'g'))
+       AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding scalar stats (SQL-expressible exactly: len / max / min)
+# ---------------------------------------------------------------------------
+
+def q_embed_stats(sf_dir):
+    from .functions.veccol import list_column_to_numpy
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def stats(t: pa.Table) -> pa.Table:
+        X = list_column_to_numpy(t, "embedding", dtype=np.float32)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "dim": pa.array(np.full(len(t), X.shape[1], dtype=np.int64)),
+                "vmax": pa.array(X.max(axis=1).astype(np.float32)),
+                "vmin": pa.array(X.min(axis=1).astype(np.float32)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EMBED_STATS = """
+SELECT vec_id, len(embedding) AS dim,
+       list_max(embedding) AS vmax, list_min(embedding) AS vmin
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible entries (rows-only driver check; pytest covers math)
+# ---------------------------------------------------------------------------
+
+def q_pca_eigvals(sf_dir):
+    from .state.pca import fit_pca
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    model = fit_pca(ds, "embedding", k=16)
+    return pd.DataFrame(
+        {"component": np.arange(len(model.eigvals), dtype=np.int64),
+         "eigval": model.eigvals}
+    )
+
+
+def q_pca_whiten_transform(sf_dir):
+    from .stages.transform import apply_pca_transform
+    from .state.pca import fit_pca
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    model = fit_pca(ds, "embedding", k=8)
+    out = apply_pca_transform(ds, model, "embedding", out_col="z",
+                              mode="pca_whiten", drop_input=True)
+    return out.select_columns(["vec_id", "z"])
+
+
+def q_zca_transform(sf_dir):
+    from .stages.transform import apply_pca_transform
+    from .state.pca import fit_pca
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    model = fit_pca(ds, "embedding")
+    out = apply_pca_transform(ds, model, "embedding", out_col="z_zca",
+                              mode="zca", drop_input=True)
+    return out.select_columns(["vec_id", "z_zca"])
+
+
+def q_kernel_center(sf_dir):
+    """Kernel-centering over a Gram matrix of the first 256 embeddings
+    (small-n regime where the n×n kernel is legitimate)."""
+    from .functions.veccol import list_column_to_numpy
+    from .state.kernel import KernelCenterer
+
+    tbl = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").limit(256).to_pandas()
+    X = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    K = X @ X.T
+    Kc = KernelCenterer().fit(K).transform(K)
+    return pd.DataFrame(
+        {
+            "i": np.arange(len(K), dtype=np.int64),
+            "row_mean_centered": Kc.mean(axis=1),
+            "diag": np.diag(Kc),
+        }
+    )
+
+
+def q_knn_bruteforce(sf_dir):
+    from .stages.similarity import knn_cosine
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.stack(ds.limit(4).to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    return knn_cosine(ds, q, vector_col="embedding", id_col="vec_id", k=10)
+
+
+def q_knn_ivf(sf_dir):
+    from .stages.similarity import knn_cosine_ivf
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.stack(ds.limit(4).to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    return knn_cosine_ivf(ds, q, vector_col="embedding", id_col="vec_id", k=10)
+
+
+def q_embedding_near_dup(sf_dir):
+    from .stages.similarity import embedding_near_dup_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_pairs(ds, vector_col="embedding", id_col="vec_id",
+                                    threshold=0.8, n_planes=8)
+
+
+def q_minhash_near_dup(sf_dir):
+    from .stages.minhash import minhash_near_dup_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
+                                  threshold=0.5)
+
+
+def q_simhash_docs(sf_dir):
+    from .stages.minhash import with_simhash
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+    return with_simhash(ds, text_col="text").select_columns(["doc_id", "simhash"])
+
+
+def q_doc_langid(sf_dir):
+    from .stages.text import with_langid
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return with_langid(ds).select_columns(["doc_id", "lang_pred"])
+
+
+def q_doc_fingerprint(sf_dir):
+    from .stages.text import with_fingerprint
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return with_fingerprint(ds).select_columns(["doc_id", "fingerprint", "text_hash"])
+
+
+def _synth_for(sf_dir):
+    """Deterministic image+caption tables sized by sf tier (cached)."""
+    from .synth import SynthConfig, write_synth_tables
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 200, "0.01": 800, "0.1": 4000}.get(sf, 200)
+    cfg = SynthConfig(n_entities=n, seed=42)
+    return cfg, write_synth_tables(cfg, "/tmp/fx_synth_cache")
+
+
+def q_flagship_features(sf_dir):
+    from .pipelines.flagship import FlagshipConfig, run_flagship
+
+    _, paths = _synth_for(sf_dir)
+    rd = _rd()
+    ds, _ = run_flagship(
+        rd.read_parquet(paths["images"]),
+        rd.read_parquet(paths["captions"]),
+        cfg=FlagshipConfig(num_buckets=32),
+    )
+    return ds.select_columns(
+        ["image_id", "entity_id", "ts", "session_id", "lag1_phash", "caption_state",
+         "roll_count", "z"]
+    )
+
+
+def q_phash_near_dup(sf_dir):
+    """Near-dup image dedup on phash: the ~30% skew cluster collapses to
+    one representative in the salted exact-dedup pre-step; surviving
+    representatives (one per Hamming-≤2 cluster) are returned."""
+    from .stages.dedup import hamming_dedup
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"], columns=["image_id", "phash"])
+
+    def to_int_id(t: pa.Table) -> pa.Table:
+        # pairs machinery wants an orderable id; derive int from image_id
+        ids = t.column("image_id").to_pylist()
+        as_int = [int(s[4:9]) * 10_000 + int(s[10:14]) for s in ids]
+        return pa.table({"iid": pa.array(as_int, type=pa.int64()),
+                         "phash": t.column("phash")})
+
+    ds = images.map_batches(to_int_id, batch_format="pyarrow")
+    kept, _pairs = hamming_dedup(ds, "phash", "iid", max_distance=2, num_buckets=32)
+    return kept
+
+
+def q_images_phash_verify(sf_dir):
+    from .stages.codec import with_pixel_features
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"])
+    out = with_pixel_features(images, verify_phash=True)
+    return out.select_columns(["image_id", "phash_ok"])
+
+
+QUERIES = {
+    "agg_lineitem": q_agg_lineitem,
+    "filter_project": q_filter_project,
+    "hash_join_agg": q_hash_join_agg,
+    "broadcast_join_agg": q_broadcast_join_agg,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "topk_orders": q_topk_orders,
+    "distinct_types": q_distinct_types,
+    "union_counts": q_union_counts,
+    "asof_join": q_asof_join,
+    "asof_tolerance": q_asof_tolerance,
+    "lag_lead": q_lag_lead,
+    "sessionize": q_sessionize,
+    "rolling": q_rolling,
+    "backfill": q_backfill,
+    "dedup_events": q_dedup_events,
+    "dedup_documents": q_dedup_documents,
+    "topn_per_customer": q_topn_per_customer,
+    "doc_stats": q_doc_stats,
+    "doc_ratios": q_doc_ratios,
+    "embed_stats": q_embed_stats,
+    # rows-only (non-SQL-expressible; math covered by pytest oracles)
+    "pca_eigvals": q_pca_eigvals,
+    "pca_whiten_transform": q_pca_whiten_transform,
+    "zca_transform": q_zca_transform,
+    "kernel_center": q_kernel_center,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf": q_knn_ivf,
+    "embedding_near_dup": q_embedding_near_dup,
+    "minhash_near_dup": q_minhash_near_dup,
+    "simhash_docs": q_simhash_docs,
+    "doc_langid": q_doc_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "flagship_features": q_flagship_features,
+    "phash_near_dup": q_phash_near_dup,
+    "images_phash_verify": q_images_phash_verify,
+}
+
+ORACLE_SQL = {
+    "agg_lineitem": SQL_AGG_LINEITEM,
+    "filter_project": SQL_FILTER_PROJECT,
+    "hash_join_agg": SQL_JOIN_AGG,
+    "broadcast_join_agg": SQL_JOIN_AGG,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "distinct_types": SQL_DISTINCT_TYPES,
+    "union_counts": SQL_UNION_COUNTS,
+    "asof_join": SQL_ASOF_JOIN,
+    "asof_tolerance": SQL_ASOF_TOLERANCE,
+    "lag_lead": SQL_LAG_LEAD,
+    "sessionize": SQL_SESSIONIZE,
+    "rolling": SQL_ROLLING,
+    "backfill": SQL_BACKFILL,
+    "dedup_events": SQL_DEDUP_EVENTS,
+    "dedup_documents": SQL_DEDUP_DOCUMENTS,
+    "topn_per_customer": SQL_TOPN_PER_CUSTOMER,
+    "doc_stats": SQL_DOC_STATS,
+    "doc_ratios": SQL_DOC_RATIOS,
+    "embed_stats": SQL_EMBED_STATS,
+}

@@ -1,0 +1,183 @@
+"""Sources, sinks, and the checkpoint manifest (SURVEY.md §2-B S1–S4;
+BASELINE.json:6 "every partition emits lineage + row-count/checksum
+metrics to a checkpoint manifest so a killed run resumes from the last
+complete partition").
+
+Formats: parquet is the tested path; Lance (the deploy-scale format the
+north-star names) is import-gated — ``read_table(uri, fmt="lance")``
+works when ``pylance`` is installed, which it is not in this sandbox.
+
+Resumable layout
+----------------
+``checkpointed_write`` buckets rows by a stable hash of the entity key
+(the SAME bucketing every other stage uses), then each bucket writes its
+own ``part-<id>.parquet`` ATOMICALLY (temp file + rename) and emits one
+manifest record::
+
+    {"partition_id", "rows", "checksum", "op_fingerprint", "path"}
+
+The driver appends records to ``_manifest.jsonl`` only after the rename
+succeeded, so a record ⇔ a complete, readable partition file.  A resumed
+run reads the manifest, filters ALREADY-DONE buckets out at the start of
+the pipeline (cheap map_batches filter — upstream of the shuffle, so
+finished partitions cost nothing), and reruns only the rest.  Bucket
+assignment is deterministic (seeded SipHash) and the op fingerprint ties
+the manifest to the pipeline config, so mixing outputs of different
+configs fails loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import bucket_of, stable_hash_array
+from ..functions.pdconv import arrow_to_pandas_safe
+
+_BUCKET = "__fx_wbucket"
+
+__all__ = [
+    "read_table",
+    "write_table",
+    "checkpointed_write",
+    "load_manifest",
+    "completed_partitions",
+]
+
+
+def read_table(uri: str, *, fmt: str = "parquet", columns=None, **kw):
+    """Dataset reader with column pruning; fmt ∈ {parquet, lance}."""
+    import ray.data as rd
+
+    if fmt == "parquet":
+        return rd.read_parquet(uri, columns=columns, **kw)
+    if fmt == "lance":
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:  # pragma: no cover - pylance not in sandbox
+            raise NotImplementedError(
+                "lance format needs the 'pylance' package (not installed in "
+                "this sandbox); the engine's lance path is read_lance-based "
+                "and activates when pylance is available"
+            ) from e
+        return rd.read_lance(uri, columns=columns, **kw)
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def write_table(ds, uri: str, *, fmt: str = "parquet", **kw):
+    if fmt == "parquet":
+        return ds.write_parquet(uri, **kw)
+    if fmt == "lance":
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError("lance write needs 'pylance'") from e
+        return ds.write_lance(uri, **kw)
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _row_checksum(tbl: pa.Table, key_col: str) -> int:
+    """Order-insensitive content checksum: XOR of stable row-key hashes."""
+    h = stable_hash_array(tbl.column(key_col).to_numpy(zero_copy_only=False), seed=23)
+    # fold uint64 → signed int64 so it fits arrow/json integer ranges
+    return int(np.bitwise_xor.reduce(h).astype(np.int64)) if len(h) else 0
+
+
+def checkpointed_write(
+    ds,
+    out_dir: str,
+    *,
+    entity_col: str,
+    key_col: str,
+    num_buckets: int = 64,
+    op_fingerprint: str = "",
+    skip_partitions: set[int] | None = None,
+):
+    """Write ds partition-wise with an atomic per-partition manifest.
+
+    Returns the list of manifest records written THIS run (resumed runs
+    return only the newly completed partitions).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    skip = skip_partitions or set()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ent = batch.column(entity_col).to_numpy(zero_copy_only=False)
+        b = bucket_of(ent, num_buckets, seed=0)
+        batch = batch.append_column(_BUCKET, pa.array(b, type=pa.int64()))
+        if skip:
+            mask = ~np.isin(b, list(skip))
+            batch = batch.filter(pa.array(mask))
+        return batch
+
+    def write_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"partition_id": pa.array([], type=pa.int64())})
+        bid = int(tbl.column(_BUCKET)[0].as_py())
+        body = tbl.drop_columns([_BUCKET])
+        final = os.path.join(out_dir, f"part-{bid:05d}.parquet")
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(body, tmp)
+        os.replace(tmp, final)  # atomic: manifest row ⇔ complete file
+        return pa.table(
+            {
+                "partition_id": pa.array([bid], type=pa.int64()),
+                "rows": pa.array([body.num_rows], type=pa.int64()),
+                "checksum": pa.array([_row_checksum(body, key_col)], type=pa.int64()),
+                "path": pa.array([final], type=pa.string()),
+            }
+        )
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    manifest_ds = bucketed.groupby(_BUCKET).map_groups(
+        write_bucket, batch_format="pyarrow"
+    )
+    records = []
+    for batch in manifest_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        df = arrow_to_pandas_safe(batch)
+        for _, row in df.iterrows():
+            if "rows" not in df.columns:
+                continue
+            records.append(
+                {
+                    "partition_id": int(row["partition_id"]),
+                    "rows": int(row["rows"]),
+                    "checksum": int(row["checksum"]),
+                    "path": str(row["path"]),
+                    "op_fingerprint": op_fingerprint,
+                    "num_buckets": num_buckets,
+                }
+            )
+    manifest_path = os.path.join(out_dir, "_manifest.jsonl")
+    with open(manifest_path, "a") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+    return records
+
+
+def load_manifest(out_dir: str) -> list[dict]:
+    path = os.path.join(out_dir, "_manifest.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def completed_partitions(out_dir: str, *, op_fingerprint: str = "") -> set[int]:
+    """Partitions whose manifest record exists AND whose file is present
+    (a record written but file later deleted ⇒ not complete)."""
+    done = set()
+    for rec in load_manifest(out_dir):
+        if op_fingerprint and rec.get("op_fingerprint") != op_fingerprint:
+            raise ValueError(
+                f"manifest at {out_dir} was written by a different pipeline "
+                f"config ({rec.get('op_fingerprint')!r} != {op_fingerprint!r})"
+            )
+        if os.path.exists(rec["path"]):
+            done.add(rec["partition_id"])
+    return done

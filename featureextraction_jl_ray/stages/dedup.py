@@ -121,8 +121,18 @@ def hamming_near_dup_pairs(
     *,
     max_distance: int = 3,
     num_buckets: int = 256,
+    collapse_exact: bool = True,
 ):
-    """Candidate-verified near-duplicate pairs (id_a < id_b, hamming ≤ d).
+    """Candidate-verified near-duplicate pairs (id_a < id_b, hamming ≤ d)
+    between DISTINCT hash values' representatives.
+
+    Scale-critical pre-step (``collapse_exact``): rows sharing a hash are
+    first collapsed to one representative (min id) via the salted exact
+    dedup — a 30%-duplicated phash at 10^12 rows would otherwise emit
+    O(n²) pairs inside one banded group.  After collapsing, group sizes
+    are bounded by the number of DISTINCT hashes per band value, and a
+    pair (rep_a, rep_b) stands for "every row with hash_a ≈ every row
+    with hash_b".
 
     Pigeonhole LSH: split the 64-bit hash into (d+1) bands — two hashes
     within Hamming distance d must agree on at least one full band — emit
@@ -130,6 +140,14 @@ def hamming_near_dup_pairs(
     Hamming distance inside each group with a vectorized popcount, and
     de-duplicate pairs found by multiple bands with a final exact dedup.
     """
+    if collapse_exact:
+        ds = exact_dedup(
+            ds.select_columns([hash_col, id_col]),
+            [hash_col],
+            order_cols=[id_col],
+            num_salts=16,
+            num_buckets=num_buckets,
+        )
     num_bands = max_distance + 1
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -213,14 +231,26 @@ def hamming_dedup(
 ):
     """Keep one representative per near-duplicate cluster (min id wins).
 
-    Clusters come from union-find over the verified pair set on the
-    driver — valid while pairs ≪ rows (near-dup graphs are sparse; the
-    pair table is the output of banded verification, not n²).  Returns
-    (ds_without_non_representatives, pairs).
+    Two levels, both skew-safe: (1) rows with EQUAL hashes collapse to
+    the min-id representative inside ``hamming_near_dup_pairs``'s salted
+    exact-dedup pre-step; (2) representatives within Hamming ≤ d merge
+    via union-find over the verified pair set on the driver — valid
+    because pairs are between distinct hash values (bounded), never
+    between raw rows.  Returns (ds_with_one_row_per_cluster, pairs).
     """
     pairs_tbl = hamming_near_dup_pairs(
         ds, hash_col, id_col, max_distance=max_distance, num_buckets=num_buckets
     ).to_pandas()
+    if "id_a" not in pairs_tbl.columns:  # empty result loses schema in Ray
+        pairs_tbl = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
+    # keep only exact-dedup representatives, then drop union-find non-roots
+    ds = exact_dedup(
+        ds,
+        [hash_col],
+        order_cols=[id_col],
+        num_salts=16,
+        num_buckets=num_buckets,
+    )
     parent: dict = {}
 
     def find(x):

@@ -1,0 +1,123 @@
+"""Grouped aggregation helpers (SURVEY.md §2-B A2/A4/R2-per-group).
+
+``grouped_aggregate`` pre-aggregates inside ``map_batches`` (one partial
+row per key per batch) before the keyed shuffle, so the exchange moves
+per-key partials instead of raw rows — the combiner pattern the Ray guide
+mandates for scale.  ``grouped_topn`` co-buckets keys and takes the top-n
+per key with vectorized pandas inside each bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import bucket_of_multi
+from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+
+_BUCKET = "__fx_gbucket"
+
+__all__ = ["grouped_aggregate", "grouped_topn"]
+
+_PARTIALIZABLE = {"sum", "count", "min", "max", "mean"}
+
+
+def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buckets: int = 64):
+    """Grouped aggregates with map-side partial aggregation.
+
+    ``aggs``: {out_name: (col, fn)} with fn ∈ sum/count/min/max/mean.
+    Example: {"sum_qty": ("l_quantity", "sum"), "n": ("l_orderkey", "count")}
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for name, (col, fn) in aggs.items():
+        if fn not in _PARTIALIZABLE:
+            raise ValueError(f"unsupported agg {fn!r} for {name}")
+
+    # mean = sum/count composed from partials
+    partial_cols: dict[str, tuple[str, str]] = {}
+    for name, (col, fn) in aggs.items():
+        if fn == "mean":
+            partial_cols[f"__s_{name}"] = (col, "sum")
+            partial_cols[f"__c_{name}"] = (col, "count")
+        else:
+            partial_cols[name] = (col, fn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(batch)
+        g = df.groupby(key_cols, sort=False, dropna=False)
+        out = pd.DataFrame(index=g.size().index)
+        for name, (col, fn) in partial_cols.items():
+            out[name] = getattr(g[col], fn)()
+        out = out.reset_index()
+        b = bucket_of_multi(
+            [out[c].to_numpy() for c in key_cols], num_buckets, seed=29
+        )
+        out[_BUCKET] = b
+        return pandas_to_arrow(out)
+
+    _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def final(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        g = df.groupby(key_cols, sort=False, dropna=False)
+        out = pd.DataFrame(index=g.size().index)
+        for name, (_, fn) in partial_cols.items():
+            out[name] = getattr(g[name], _MERGE[fn])()
+        out = out.reset_index()
+        for name, (col, fn) in aggs.items():
+            if fn == "mean":
+                out[name] = out[f"__s_{name}"] / out[f"__c_{name}"]
+                out = out.drop(columns=[f"__s_{name}", f"__c_{name}"])
+        return pandas_to_arrow(out)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(_BUCKET).map_groups(final, batch_format="pyarrow")
+
+
+def grouped_topn(
+    ds,
+    key_cols,
+    order_cols,
+    *,
+    n: int,
+    ascending: bool | list[bool] = False,
+    num_buckets: int = 64,
+):
+    """Top-n rows per key ordered by ``order_cols`` (deterministic: make
+    the last order col a unique tiebreak)."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of_multi(
+            [batch.column(c).to_numpy(zero_copy_only=False) for c in key_cols],
+            num_buckets,
+            seed=31,
+        )
+        return batch.append_column(_BUCKET, pa.array(b))
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        # map-side prune: keep at most n rows per key per batch before the
+        # shuffle — the exchange then moves ≤ n rows per (key, batch)
+        df = arrow_to_pandas_safe(batch)
+        pruned = (
+            df.sort_values(order_cols, ascending=ascending, kind="mergesort")
+            .groupby(key_cols, sort=False, dropna=False)
+            .head(n)
+        )
+        return pandas_to_arrow(pruned)
+
+    def topn(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        out = (
+            df.sort_values(order_cols, ascending=ascending, kind="mergesort")
+            .groupby(key_cols, sort=False, dropna=False)
+            .head(n)
+            .drop(columns=[_BUCKET])
+        )
+        return pandas_to_arrow(out)
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = pruned.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby(_BUCKET).map_groups(topn, batch_format="pyarrow")

@@ -1,0 +1,242 @@
+"""MinHash-LSH / SimHash / n-gram-Jaccard near-duplicate detection for
+documents (task brief: the dedup family a training-data pipeline needs).
+
+Pipeline shape (shingle → minhash → band → bucket-groupby → verify), per
+the classical Broder MinHash + banding construction (Mining of Massive
+Datasets, ch. 3):
+
+- per batch (actor pool): word-shingle each doc, hash shingles with the
+  stable SipHash, apply ``num_perms`` affine permutations vectorized in
+  one (shingles × perms) NumPy min-reduce, emit one signature row;
+- explode signatures into (band_id, band_hash) keys; a pair agreeing on
+  any band becomes a candidate (prob. 1−(1−s^r)^b for Jaccard s);
+- groupby banded key (the ONLY shuffle — candidates, not corpus);
+- verify candidates with exact n-gram Jaccard inside the group; final
+  exact dedup collapses pairs found by several bands.
+
+SimHash: 64-bit sign-of-weighted-sum sketch (Charikar 2002); near-dup =
+Hamming ≤ d via the same pigeonhole banding as phash (stages/dedup.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash_array
+from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+from .dedup import exact_dedup, hamming_near_dup_pairs
+
+__all__ = [
+    "MinHasher",
+    "with_minhash",
+    "minhash_near_dup_pairs",
+    "with_simhash",
+    "ngram_jaccard",
+]
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingles(text: str, k: int, word_re) -> np.ndarray:
+    words = word_re.findall(text.lower())
+    if len(words) < k:
+        return np.array([" ".join(words)] if words else ["∅"], dtype=object)
+    return np.array(
+        [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)], dtype=object
+    )
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity (the verification metric)."""
+    word_re = re.compile(r"\w+")
+    sa = set(_shingles(a, k, word_re).tolist())
+    sb = set(_shingles(b, k, word_re).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+class MinHasher:
+    """Actor stage: text → fixed-size minhash signature (list<int64>).
+
+    Permutation coefficients are derived deterministically from ``seed``
+    in ``__init__`` — once per actor, never per batch.
+    """
+
+    def __init__(self, text_col: str = "text", num_perms: int = 128, shingle_k: int = 3,
+                 seed: int = 42):
+        self._text_col = text_col
+        self._k = shingle_k
+        self._word = re.compile(r"\w+")
+        rng = np.random.default_rng(seed)
+        self._a = rng.integers(1, _MERSENNE, size=num_perms, dtype=np.uint64)
+        self._b = rng.integers(0, _MERSENNE, size=num_perms, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text or "", self._k, self._word)
+        h = stable_hash_array(sh, seed=5) % _MERSENNE  # (s,)
+        # affine permutations mod Mersenne prime, one vectorized min-reduce
+        perm = (h[:, None] * self._a[None, :] + self._b[None, :]) % _MERSENNE
+        return perm.min(axis=0).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._text_col).to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts])
+        return batch.append_column(
+            "minhash", pa.array(list(sigs), type=pa.list_(pa.int64()))
+        )
+
+
+def with_minhash(ds, *, text_col: str = "text", num_perms: int = 128,
+                 shingle_k: int = 3, seed: int = 42, concurrency=(1, 8),
+                 batch_size: int | None = 1024):
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"text_col": text_col, "num_perms": num_perms,
+                               "shingle_k": shingle_k, "seed": seed},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def minhash_near_dup_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+    num_buckets: int = 128,
+):
+    """Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold)."""
+    if num_perms % bands:
+        raise ValueError("num_perms must be divisible by bands")
+    r = num_perms // bands
+    from ..functions.hashing import bucket_of_multi
+    from ..functions.veccol import list_column_to_numpy
+
+    sigged = with_minhash(
+        ds.select_columns([id_col, text_col]),
+        text_col=text_col, num_perms=num_perms, shingle_k=shingle_k, seed=seed,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = list_column_to_numpy(batch, "minhash", dtype=np.int64)  # (n, perms)
+        n = len(sig)
+        rows = sig.reshape(n, bands, r)
+        band_hash = rows.astype(np.uint64).sum(axis=2, dtype=np.uint64)
+        for j in range(r):  # cheap order-sensitive fold
+            band_hash = band_hash * np.uint64(1099511628211) + rows[:, :, j].astype(
+                np.uint64
+            )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int64), n)
+                ),
+                "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+                id_col: pa.array(np.repeat(ids, bands)),
+                text_col: pa.array(np.repeat(np.array(texts, dtype=object), bands)),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of_multi(
+            [batch.column("band_id").to_numpy(zero_copy_only=False),
+             batch.column("band_hash").to_numpy(zero_copy_only=False)],
+            num_buckets, seed=41,
+        )
+        return batch.append_column("__fx_mbucket", pa.array(b))
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        out_a, out_b, out_j = [], [], []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates(subset=[id_col])
+            ids = g[id_col].to_numpy()
+            texts = g[text_col].to_numpy()
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    jac = ngram_jaccard(texts[i], texts[j], shingle_k)
+                    if jac >= threshold:
+                        a, b = ids[i], ids[j]
+                        lo, hi = (a, b) if a < b else (b, a)
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_j.append(jac)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, type=pa.int64()),
+                "id_b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    pairs = (
+        sigged.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__fx_mbucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+    return exact_dedup(pairs, ["id_a", "id_b"], order_cols=["jaccard", "id_a", "id_b"],
+                       num_salts=2, num_buckets=16)
+
+
+class SimHasher:
+    """64-bit SimHash over word tokens (Charikar): sign of the weighted sum
+    of token-hash bit vectors."""
+
+    def __init__(self, text_col: str = "text"):
+        self._text_col = text_col
+        self._word = re.compile(r"\w+")
+        self._bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> np.int64:
+        words = self._word.findall((text or "").lower())
+        if not words:
+            return np.int64(0)
+        uniq, counts = np.unique(np.array(words, dtype=object), return_counts=True)
+        h = stable_hash_array(uniq, seed=9)
+        bits = ((h[:, None] & self._bits[None, :]) != 0).astype(np.float64)
+        acc = ((bits * 2 - 1) * counts[:, None].astype(np.float64)).sum(axis=0)
+        sig = (acc > 0).astype(np.uint64)
+        return np.int64((sig * self._bits).sum(dtype=np.uint64).astype(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._text_col).to_pylist()
+        sigs = np.fromiter((self.simhash(t) for t in texts), dtype=np.int64,
+                           count=len(texts))
+        return batch.append_column("simhash", pa.array(sigs))
+
+
+def with_simhash(ds, *, text_col: str = "text", concurrency=(1, 8),
+                 batch_size: int | None = 2048):
+    return ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def simhash_near_dup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                           max_distance: int = 3, num_buckets: int = 128):
+    """SimHash near-dup: sketch then Hamming-band exactly like phash."""
+    sigged = with_simhash(ds.select_columns([id_col, text_col]), text_col=text_col)
+    return hamming_near_dup_pairs(sigged, "simhash", id_col,
+                                  max_distance=max_distance, num_buckets=num_buckets)

@@ -1,0 +1,209 @@
+"""Dedup + near-dup + similarity operators vs oracles (SURVEY.md §5.2 №3/№7)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from featureextraction_jl_ray.functions.phash import ahash64_batch
+from featureextraction_jl_ray.stages.dedup import (
+    exact_dedup,
+    hamming_dedup,
+    hamming_near_dup_pairs,
+    popcount64,
+)
+from featureextraction_jl_ray.stages.groupagg import grouped_aggregate, grouped_topn
+from featureextraction_jl_ray.stages.minhash import (
+    minhash_near_dup_pairs,
+    ngram_jaccard,
+    simhash_near_dup_pairs,
+    with_simhash,
+)
+from featureextraction_jl_ray.stages.similarity import (
+    embedding_near_dup_pairs,
+    knn_cosine,
+    knn_cosine_ivf,
+)
+from featureextraction_jl_ray.synth import SynthConfig, synth_images
+
+
+def test_popcount():
+    x = np.array([0, 1, 3, -1, 1 << 40], dtype=np.int64)
+    assert popcount64(x).tolist() == [0, 1, 2, 64, 1]
+
+
+def test_exact_dedup_skewed_matches_oracle(ray_session, sf_dir):
+    ev = ray_session.data.read_parquet(f"{sf_dir}/events.parquet")
+    got = (
+        exact_dedup(ev, "event_type", order_cols=["ts", "event_id"],
+                    num_salts=8, num_buckets=16)
+        .to_pandas()
+    )
+    want = duckdb.sql(
+        f"SELECT * FROM '{sf_dir}/events.parquet' "
+        "QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)=1"
+    ).fetchdf()
+    assert set(got.event_id) == set(want.event_id)
+    # salting must not change results
+    got1 = (
+        exact_dedup(ev, "event_type", order_cols=["ts", "event_id"],
+                    num_salts=1, num_buckets=4)
+        .to_pandas()
+    )
+    assert set(got.event_id) == set(got1.event_id)
+
+
+def test_phash_near_dup_skew_cluster_collapses(ray_session):
+    """The synth skew cluster shares ONE phash: the exact-collapse
+    pre-step must reduce it to a single representative (no O(n²) pair
+    blowup) and hamming_dedup keeps exactly one row per cluster."""
+    img = synth_images(SynthConfig(n_entities=40, seed=42))
+    ph = img.column("phash").to_numpy()
+    vals, counts = np.unique(ph, return_counts=True)
+    cluster_hash = vals[counts.argmax()]
+    assert counts.max() > 10  # the skew cluster exists
+    ids = np.arange(len(ph), dtype=np.int64)
+    ds = ray_session.data.from_arrow(
+        pa.table({"iid": pa.array(ids), "phash": pa.array(ph)})
+    )
+    pairs = hamming_near_dup_pairs(ds, "phash", "iid", max_distance=0,
+                                   num_buckets=16).to_pandas()
+    # d=0 pairs are BETWEEN distinct hashes → none; the cluster collapsed
+    assert len(pairs) == 0  # (empty result may come back schemaless)
+    kept, _ = hamming_dedup(ds, "phash", "iid", max_distance=0, num_buckets=16)
+    kept_df = kept.to_pandas()
+    assert len(kept_df) == len(vals)  # one row per distinct hash
+    in_cluster = ids[ph == cluster_hash]
+    assert len(set(kept_df.iid) & set(in_cluster)) == 1
+
+
+def test_hamming_near_dup_banding(ray_session):
+    """Distinct hashes within Hamming ≤ 2 pair up via pigeonhole bands."""
+    base = np.int64(0x0123456789ABCDEF)
+    hashes = np.array([base, base ^ 3, base ^ (1 << 40), ~base], dtype=np.int64)
+    ds = ray_session.data.from_arrow(
+        pa.table({"iid": pa.array(np.arange(4, dtype=np.int64)),
+                  "phash": pa.array(hashes)})
+    )
+    pairs = hamming_near_dup_pairs(ds, "phash", "iid", max_distance=2,
+                                   num_buckets=8).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (0, 1) in got  # distance 2
+    assert (0, 2) in got  # distance 1
+    assert not any(3 in p for p in got)  # distance 62+
+
+
+def test_minhash_near_dup(ray_session):
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the quick brown fox jumps over the lazy dog near the river shore",
+        "a completely different sentence about distributed data processing",
+        "another unrelated string with ray data pipelines and arrow batches",
+    ]
+    ds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    pairs = minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
+                                   threshold=0.5, num_perms=64, bands=16,
+                                   num_buckets=8).to_pandas()
+    assert {(1, 2)} == set(zip(pairs.id_a, pairs.id_b))
+    assert ngram_jaccard(texts[0], texts[1]) > 0.5
+
+
+def test_simhash_near_dup(ray_session):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappax",
+        "totally different content here about something else entirely",
+    ]
+    ds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    sh = with_simhash(ds).to_pandas().sort_values("doc_id")
+    d12 = popcount64(np.array([sh.simhash.iloc[0] ^ sh.simhash.iloc[1]]))[0]
+    d13 = popcount64(np.array([sh.simhash.iloc[0] ^ sh.simhash.iloc[2]]))[0]
+    assert d12 < d13
+    pairs = simhash_near_dup_pairs(ds, max_distance=int(d12), num_buckets=8).to_pandas()
+    assert (1, 2) in set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_knn_bruteforce_matches_numpy(ray_session, sf_dir):
+    tbl = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(tbl.embedding.to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Q = Xn[:3]
+    ds = ray_session.data.read_parquet(f"{sf_dir}/embeddings.parquet").repartition(4)
+    got = knn_cosine(ds, X[:3], vector_col="embedding", id_col="vec_id", k=5)
+    S = Xn @ Q.T
+    for qi in range(3):
+        want_ids = tbl.vec_id.to_numpy()[np.argsort(-S[:, qi], kind="stable")[:5]]
+        got_ids = got[got.query_id == qi].vec_id.to_numpy()
+        assert set(got_ids) == set(want_ids)
+        assert got_ids[0] == tbl.vec_id.iloc[qi]  # self is nearest
+
+
+def test_knn_ivf_recall(ray_session, sf_dir):
+    tbl = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(tbl.embedding.to_numpy()).astype(np.float64)
+    ds = ray_session.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    exact = knn_cosine(ds, X[:2], vector_col="embedding", id_col="vec_id", k=10)
+    approx = knn_cosine_ivf(ds, X[:2], vector_col="embedding", id_col="vec_id",
+                            k=10, n_clusters=8, nprobe=4)
+    # recall@10 of the IVF path ≥ 0.5 on random data with half the cells probed
+    for qi in (0, 1):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        assert len(e & a) / len(e) >= 0.5
+
+
+def test_embedding_near_dup(ray_session):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(32)
+    rows = [base, base + rng.standard_normal(32) * 0.01, rng.standard_normal(32)]
+    ds = ray_session.data.from_arrow(
+        pa.table({
+            "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+            "embedding": pa.array([r.astype(np.float32).tolist() for r in rows],
+                                  type=pa.list_(pa.float32())),
+        })
+    )
+    pairs = embedding_near_dup_pairs(ds, vector_col="embedding", id_col="vec_id",
+                                     threshold=0.95, n_planes=8, num_buckets=4
+                                     ).to_pandas()
+    assert (1, 2) in set(zip(pairs.id_a, pairs.id_b))
+    assert not any(3 in p for p in zip(pairs.id_a, pairs.id_b))
+
+
+def test_grouped_aggregate_matches_duckdb(ray_session, sf_dir):
+    ds = ray_session.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    got = grouped_aggregate(
+        ds, ["l_returnflag"], {"sum_qty": ("l_quantity", "sum"),
+                               "n": ("l_quantity", "count"),
+                               "avg_qty": ("l_quantity", "mean"),
+                               "max_qty": ("l_quantity", "max")},
+        num_buckets=4,
+    ).to_pandas().sort_values("l_returnflag", ignore_index=True)
+    want = duckdb.sql(
+        f"SELECT l_returnflag, sum(l_quantity) sum_qty, count(l_quantity) n, "
+        f"avg(l_quantity) avg_qty, max(l_quantity) max_qty "
+        f"FROM '{sf_dir}/lineitem.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchdf()
+    np.testing.assert_allclose(got.sum_qty, want.sum_qty, rtol=1e-12)
+    assert (got.n.to_numpy() == want.n.to_numpy()).all()
+    np.testing.assert_allclose(got.avg_qty, want.avg_qty, rtol=1e-12)
+
+
+def test_grouped_topn_matches_duckdb(ray_session, sf_dir):
+    ds = ray_session.data.read_parquet(f"{sf_dir}/orders.parquet")
+    got = grouped_topn(ds, "o_custkey", ["o_totalprice", "o_orderkey"], n=2,
+                       ascending=[False, True], num_buckets=8).to_pandas()
+    want = duckdb.sql(
+        f"SELECT * FROM '{sf_dir}/orders.parquet' QUALIFY row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2"
+    ).fetchdf()
+    assert set(got.o_orderkey) == set(want.o_orderkey)

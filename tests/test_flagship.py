@@ -1,0 +1,120 @@
+"""Flagship pipeline end-to-end: leakage (№4), payload invariants (№5),
+resume (№6), skew determinism (№7) — SURVEY.md §5.2."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from featureextraction_jl_ray.functions.phash import ahash64_batch
+from featureextraction_jl_ray.pipelines.flagship import (
+    FlagshipConfig,
+    resume_flagship,
+    run_flagship,
+)
+from featureextraction_jl_ray.sources.io import completed_partitions, load_manifest
+from featureextraction_jl_ray.stages.codec import decode_batch
+from featureextraction_jl_ray.synth import SynthConfig, synth_images, write_synth_tables
+
+CFG = SynthConfig(n_entities=80, seed=42)
+FCFG = FlagshipConfig(num_buckets=8, k=10)
+
+
+@pytest.fixture(scope="module")
+def tables(ray_session, tmp_path_factory):
+    paths = write_synth_tables(CFG, str(tmp_path_factory.mktemp("synth")))
+    return (
+        ray_session.data.read_parquet(paths["images"]),
+        ray_session.data.read_parquet(paths["captions"]),
+    )
+
+
+@pytest.fixture(scope="module")
+def result(ray_session, tables):
+    images, captions = tables
+    ds, model = run_flagship(images, captions, cfg=FCFG)
+    return ds.to_pandas(), model
+
+
+def test_schema_and_rows(result, tables):
+    df, _ = result
+    assert len(df) == tables[0].count()
+    for col in ("image_id", "entity_id", "ts", "caption", "phash", "caption_state",
+                "session_id", "lag1_phash", "roll_count", "z"):
+        assert col in df.columns, col
+
+
+def test_zero_temporal_leakage(result):
+    """Future 'LEAK_' caption states must never be attached (№4)."""
+    df, _ = result
+    assert not df["caption_state"].fillna("").str.startswith("LEAK_").any()
+
+
+def test_whitened_features(result):
+    df, model = result
+    z = np.stack(df["z"].to_numpy())
+    assert z.shape[1] == FCFG.k
+    cov = np.cov(z, rowvar=False)
+    np.testing.assert_allclose(cov, np.eye(FCFG.k), atol=1e-2)
+
+
+def test_caption_and_payload_invariants():
+    """Decode∘encode is exact for fmt=raw; phash column equals the hash of
+    decoded pixels; captions survive generation byte-for-byte (№5)."""
+    img = synth_images(SynthConfig(n_entities=20, seed=7))
+    pix = decode_batch(img)
+    assert (ahash64_batch(pix) == img.column("phash").to_numpy()).all()
+    assert [p.tobytes() for p in pix] == img.column("bytes").to_pylist()
+
+
+def test_sessionize_gap_semantics(result):
+    df, _ = result
+    df = df.sort_values(["entity_id", "ts"])
+    gap = pd.Timedelta("30min")
+    for _, g in list(df.groupby("entity_id"))[:10]:
+        breaks = (g["ts"].diff() > gap).cumsum()
+        assert (g["session_id"].to_numpy() == breaks.to_numpy()).all()
+
+
+def test_checkpoint_resume_byte_identical(ray_session, tables, result, tmp_path):
+    """Kill-after-k-partitions simulation: resume rewrites only missing
+    partitions and the union equals a clean run (№6)."""
+    images, captions = tables
+    df_clean, model = result
+    out = str(tmp_path / "out")
+    recs, _ = run_flagship(images, captions, cfg=FCFG, model=model, out_dir=out)
+    assert {r["partition_id"] for r in recs} <= set(range(FCFG.num_buckets))
+    # wreck two partitions (file + manifest line)
+    victims = sorted(r["partition_id"] for r in recs)[:2]
+    for v in victims:
+        os.remove(os.path.join(out, f"part-{v:05d}.parquet"))
+    keep = [r for r in load_manifest(out) if r["partition_id"] not in victims]
+    with open(os.path.join(out, "_manifest.jsonl"), "w") as fh:
+        for r in keep:
+            fh.write(json.dumps(r) + "\n")
+    recs2, _ = resume_flagship(images, captions, out_dir=out, cfg=FCFG, model=model)
+    assert sorted(r["partition_id"] for r in recs2) == victims
+    full = pd.concat(
+        [pd.read_parquet(p) for p in glob.glob(out + "/part-*.parquet")]
+    )
+    assert len(full) == len(df_clean)
+    assert set(full["image_id"]) == set(df_clean["image_id"])
+    # checksums in manifest match content re-hash
+    done = completed_partitions(out, op_fingerprint=FCFG.fingerprint)
+    assert done == set(r["partition_id"] for r in load_manifest(out))
+
+
+def test_manifest_fingerprint_guard(tables, tmp_path, result):
+    images, captions = tables
+    df, model = result
+    out = str(tmp_path / "out2")
+    run_flagship(images, captions, cfg=FCFG, model=model, out_dir=out)
+    other = FlagshipConfig(num_buckets=8, k=5)
+    with pytest.raises(ValueError, match="different pipeline config"):
+        completed_partitions(out, op_fingerprint=other.fingerprint)
