@@ -25,7 +25,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # headline synthetic image table size (cached in /tmp across runs)
-BENCH_ENTITIES = int(os.environ.get("FX_BENCH_ENTITIES", "30000"))
+BENCH_ENTITIES = int(os.environ.get("FX_BENCH_ENTITIES", "60000"))
 
 
 def _timed(fn):
@@ -60,16 +60,15 @@ def run_bench() -> dict:
     from featureextraction_jl_ray.synth import SynthConfig, write_synth_tables
 
     # ---- headline: flagship image pipeline ---------------------------------
-    cfg = SynthConfig(n_entities=BENCH_ENTITIES, img_size=16, seed=42,
+    cfg = SynthConfig(n_entities=BENCH_ENTITIES, img_size=32, seed=42,
                       num_partitions=64)
     paths = write_synth_tables(cfg, "/tmp/fx_bench_cache")  # cached: untimed gen
     images = rd.read_parquet(paths["images"])
     captions = rd.read_parquet(paths["captions"])
     n_images = images.count()  # warms page cache, untimed
 
-    fcfg = FlagshipConfig(num_buckets=max(64, NUM_CPUS * 4), k=16,
-                          decode_concurrency=(1, NUM_CPUS),
-                          transform_concurrency=(1, NUM_CPUS))
+    fcfg = FlagshipConfig(num_buckets=64, k=16,
+                          transform_concurrency=(1, max(4, NUM_CPUS // 4)))
     t0 = time.time()
     model = fit_flagship_model(images, fcfg)
     out, _ = run_flagship(images, captions, cfg=fcfg, model=model)

@@ -29,7 +29,7 @@ from ..sources.io import checkpointed_write, completed_partitions
 from ..stages.asof import asof_join
 from ..stages.codec import with_pixel_features
 from ..stages.transform import apply_pca_transform
-from ..stages.window import with_windows
+from ..stages.window import make_windows_frame_fn
 from ..state.moments import fit_moments
 from ..state.pca import PCAModel
 
@@ -45,9 +45,18 @@ class FlagshipConfig:
     lag_k: int = 1
     rolling_window: str = "1h"
     num_buckets: int = 64
-    decode_concurrency: tuple = (1, 8)
-    transform_concurrency: tuple = (1, 8)
-    decode_batch_size: int = 1024
+    # decode = stateless tasks (None); transform = bounded actor pool.
+    # Oversized pools OVERSUBSCRIBE the node: two 32-actor pools beside
+    # the shuffle made 32 cpus SLOWER than 8 before this was bounded.
+    decode_concurrency: tuple | int | None = None
+    transform_concurrency: tuple | int = (1, 8)
+    # 4096 rows ≈ 3-12 MB of pixels per decode task: large enough that
+    # scheduling overhead vanishes, small enough for worker heaps
+    decode_batch_size: int = 4096
+    # moments of a p≈192-dim covariance converge long before 10^5 rows;
+    # fitting on a bounded sample keeps E2 O(1) while the transform pass
+    # streams everything.  None = fit on the full table.
+    fit_sample_rows: int | None = 100_000
 
     @property
     def fingerprint(self) -> str:
@@ -59,6 +68,8 @@ class FlagshipConfig:
 
 def fit_flagship_model(images, cfg: FlagshipConfig) -> PCAModel:
     """E2: images → decode/downsample → distributed moments → eigh → model."""
+    if cfg.fit_sample_rows is not None:
+        images = images.limit(cfg.fit_sample_rows)
     pix = with_pixel_features(
         images.select_columns(["bytes", "w", "h", "fmt"]),
         grid=cfg.grid,
@@ -70,17 +81,10 @@ def fit_flagship_model(images, cfg: FlagshipConfig) -> PCAModel:
 
 
 def _features(images, captions, cfg: FlagshipConfig):
-    joined = asof_join(
-        images,
-        captions,
-        on="ts",
-        by="entity_id",
-        right_cols=["caption_state", "phash_state"],
-        num_buckets=cfg.num_buckets,
-        left_tiebreak=("image_id",),
-    )
-    return with_windows(
-        joined,
+    # as-of join + ALL window features inside ONE bucketed exchange
+    # (window_fn hook — a second groupby shuffle would double the
+    # exchange volume for zero semantic gain)
+    window_fn = make_windows_frame_fn(
         "entity_id",
         "ts",
         lag_cols=["phash"],
@@ -89,8 +93,37 @@ def _features(images, captions, cfg: FlagshipConfig):
         session_gap=cfg.session_gap,
         rolling={"value_col": "phash", "window": cfg.rolling_window, "aggs": ("count",),
                  "prefix": "roll_"},
+    )
+    # known output schema of the decode→transform chain: avoids asof_join
+    # partially executing the lazy upstream just to discover types
+    left_types = {
+        "image_id": pa.string(),
+        "entity_id": pa.string(),
+        "w": pa.int32(),
+        "h": pa.int32(),
+        "fmt": pa.string(),
+        "caption": pa.string(),
+        "phash": pa.int64(),
+        "ts": pa.timestamp("us"),
+        "z": pa.list_(pa.float32(), cfg.k),
+    }
+    right_types = {
+        "entity_id": pa.string(),
+        "ts": pa.timestamp("us"),
+        "caption_state": pa.string(),
+        "phash_state": pa.int64(),
+    }
+    return asof_join(
+        images,
+        captions,
+        on="ts",
+        by="entity_id",
+        right_cols=["caption_state", "phash_state"],
         num_buckets=cfg.num_buckets,
-        tiebreak_cols=("image_id",),
+        left_tiebreak=("image_id",),
+        window_fn=window_fn,
+        left_types=left_types,
+        right_types_in=right_types,
     )
 
 
@@ -108,6 +141,10 @@ def run_flagship(
     cfg = cfg or FlagshipConfig()
     if model is None:
         model = fit_flagship_model(images, cfg)
+    # Stage order is deliberate: decode + PCA-transform BEFORE the as-of/
+    # window exchange, so the shuffle moves (ids, ts, caption, phash, z≈64B)
+    # instead of the raw `bytes` payload — at 100 TB the payload never
+    # crosses the wire, only k floats per row do.
     if skip_partitions:
         # prune completed partitions BEFORE the shuffle: entity→bucket is
         # the same stable hash the writer uses, so a finished partition's
@@ -125,15 +162,14 @@ def run_flagship(
         captions = captions.map_batches(
             prune, batch_format="pyarrow", zero_copy_batch=True
         )
-    feats = _features(images, captions, cfg)
-    feats = with_pixel_features(
-        feats,
+    decoded = with_pixel_features(
+        images,
         grid=cfg.grid,
         concurrency=cfg.decode_concurrency,
         batch_size=cfg.decode_batch_size,
     )
-    out = apply_pca_transform(
-        feats,
+    transformed = apply_pca_transform(
+        decoded,
         model,
         "pix",
         out_col="z",
@@ -141,6 +177,7 @@ def run_flagship(
         concurrency=cfg.transform_concurrency,
         drop_input=True,
     )
+    out = _features(transformed, captions, cfg)
     if out_dir is None:
         return out, model
     records = checkpointed_write(

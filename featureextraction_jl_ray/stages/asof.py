@@ -50,6 +50,9 @@ def asof_join(
     suffix: str = "_r",
     num_buckets: int = 64,
     left_tiebreak: tuple[str, ...] = (),
+    window_fn=None,
+    left_types: dict | None = None,
+    right_types_in: dict | None = None,
 ):
     """As-of join ``left`` with ``right`` on time column ``on`` per entity
     column ``by``; returns left rows + matched right columns (left join —
@@ -57,6 +60,11 @@ def asof_join(
 
     ``right`` must be unique per (by, on) for deterministic results (the
     engine does not pick among simultaneous right rows; pre-reduce them).
+
+    ``window_fn`` (DataFrame→DataFrame over a (by, on, tiebreak)-sorted
+    frame, e.g. from ``make_windows_frame_fn``) runs INSIDE the same
+    bucketed exchange right after the merge — the flagship's windowed
+    features therefore cost zero extra shuffles.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -64,20 +72,27 @@ def asof_join(
         )
     tol = pd.Timedelta(tolerance) if tolerance is not None else None
 
-    left_schema = left.schema()  # ray.data.Schema: .names + arrow .types
-    right_schema = right.schema()
-    left_names = list(left_schema.names)
+    # Schema discovery: ds.schema() on a lazy chain partially EXECUTES the
+    # upstream pipeline (actor pools and all) just to learn column types —
+    # callers that know their schemas pass left_types / right_types_in
+    # ({name: arrow type}, in column order) and skip that cost entirely.
+    if left_types is None:
+        s = left.schema()
+        left_types = dict(zip(s.names, s.types))
+    if right_types_in is None:
+        s = right.schema()
+        right_types_in = dict(zip(s.names, s.types))
+    left_names = list(left_types)
     if right_cols is None:
-        right_cols = [c for c in right_schema.names if c not in (on, by)]
+        right_cols = [c for c in right_types_in if c not in (on, by)]
     rename = {c: (c + suffix if c in left_names else c) for c in right_cols}
     out_right_names = [rename[c] for c in right_cols]
 
     # ---- align schemas for the tagged union ---------------------------------
     right_proj = right.select_columns([by, on, *right_cols])
 
-    left_arrow = dict(zip(left_schema.names, left_schema.types))
-    rtypes = dict(zip(right_schema.names, right_schema.types))
-    right_types = {rename[c]: rtypes[c] for c in right_cols}
+    left_arrow = left_types
+    right_types = {rename[c]: right_types_in[c] for c in right_cols}
 
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -139,6 +154,12 @@ def asof_join(
             tolerance=tol,
             allow_exact_matches=allow_exact_matches,
         )
-        return pandas_to_arrow(merged.drop(columns=[_BUCKET]))
+        merged = merged.drop(columns=[_BUCKET])
+        if window_fn is not None:
+            merged = merged.sort_values(
+                [by, on, *left_tiebreak], kind="mergesort", ignore_index=True
+            )
+            merged = window_fn(merged)
+        return pandas_to_arrow(merged)
 
     return unioned.groupby(_BUCKET).map_groups(merge_bucket, batch_format="pyarrow")

@@ -142,19 +142,41 @@ def with_pixel_features(
     feature_col: str = "pix",
     verify_phash: bool = False,
     drop_bytes: bool = True,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int | None = 1024,
 ):
-    """Images ds → + float32 feature vector column (actor pool; small
-    batches because `bytes` rows are wide — SURVEY.md §4 memory row)."""
+    """Images ds → + float32 feature vector column.
+
+    Decode holds no model state, so the default is STATELESS TASKS
+    (``concurrency=None``): the scheduler runs exactly as many as there
+    are free CPUs — no actor-pool sizing to get wrong, no idle
+    processes competing with the shuffle (a 32-actor decode pool next
+    to a 32-actor transform pool oversubscribed a 32-core box 2×).
+    Pass an int/tuple to force an actor pool (e.g. when a future codec
+    needs per-worker buffers, SURVEY.md ST3).  Small batches because
+    `bytes` rows are wide (SURVEY.md §4 memory row).
+    """
+    kwargs = {
+        "grid": grid,
+        "feature_col": feature_col,
+        "verify_phash": verify_phash,
+        "drop_bytes": drop_bytes,
+    }
+    if concurrency is None:
+        stage = DecodeImages(**kwargs)  # stateless: shared callable is fine
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return stage(batch)
+
+        return ds.map_batches(
+            fn,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         DecodeImages,
-        fn_constructor_kwargs={
-            "grid": grid,
-            "feature_col": feature_col,
-            "verify_phash": verify_phash,
-            "drop_bytes": drop_bytes,
-        },
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

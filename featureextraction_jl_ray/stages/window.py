@@ -68,24 +68,42 @@ def _rolling_frame(
     aggs: tuple[str, ...],
     prefix: str,
 ) -> pd.DataFrame:
-    """Trailing event-time window [ts − window, ts] per entity."""
-    src = value_col
-    if isinstance(df[value_col].dtype, pd.api.extensions.ExtensionDtype):
-        # rolling kernels need a plain numpy dtype; aggregates are float anyway
-        src = "__fx_rollsrc"
-        df[src] = df[value_col].astype("float64")
-    g = df.groupby(entity_col, sort=False).rolling(
-        window=pd.Timedelta(window), on=ts_col, closed="both"
-    )[src]
+    """Trailing event-time window [ts − window, ts] per entity.
+
+    Implementation: pandas ``groupby().rolling()`` pays per-group
+    overhead that is catastrophic with many small entities, so instead
+    the per-entity windows are computed in ONE pass over the whole
+    (entity, ts)-sorted bucket using an entity-offset time axis:
+    ``adj = entity_code · stride + (ts − ts₀)`` with
+    ``stride > ts_range + window`` — windows then can never cross an
+    entity boundary, and a single C-implemented rolling (internally the
+    monotonic-deque/prefix structure) over ``adj`` yields every entity's
+    trailing aggregates at once.
+    """
     for agg in aggs:
         if agg not in _AGG_NAMES:
             raise ValueError(f"unsupported rolling agg {agg!r}; use {_AGG_NAMES}")
-        out = getattr(g, agg)().to_numpy()
+    w_us = int(pd.Timedelta(window).value // 1000)
+    ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+    codes = pd.factorize(df[entity_col], use_na_sentinel=False)[0].astype(np.int64)
+    if len(df):
+        rel = ts - ts.min()
+        stride = int(rel.max()) + w_us + 2
+        adj = codes * stride + rel
+    else:
+        adj = ts
+    vals = df[value_col]
+    if isinstance(vals.dtype, pd.api.extensions.ExtensionDtype):
+        vals = vals.astype("float64")
+    tmp = pd.DataFrame(
+        {"__adj": adj.view("datetime64[us]"), "__v": vals.to_numpy()}
+    )
+    r = tmp.rolling(window=pd.Timedelta(window), on="__adj", closed="both")["__v"]
+    for agg in aggs:
+        out = getattr(r, agg)().to_numpy()
         if agg == "count":
             out = out.astype(np.int64)
         df[f"{prefix}{agg}"] = out
-    if src != value_col:
-        df = df.drop(columns=[src])
     return df
 
 
@@ -187,8 +205,7 @@ def with_rolling(
     )
 
 
-def with_windows(
-    ds,
+def make_windows_frame_fn(
     entity_col: str,
     ts_col: str,
     *,
@@ -198,12 +215,12 @@ def with_windows(
     session_gap: str | None = None,
     session_col: str = "session_id",
     rolling: dict | None = None,
-    num_buckets: int = 64,
-    tiebreak_cols: tuple[str, ...] = (),
 ):
-    """Fused one-pass variant: all requested window features in a SINGLE
-    shuffle + scan (the flagship pipeline uses this — at 100 TB, four
-    separate scans would mean four shuffles)."""
+    """DataFrame→DataFrame window kernel over a (entity, ts)-sorted frame.
+
+    Factored out so fused stages (e.g. the as-of join's ``window_fn``
+    hook) can run ALL window features inside an existing entity-bucketed
+    shuffle instead of paying a second exchange."""
     gap_us = int(pd.Timedelta(session_gap).value // 1000) if session_gap else None
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -228,6 +245,36 @@ def with_windows(
             )
         return df
 
+    return fn
+
+
+def with_windows(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    *,
+    lag_cols=(),
+    lag_k: int = 1,
+    backfill_cols=(),
+    session_gap: str | None = None,
+    session_col: str = "session_id",
+    rolling: dict | None = None,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Fused one-pass variant: all requested window features in a SINGLE
+    shuffle + scan (at 100 TB, four separate scans would mean four
+    shuffles)."""
+    fn = make_windows_frame_fn(
+        entity_col,
+        ts_col,
+        lag_cols=lag_cols,
+        lag_k=lag_k,
+        backfill_cols=backfill_cols,
+        session_gap=session_gap,
+        session_col=session_col,
+        rolling=rolling,
+    )
     return sorted_scan(
         ds, entity_col, ts_col, fn, num_buckets=num_buckets, tiebreak_cols=tiebreak_cols
     )

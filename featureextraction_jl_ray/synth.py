@@ -115,23 +115,24 @@ def _gen_images_partition(cfg: SynthConfig, pid: int) -> pa.Table:
         deltas[burst] += gap_us * 3
         ts = start + np.cumsum(deltas)
         skewed = erng.random(n_rows) < cfg.skew_frac
+        # vectorized pixel generation for the whole entity at once
+        imgs = erng.integers(0, 256, size=(n_rows, s, s, 3), dtype=np.uint8)
+        k = int(skewed.sum())
+        if k:
+            d = erng.integers(-32, 33, size=(k, s // 2, s // 2, 3), dtype=np.int16)
+            noise = np.zeros((k, s, s, 3), dtype=np.int16)
+            noise[:, 0::2, 0::2] = d
+            noise[:, 1::2, 1::2] = d
+            noise[:, 0::2, 1::2] = -d
+            noise[:, 1::2, 0::2] = -d
+            imgs[skewed] = (base_up.astype(np.int16)[None] + noise).astype(np.uint8)
+        word_idx = erng.integers(0, len(_WORDS), size=(n_rows, 5))
         for i in range(n_rows):
-            if skewed[i]:
-                d = erng.integers(-32, 33, size=(s // 2, s // 2, 3), dtype=np.int16)
-                noise = np.zeros((s, s, 3), dtype=np.int16)
-                noise[0::2, 0::2] = d
-                noise[1::2, 1::2] = d
-                noise[0::2, 1::2] = -d
-                noise[1::2, 0::2] = -d
-                img = (base_up.astype(np.int16) + noise).astype(np.uint8)
-            else:
-                img = erng.integers(0, 256, size=(s, s, 3), dtype=np.uint8)
-            pix_all.append(img)
+            pix_all.append(imgs[i])
             ids.append(f"img_{e:05d}_{i:04d}")
             ents_col.append(f"ent_{e:05d}")
             ts_all.append(ts[i])
-            words = _WORDS[erng.integers(0, len(_WORDS), size=5)]
-            captions.append(" ".join(words))
+            captions.append(" ".join(_WORDS[word_idx[i]]))
 
     pix = np.stack(pix_all) if pix_all else np.zeros((0, s, s, 3), np.uint8)
     phash = ahash64_batch(pix) if len(pix) else np.array([], dtype=np.int64)
@@ -229,7 +230,7 @@ def write_synth_tables(cfg: SynthConfig, out_dir: str, *, use_ray: bool = True) 
 
     tag = (
         f"n{cfg.n_entities}_r{cfg.rows_per_entity}_s{cfg.img_size}"
-        f"_sk{int(cfg.skew_frac*100)}_seed{cfg.seed}"
+        f"_sk{int(cfg.skew_frac*100)}_seed{cfg.seed}_v2"
     )
     root = os.path.join(out_dir, tag)
     paths = {
