@@ -29,6 +29,13 @@ def list_column_to_numpy(
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
+    if isinstance(col.type, pa.ExtensionType):
+        # e.g. Ray's ArrowTensorArray (from_pandas of ndarray columns):
+        # its to_numpy yields the dense (n, p) array directly
+        mat = np.asarray(col.to_numpy(zero_copy_only=False))
+        if mat.dtype == object:
+            mat = np.stack(mat)
+        return mat.astype(dtype) if mat.dtype != dtype else mat
     if pa.types.is_fixed_size_list(col.type):
         p = col.type.list_size
         flat = col.values

@@ -69,7 +69,11 @@ class FlagshipConfig:
 def fit_flagship_model(images, cfg: FlagshipConfig) -> PCAModel:
     """E2: images → decode/downsample → distributed moments → eigh → model."""
     if cfg.fit_sample_rows is not None:
-        images = images.limit(cfg.fit_sample_rows)
+        # random_sample is a parallel per-block filter; limit() would pull
+        # blocks SEQUENTIALLY and invert cpu scaling of the fit pass
+        total = images.count()  # parquet metadata, cheap
+        if total > cfg.fit_sample_rows:
+            images = images.random_sample(cfg.fit_sample_rows / total, seed=42)
     pix = with_pixel_features(
         images.select_columns(["bytes", "w", "h", "fmt"]),
         grid=cfg.grid,

@@ -465,6 +465,40 @@ FROM documents
 """
 
 
+def q_explode_tokens(sf_dir):
+    """M7 explode/flatten: one row per whitespace token per doc (top-200
+    docs to bound output), with per-doc token ordinal."""
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.filter(expr="doc_id < 200")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, toks, ords = [], [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            parts = (text or "").split()
+            ids.extend([did] * len(parts))
+            toks.extend(parts)
+            ords.extend(range(1, len(parts) + 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "token": pa.array(toks, type=pa.string()),
+                "ord": pa.array(ords, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EXPLODE_TOKENS = """
+SELECT doc_id,
+       unnest(string_split_regex(trim(text), '\\s+')) AS token,
+       unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+'))))
+         AS ord
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_doc_ratios(sf_dir):
     from .stages.text import with_quality
 
@@ -699,6 +733,7 @@ QUERIES = {
     "topn_per_customer": q_topn_per_customer,
     "doc_stats": q_doc_stats,
     "doc_ratios": q_doc_ratios,
+    "explode_tokens": q_explode_tokens,
     "embed_stats": q_embed_stats,
     # rows-only (non-SQL-expressible; math covered by pytest oracles)
     "pca_eigvals": q_pca_eigvals,
@@ -738,5 +773,6 @@ ORACLE_SQL = {
     "topn_per_customer": SQL_TOPN_PER_CUSTOMER,
     "doc_stats": SQL_DOC_STATS,
     "doc_ratios": SQL_DOC_RATIOS,
+    "explode_tokens": SQL_EXPLODE_TOKENS,
     "embed_stats": SQL_EMBED_STATS,
 }

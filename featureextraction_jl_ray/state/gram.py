@@ -1,0 +1,130 @@
+"""Distributed Gram-matrix construction + centering over a Dataset of
+feature vectors (SURVEY.md §2-A K3/K9 at engine scale).
+
+The n×n kernel matrix is never materialized in one place: the vector
+table is cut into row-blocks, every (i ≤ j) block pair becomes one GEMM
+task producing a TILE, and centering each tile needs only the broadcast
+(row-sums, grand-mean) state — the per-tile identity
+K̃ᵢⱼ = Kᵢⱼ − rᵢ − rⱼ + g (Schölkopf et al. 1998).
+
+Row sums are accumulated from the tiles themselves (one pass), so the
+whole centered-kernel pipeline is: blocks → tiles (GEMM) → row-sum
+partials → broadcast (r, g) → center tiles.  Tiles live in a Dataset
+``(bi, bj, i0, j0, tile: list<double>)`` and stream to whatever consumes
+them (KPCA solve, nearest-neighbor kernels, writes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.veccol import list_column_to_numpy
+from .kernel import KernelCenterer
+
+__all__ = ["gram_tiles", "center_gram_tiles", "gram_row_sums", "centered_gram_dataset"]
+
+
+def _collect_blocks(ds, vector_col: str, block_rows: int):
+    """Materialize the (small-n) vector table into row blocks with offsets.
+
+    The dual/Gram path is only legitimate when n is modest (SURVEY.md K3:
+    "only for small-n model fit"); guard accordingly."""
+    tbl = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    X = list_column_to_numpy(tbl, vector_col)
+    n = X.shape[0]
+    if n > 100_000:
+        raise ValueError(
+            f"gram path is for small-n fits (n={n}); use covariance moments"
+        )
+    blocks = []
+    for start in range(0, n, block_rows):
+        blocks.append((start, X[start : start + block_rows]))
+    return blocks, n
+
+
+def gram_tiles(ds, vector_col: str, *, block_rows: int = 2048):
+    """Dataset of upper-triangular Gram tiles (bi ≤ bj)."""
+    blocks, n = _collect_blocks(ds, vector_col, block_rows)
+    refs = [(start, ray.put(B)) for start, B in blocks]
+
+    items = []
+    for bi, (i0, ri) in enumerate(refs):
+        for bj, (j0, rj) in enumerate(refs):
+            if bj < bi:
+                continue
+            items.append({"bi": bi, "bj": bj, "i0": i0, "j0": j0,
+                          "ri": ri, "rj": rj})
+
+    import ray.data as rd
+
+    def make_tile(batch):
+        out = {"bi": [], "bj": [], "i0": [], "j0": [], "rows": [], "cols": [],
+               "tile": []}
+        for bi_, bj_, i0_, j0_, ri_, rj_ in zip(
+            batch["bi"], batch["bj"], batch["i0"], batch["j0"],
+            batch["ri"], batch["rj"],
+        ):
+            A = ray.get(ri_)
+            B = ray.get(rj_)
+            T = A @ B.T
+            out["bi"].append(bi_)
+            out["bj"].append(bj_)
+            out["i0"].append(i0_)
+            out["j0"].append(j0_)
+            out["rows"].append(T.shape[0])
+            out["cols"].append(T.shape[1])
+            out["tile"].append(T.reshape(-1))
+        return {k: np.array(v, dtype=object) if k == "tile" else np.array(v)
+                for k, v in out.items()}
+
+    return rd.from_items(items).map_batches(make_tile, batch_size=1), n
+
+
+def gram_row_sums(tiles, n: int) -> np.ndarray:
+    """Row sums of the full symmetric K from its upper-triangular tiles."""
+    sums = np.zeros(n)
+    # column-wise iteration: pandas iterrows() cannot interleave the
+    # variable-width tensor 'tile' column with scalars
+    for b in tiles.iter_batches(batch_size=None, batch_format="pandas"):
+        for i0, j0, r, c, tile in zip(
+            b["i0"], b["j0"], b["rows"], b["cols"], b["tile"]
+        ):
+            T = np.asarray(tile, dtype=np.float64).reshape(int(r), int(c))
+            i0, j0 = int(i0), int(j0)
+            sums[i0 : i0 + T.shape[0]] += T.sum(axis=1)
+            if i0 != j0:  # mirror the off-diagonal tile
+                sums[j0 : j0 + T.shape[1]] += T.sum(axis=0)
+    return sums
+
+
+def center_gram_tiles(tiles, centerer: KernelCenterer):
+    """Center every tile with the broadcast (r, g) state — stateless map."""
+    r_ref = ray.put(centerer.row_means_)
+    g = centerer.grand_mean_
+
+    def fn(batch):
+        r = ray.get(r_ref)
+        out_tiles = []
+        for k in range(len(batch["tile"])):
+            T = np.asarray(batch["tile"][k], dtype=np.float64).reshape(
+                int(batch["rows"][k]), int(batch["cols"][k])
+            )
+            i0, j0 = int(batch["i0"][k]), int(batch["j0"][k])
+            ri = r[i0 : i0 + T.shape[0]]
+            rj = r[j0 : j0 + T.shape[1]]
+            out_tiles.append((T - ri[:, None] - rj[None, :] + g).reshape(-1))
+        batch["tile"] = np.array(out_tiles, dtype=object)
+        return batch
+
+    return tiles.map_batches(fn, batch_size=4)
+
+
+def centered_gram_dataset(ds, vector_col: str, *, block_rows: int = 2048):
+    """embeddings Dataset → (centered tile Dataset, KernelCenterer, n)."""
+    tiles, n = gram_tiles(ds, vector_col, block_rows=block_rows)
+    tiles = tiles.materialize()  # tiles are reused for row sums + centering
+    sums = gram_row_sums(tiles, n)
+    centerer = KernelCenterer.from_partials(sums, n)
+    return center_gram_tiles(tiles, centerer), centerer, n

@@ -1,0 +1,93 @@
+"""Step/Pipeline API (X1), range-partition sort (R1), distributed Gram
+tiles + centering (K3/K9 engine path)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from featureextraction_jl_ray.pipelines.steps import (
+    DecodeStep,
+    MapStep,
+    PCAStep,
+    Pipeline,
+    WindowStep,
+)
+from featureextraction_jl_ray.stages.sort import (
+    range_partition_sort,
+    sample_boundaries,
+)
+from featureextraction_jl_ray.state.gram import centered_gram_dataset
+from featureextraction_jl_ray.synth import SynthConfig, write_synth_tables
+from tests.oracle import oracle_center_kernel
+
+
+def test_pipeline_decode_pca(ray_session, tmp_path):
+    paths = write_synth_tables(SynthConfig(n_entities=40, seed=42), str(tmp_path))
+    images = ray_session.data.read_parquet(paths["images"])
+    pipe = Pipeline([DecodeStep(grid=4), PCAStep("pix", k=6)])
+    out = pipe.fit_transform(images).to_pandas()
+    Z = np.stack(out["z"].to_numpy())
+    assert Z.shape[1] == 6
+    np.testing.assert_allclose(np.cov(Z.T), np.eye(6), atol=0.05)
+    # refit-free transform reuses state
+    out2 = pipe.transform(images).to_pandas()
+    assert len(out2) == len(out)
+
+
+def test_pipeline_unfitted_raises(ray_session):
+    pipe = Pipeline([PCAStep("embedding", k=2)])
+    with pytest.raises(RuntimeError, match="unfitted"):
+        pipe.transform(ray_session.data.range(3))
+
+
+def test_window_step(ray_session, sf_dir):
+    ev = ray_session.data.read_parquet(f"{sf_dir}/events.parquet")
+    pipe = Pipeline([WindowStep("user_id", "ts", lag_cols=("value",),
+                                session_gap="30min", num_buckets=8,
+                                tiebreak_cols=("event_id",))])
+    out = pipe.fit_transform(ev).to_pandas()
+    assert {"lag1_value", "session_id"} <= set(out.columns)
+
+
+def test_range_partition_sort_global_order(ray_session, sf_dir):
+    ev = ray_session.data.read_parquet(f"{sf_dir}/events.parquet")
+    bounds = sample_boundaries(ev, "user_id", 8)
+    assert bounds == sorted(bounds)
+    out = range_partition_sort(ev, ["user_id", "ts"], boundaries=bounds)
+    df = out.to_pandas()
+    key = list(zip(df.user_id, df.ts))
+    assert key == sorted(key)
+
+
+def test_boundaries_persist_roundtrip(ray_session, sf_dir, tmp_path):
+    ev = ray_session.data.read_parquet(f"{sf_dir}/events.parquet")
+    p = str(tmp_path / "bounds.json")
+    out1 = range_partition_sort(ev, "user_id", boundaries_path=p, num_partitions=4)
+    out1.count()
+    from featureextraction_jl_ray.stages.sort import load_boundaries
+
+    saved = load_boundaries(p)
+    out2 = range_partition_sort(ev, "user_id", boundaries_path=p, num_partitions=4)
+    out2.count()
+    assert load_boundaries(p) == saved  # reused, not re-sampled
+
+
+def test_centered_gram_tiles_match_oracle(ray_session, sf_dir):
+    tbl = pd.read_parquet(f"{sf_dir}/embeddings.parquet").head(300)
+    X = np.stack(tbl.embedding.to_numpy()).astype(np.float64)
+    want = oracle_center_kernel(X @ X.T)
+    ds = ray_session.data.from_pandas(tbl).repartition(3)
+    tiles, centerer, n = centered_gram_dataset(ds, "embedding", block_rows=128)
+    assert n == 300
+    got = np.full((n, n), np.nan)
+    for b in tiles.iter_batches(batch_size=None, batch_format="pandas"):
+        for i0, j0, r, c, tile in zip(b["i0"], b["j0"], b["rows"], b["cols"],
+                                      b["tile"]):
+            T = np.asarray(tile, dtype=np.float64).reshape(int(r), int(c))
+            i0, j0 = int(i0), int(j0)
+            got[i0 : i0 + T.shape[0], j0 : j0 + T.shape[1]] = T
+            got[j0 : j0 + T.shape[1], i0 : i0 + T.shape[0]] = T.T
+    assert not np.isnan(got).any()
+    np.testing.assert_allclose(got, want, atol=1e-8)
