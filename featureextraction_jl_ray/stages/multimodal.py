@@ -1,0 +1,143 @@
+"""Multimodal payload stages beyond images (task brief: treat image/
+audio/video as opaque binary columns with typed metadata; decode /
+feature-extract / frame-sample as actor-pool stages).
+
+The container has no audio/video codecs, so only RAW layouts decode for
+real (pcm16 mono audio; packed rgb24 video frames).  Compressed formats
+raise NotImplementedError with a clear message — the Ray-side plumbing
+(schemas, batch sizes, actor signatures, output layout) is real and
+tested, per the task's stub policy.
+
+Canonical schemas::
+
+    audio(clip_id:string, bytes:binary, sr:int32, n_samples:int64,
+          fmt:string)                      # fmt="pcm16" = int16 LE mono
+    video(video_id:string, bytes:binary, w:int32, h:int32,
+          n_frames:int32, fmt:string)      # fmt="rgb24" = packed frames
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.veccol import numpy_to_fixed_list_column
+
+__all__ = ["AudioFeatures", "VideoFrameSampler", "with_audio_features",
+           "with_video_frames"]
+
+_RAW_AUDIO = ("pcm16",)
+_RAW_VIDEO = ("rgb24",)
+
+
+def _decode_payload(payload, fmts, allowed, kind):
+    bad = [f for f in set(fmts) if f not in allowed]
+    if bad:
+        raise NotImplementedError(
+            f"{kind} format(s) {bad} need codec libraries not installed in "
+            f"this environment; raw formats {allowed} decode natively"
+        )
+
+
+class AudioFeatures:
+    """Actor stage: pcm16 audio → fixed-size log-energy band features.
+
+    Real DSP (frame → band energies via a bank of averaged |FFT| bins)
+    on raw audio; the per-batch loop is over CLIPS (variable length),
+    vectorized within each clip.
+    """
+
+    def __init__(self, n_bands: int = 16, frame: int = 512, out_col: str = "afeat"):
+        self._n_bands = n_bands
+        self._frame = frame
+        self._out_col = out_col
+
+    def _clip_features(self, pcm: np.ndarray) -> np.ndarray:
+        frame = self._frame
+        n = (len(pcm) // frame) * frame
+        if n == 0:
+            return np.zeros(self._n_bands, dtype=np.float32)
+        x = pcm[:n].reshape(-1, frame).astype(np.float64) / 32768.0
+        spec = np.abs(np.fft.rfft(x, axis=1))  # (frames, frame//2+1)
+        bands = np.array_split(np.arange(spec.shape[1]), self._n_bands)
+        e = np.stack([spec[:, b].mean(axis=1) for b in bands], axis=1)
+        return np.log1p(e.mean(axis=0)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch.column("fmt").to_pylist()
+        _decode_payload(None, fmts, _RAW_AUDIO, "audio")
+        feats = []
+        for buf in batch.column("bytes").to_pylist():
+            pcm = np.frombuffer(buf, dtype="<i2")
+            feats.append(self._clip_features(pcm))
+        return batch.append_column(
+            self._out_col,
+            numpy_to_fixed_list_column(np.stack(feats), pa.float32()),
+        ).drop_columns(["bytes"])
+
+
+class VideoFrameSampler:
+    """Actor stage: rgb24 packed video → k uniformly sampled frames, each
+    emitted as an image-row (reuses the image pipeline downstream)."""
+
+    def __init__(self, k: int = 3):
+        self._k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch.column("fmt").to_pylist()
+        _decode_payload(None, fmts, _RAW_VIDEO, "video")
+        out = {"video_id": [], "frame_idx": [], "bytes": [], "w": [], "h": [],
+               "fmt": []}
+        for vid, buf, w, h, nf in zip(
+            batch.column("video_id").to_pylist(),
+            batch.column("bytes").to_pylist(),
+            batch.column("w").to_pylist(),
+            batch.column("h").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+        ):
+            frame_bytes = w * h * 3
+            idxs = np.unique(
+                np.linspace(0, max(nf - 1, 0), min(self._k, max(nf, 1))).astype(int)
+            )
+            for i in idxs:
+                out["video_id"].append(vid)
+                out["frame_idx"].append(int(i))
+                out["bytes"].append(buf[i * frame_bytes : (i + 1) * frame_bytes])
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append("raw")
+        return pa.table(
+            {
+                "video_id": pa.array(out["video_id"], type=pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], type=pa.int32()),
+                "bytes": pa.array(out["bytes"], type=pa.binary()),
+                "w": pa.array(out["w"], type=pa.int32()),
+                "h": pa.array(out["h"], type=pa.int32()),
+                "fmt": pa.array(out["fmt"], type=pa.string()),
+            }
+        )
+
+
+def with_audio_features(ds, *, n_bands: int = 16, frame: int = 512,
+                        concurrency=(1, 8), batch_size: int | None = 256):
+    """Small batches: audio payloads are wide (SURVEY.md §4 memory row)."""
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"n_bands": n_bands, "frame": frame},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def with_video_frames(ds, *, k: int = 3, concurrency=(1, 8),
+                      batch_size: int | None = 64):
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

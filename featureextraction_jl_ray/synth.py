@@ -247,19 +247,24 @@ def write_synth_tables(cfg: SynthConfig, out_dir: str, *, use_ray: bool = True) 
         import ray
 
         @ray.remote
-        def gen(kind: str, pid: int) -> pa.Table:
+        def gen_and_write(kind: str, pid: int, out_path: str) -> int:
+            # generate AND write inside the task — a driver-side write loop
+            # serializes 128 partitions and dominates wall time
             fn = _gen_images_partition if kind == "images" else _gen_captions_partition
-            return fn(cfg, pid)
+            tbl = fn(cfg, pid)
+            pq.write_table(tbl, out_path)
+            return tbl.num_rows
 
         os.makedirs(paths["images"], exist_ok=True)
         os.makedirs(paths["captions"], exist_ok=True)
         futs = [
-            (kind, p, gen.remote(kind, p))
+            gen_and_write.remote(
+                kind, p, os.path.join(paths[kind], f"part-{p:05d}.parquet")
+            )
             for kind in ("images", "captions")
             for p in range(cfg.num_partitions)
         ]
-        for kind, p, f in futs:
-            pq.write_table(ray.get(f), os.path.join(paths[kind], f"part-{p:05d}.parquet"))
+        ray.get(futs)
     else:
         os.makedirs(paths["images"], exist_ok=True)
         os.makedirs(paths["captions"], exist_ok=True)

@@ -1,0 +1,85 @@
+"""Multimodal plumbing: raw audio/video decode + stub gating."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from featureextraction_jl_ray.stages.codec import with_pixel_features
+from featureextraction_jl_ray.stages.multimodal import (
+    with_audio_features,
+    with_video_frames,
+)
+
+
+def _audio_table(n=6, sr=8000, fmt="pcm16"):
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(n):
+        ns = int(rng.integers(sr // 2, sr * 2))
+        pcm = (np.sin(np.arange(ns) * (0.01 + 0.01 * i)) * 20000).astype("<i2")
+        rows.append((f"clip_{i}", pcm.tobytes(), sr, ns, fmt))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "clip_id": pa.array(cols[0], type=pa.string()),
+            "bytes": pa.array(cols[1], type=pa.binary()),
+            "sr": pa.array(cols[2], type=pa.int32()),
+            "n_samples": pa.array(cols[3], type=pa.int64()),
+            "fmt": pa.array(cols[4], type=pa.string()),
+        }
+    )
+
+
+def _video_table(n=3, w=16, h=16, fmt="rgb24"):
+    rng = np.random.default_rng(1)
+    rows = []
+    for i in range(n):
+        nf = int(rng.integers(4, 10))
+        frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        rows.append((f"vid_{i}", frames.tobytes(), w, h, nf, fmt, frames))
+    return rows, pa.table(
+        {
+            "video_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "bytes": pa.array([r[1] for r in rows], type=pa.binary()),
+            "w": pa.array([r[2] for r in rows], type=pa.int32()),
+            "h": pa.array([r[3] for r in rows], type=pa.int32()),
+            "n_frames": pa.array([r[4] for r in rows], type=pa.int32()),
+            "fmt": pa.array([r[5] for r in rows], type=pa.string()),
+        }
+    )
+
+
+def test_audio_features(ray_session):
+    ds = ray_session.data.from_arrow(_audio_table())
+    out = with_audio_features(ds, n_bands=8).to_pandas()
+    feats = np.stack(out["afeat"].to_numpy())
+    assert feats.shape == (6, 8)
+    assert np.isfinite(feats).all() and (feats >= 0).all()
+    assert "bytes" not in out.columns
+
+
+def test_audio_stub_gating(ray_session):
+    tbl = _audio_table(fmt="mp3")
+    ds = ray_session.data.from_arrow(tbl)
+    with pytest.raises(Exception, match="codec libraries|NotImplemented"):
+        with_audio_features(ds).to_pandas()
+
+
+def test_video_frame_sampling_feeds_image_pipeline(ray_session):
+    rows, tbl = _video_table()
+    ds = ray_session.data.from_arrow(tbl)
+    frames = with_video_frames(ds, k=3)
+    # sampled frames reuse the image decode stage downstream
+    out = with_pixel_features(frames, grid=4).to_pandas()
+    assert {"video_id", "frame_idx", "pix"} <= set(out.columns)
+    assert all(len(p) == 4 * 4 * 3 for p in out["pix"])
+    # frame bytes must equal the original frame content
+    got = out.sort_values(["video_id", "frame_idx"]).iloc[0]
+    orig = rows[0][6][int(got["frame_idx"])]
+    np.testing.assert_allclose(
+        np.asarray(got["pix"]).reshape(4, 4, 3),
+        orig.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3)) / 255.0,
+        atol=1e-6,
+    )
