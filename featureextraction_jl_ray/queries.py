@@ -31,6 +31,22 @@ def _events(sf_dir):
     return _rd().read_parquet(f"{sf_dir}/events.parquet")
 
 
+def _round_cols(ds, spec: dict[str, int]):
+    """Round float columns to a fixed decimal in the ENGINE output; the
+    matching oracle SQL applies ROUND(x, n) to the same columns, so the
+    driver's exact value-hash sees bit-identical doubles (np.round and
+    DuckDB ROUND verified bit-equal for 2-decimal money sums; summation-
+    order ulp drift is below the rounding grid)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        for c, nd in spec.items():
+            arr = np.round(t.column(c).to_numpy(zero_copy_only=False), nd)
+            t = t.set_column(t.schema.get_field_index(c), c, pa.array(arr))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # A2: grouped aggregates with map-side combiners (TPC-H Q1 flavor)
 # ---------------------------------------------------------------------------
@@ -42,7 +58,7 @@ def q_agg_lineitem(sf_dir):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    return grouped_aggregate(
+    out = grouped_aggregate(
         ds,
         ["l_returnflag", "l_linestatus"],
         {
@@ -53,12 +69,15 @@ def q_agg_lineitem(sf_dir):
         },
         num_buckets=8,
     )
+    # sum_qty/avg_qty are exact (integer-valued quantities); only the money
+    # sum accumulates order-dependent ulps — pin it to the cent grid.
+    return _round_cols(out, {"sum_price": 2})
 
 
 SQL_AGG_LINEITEM = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_price,
+       ROUND(sum(l_extendedprice), 2) AS sum_price,
        avg(l_quantity) AS avg_qty,
        count(l_quantity) AS n
 FROM lineitem
@@ -107,12 +126,13 @@ def q_hash_join_agg(sf_dir):
                               columns=["c_custkey", "c_mktsegment"])
     joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
                        how="inner", num_partitions=8)
-    return grouped_aggregate(
+    out = grouped_aggregate(
         joined,
         "c_mktsegment",
         {"n_orders": ("o_totalprice", "count"), "sum_price": ("o_totalprice", "sum")},
         num_buckets=4,
     )
+    return _round_cols(out, {"sum_price": 2})
 
 
 def q_broadcast_join_agg(sf_dir):
@@ -125,18 +145,19 @@ def q_broadcast_join_agg(sf_dir):
                            columns=["c_custkey", "c_mktsegment"])
     joined = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey",
                             how="inner")
-    return grouped_aggregate(
+    out = grouped_aggregate(
         joined,
         "c_mktsegment",
         {"n_orders": ("o_totalprice", "count"), "sum_price": ("o_totalprice", "sum")},
         num_buckets=4,
     )
+    return _round_cols(out, {"sum_price": 2})
 
 
 SQL_JOIN_AGG = """
 SELECT c_mktsegment,
        count(o_totalprice) AS n_orders,
-       sum(o_totalprice) AS sum_price
+       ROUND(sum(o_totalprice), 2) AS sum_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -334,8 +355,9 @@ def q_sessionize(sf_dir):
 
 SQL_SESSIONIZE = """
 SELECT event_id, user_id, ts,
-       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+         AS session_id
 FROM (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -350,16 +372,18 @@ def q_rolling(sf_dir):
     ds = with_rolling(_events(sf_dir), "user_id", "ts", "value", window="1h",
                       aggs=("count", "sum", "max"), num_buckets=32,
                       tiebreak_cols=("event_id",))
-    return ds.select_columns(
+    ds = ds.select_columns(
         ["event_id", "user_id", "ts", "roll_value_count", "roll_value_sum",
          "roll_value_max"]
     )
+    # value is cent-grid; pin the windowed sum to it (ulp drift ~1e-13)
+    return _round_cols(ds, {"roll_value_sum": 2})
 
 
 SQL_ROLLING = """
 SELECT event_id, user_id, ts,
        count(value) OVER w AS roll_value_count,
-       sum(value)   OVER w AS roll_value_sum,
+       ROUND(sum(value) OVER w, 2) AS roll_value_sum,
        max(value)   OVER w AS roll_value_max
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)

@@ -52,6 +52,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Mimic the DRIVER's gate: exact (non-tolerant) value comparison after
+    sorting columns by name and rows by all columns.  Floats must be
+    bit-identical (0 vs 0.0 and 1e-7-ulp drift both count as mismatches,
+    exactly as the driver's value-hash sees them)."""
     issues = []
     if sorted(got.columns) != sorted(want.columns):
         issues.append(f"schema: got {sorted(got.columns)} want {sorted(want.columns)}")
@@ -63,13 +67,22 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     for c in g.columns:
         gv, wv = g[c], w[c]
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+            if gv.dtype.kind != wv.dtype.kind:
+                issues.append(
+                    f"col {c}: dtype kind mismatch {gv.dtype} vs {wv.dtype} "
+                    f"(driver hash distinguishes 0 from 0.0)"
+                )
+                continue
             ga = gv.to_numpy(dtype=float)
             wa = wv.to_numpy(dtype=float)
             both_nan = np.isnan(ga) & np.isnan(wa)
-            close = np.isclose(ga, wa, rtol=1e-9, atol=1e-12) | both_nan
-            if not close.all():
-                i = int(np.argmin(close))
-                issues.append(f"col {c}: {(~close).sum()} mismatches, e.g. {ga[i]} vs {wa[i]}")
+            exact = (ga == wa) | both_nan
+            if not exact.all():
+                i = int(np.argmin(exact))
+                issues.append(
+                    f"col {c}: {(~exact).sum()} EXACT mismatches, e.g. "
+                    f"{ga[i]!r} vs {wa[i]!r}"
+                )
         else:
             ga = gv.astype("object").where(pd.notna(gv), None)
             wa = wv.astype("object").where(pd.notna(wv), None)
