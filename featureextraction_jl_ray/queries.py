@@ -496,18 +496,18 @@ def q_explode_tokens(sf_dir):
     ds = ds.filter(expr="doc_id < 200")
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, toks, ords = [], [], []
-        for did, text in zip(t.column("doc_id").to_pylist(),
-                             t.column("text").to_pylist()):
-            parts = (text or "").split()
-            ids.extend([did] * len(parts))
-            toks.extend(parts)
-            ords.extend(range(1, len(parts) + 1))
+        # fully vectorized flatten: arrow whitespace split (same semantics
+        # as str.split()), list lengths → repeated doc ids + ordinals
+        toks = pc.utf8_split_whitespace(t.column("text"))
+        n_per = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        dids = np.repeat(t.column("doc_id").to_numpy(), n_per)
+        starts = np.cumsum(n_per) - n_per
+        ords = np.arange(int(n_per.sum()), dtype=np.int64) - np.repeat(starts, n_per) + 1
         return pa.table(
             {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "token": pa.array(toks, type=pa.string()),
-                "ord": pa.array(ords, type=pa.int64()),
+                "doc_id": pa.array(dids, type=pa.int64()),
+                "token": pc.list_flatten(toks),
+                "ord": pa.array(ords),
             }
         )
 
@@ -717,10 +717,12 @@ def q_phash_near_dup(sf_dir):
 
     def to_int_id(t: pa.Table) -> pa.Table:
         # pairs machinery wants an orderable id; derive int from image_id
-        ids = t.column("image_id").to_pylist()
-        as_int = [int(s[4:9]) * 10_000 + int(s[10:14]) for s in ids]
-        return pa.table({"iid": pa.array(as_int, type=pa.int64()),
-                         "phash": t.column("phash")})
+        # (vectorized slice+cast; ids look like img_NNNNN_NNNN)
+        col = t.column("image_id")
+        ent = pc.cast(pc.utf8_slice_codeunits(col, 4, 9), pa.int64())
+        seq = pc.cast(pc.utf8_slice_codeunits(col, 10, 14), pa.int64())
+        iid = pc.add(pc.multiply(ent, pa.scalar(10_000, pa.int64())), seq)
+        return pa.table({"iid": iid, "phash": t.column("phash")})
 
     ds = images.map_batches(to_int_id, batch_format="pyarrow")
     kept, _pairs = hamming_dedup(ds, "phash", "iid", max_distance=2, num_buckets=32)

@@ -228,6 +228,7 @@ def hamming_dedup(
     *,
     max_distance: int = 3,
     num_buckets: int = 256,
+    max_pairs: int = 10_000_000,
 ):
     """Keep one representative per near-duplicate cluster (min id wins).
 
@@ -236,11 +237,20 @@ def hamming_dedup(
     exact-dedup pre-step; (2) representatives within Hamming ≤ d merge
     via union-find over the verified pair set on the driver — valid
     because pairs are between distinct hash values (bounded), never
-    between raw rows.  Returns (ds_with_one_row_per_cluster, pairs).
+    between raw rows.  The driver-side pair pull is guarded by
+    ``max_pairs`` (loud error, not OOM): 10M pairs ≈ 240 MB, and a
+    near-dup graph denser than that over DISTINCT 64-bit hashes means
+    the distance threshold is wrong for the data, not that the dedup
+    needs a bigger driver.  Returns (ds_with_one_row_per_cluster, pairs).
     """
     pairs_tbl = hamming_near_dup_pairs(
         ds, hash_col, id_col, max_distance=max_distance, num_buckets=num_buckets
     ).to_pandas()
+    if len(pairs_tbl) > max_pairs:
+        raise RuntimeError(
+            f"hamming_dedup: verified pair set ({len(pairs_tbl)}) exceeds "
+            f"max_pairs={max_pairs}; lower max_distance or pre-filter"
+        )
     if "id_a" not in pairs_tbl.columns:  # empty result loses schema in Ray
         pairs_tbl = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
     # keep only exact-dedup representatives, then drop union-find non-roots
@@ -265,11 +275,15 @@ def hamming_dedup(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    drop = {x for x in parent if find(x) != x}
+    # sorted drop-list → vectorized np.isin probe; the array rides in the
+    # task closure (serialized once per worker, not per batch) — small by
+    # construction (non-root representatives only, ≤ max_pairs)
+    drop = np.array(sorted(x for x in parent if find(x) != x), dtype=np.int64)
 
     def keep(batch: pa.Table) -> pa.Table:
+        if not len(drop):
+            return batch
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mask = np.array([i not in drop for i in ids]) if drop else np.ones(len(ids), bool)
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(~np.isin(ids, drop)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True), pairs_tbl

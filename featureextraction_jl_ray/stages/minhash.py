@@ -20,6 +20,7 @@ Hamming ≤ d via the same pigeonhole banding as phash (stages/dedup.py).
 
 from __future__ import annotations
 
+import logging
 import re
 
 import numpy as np
@@ -28,7 +29,7 @@ import pyarrow as pa
 
 from ..functions.hashing import stable_hash_array
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
-from .dedup import exact_dedup, hamming_near_dup_pairs
+from .dedup import hamming_near_dup_pairs
 
 __all__ = [
     "MinHasher",
@@ -39,6 +40,7 @@ __all__ = [
 ]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_LOG = logging.getLogger(__name__)
 
 
 def _shingles(text: str, k: int, word_re) -> np.ndarray:
@@ -105,6 +107,14 @@ def with_minhash(ds, *, text_col: str = "text", num_perms: int = 128,
     )
 
 
+def hashed_shingle_set(text: str, k: int, word_re) -> np.ndarray:
+    """Sorted unique uint64 shingle hashes — the SAME hash the minhash
+    signature is built on, so signature estimates and exact verification
+    agree on the underlying set."""
+    sh = _shingles(text or "", k, word_re)
+    return np.unique(stable_hash_array(sh, seed=5) % _MERSENNE)
+
+
 def minhash_near_dup_pairs(
     ds,
     *,
@@ -116,18 +126,48 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     num_buckets: int = 128,
+    verify: str = "exact",
+    max_group: int = 8192,
+    max_candidates: int = 2_000_000,
 ):
-    """Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold)."""
+    """Verified near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Scale shape (round-1 VERDICT fix): the banding exchange carries ONLY
+    (band_id, band_hash, id) — 24 B/row×bands — never the document text
+    and never the signature.  Banded groups emit candidate id pairs;
+    candidates are deduped across bands; then verification runs over the
+    (near-dup-density-bounded) candidate set only:
+
+    - ``verify="exact"``: the candidate id set is broadcast, the corpus is
+      semi-join-filtered to candidate docs, each candidate doc is
+      shingled ONCE into a sorted hash set, and the (small) id→set map is
+      broadcast to a distributed pair-verification stage (np.intersect1d
+      per pair — C merge of sorted arrays).
+    - ``verify="estimate"``: same structure but broadcasts the minhash
+      signatures instead of re-reading text; jaccard is estimated as the
+      fraction of agreeing signature components (unbiased, ±1/sqrt(perms)).
+
+    Guards (loud, not silent): a degenerate band group larger than
+    ``max_group`` contributes no pairs and logs what was dropped (a band
+    value shared by >8k distinct docs is a degenerate key — e.g. empty
+    docs — not a near-dup cluster); a candidate set larger than
+    ``max_candidates`` raises instead of OOMing the broadcast.
+    """
     if num_perms % bands:
         raise ValueError("num_perms must be divisible by bands")
+    if verify not in ("exact", "estimate"):
+        raise ValueError("verify must be 'exact' or 'estimate'")
     r = num_perms // bands
+    import ray
+
     from ..functions.hashing import bucket_of_multi
     from ..functions.veccol import list_column_to_numpy
+    from .joins import semi_join
 
     sigged = with_minhash(
         ds.select_columns([id_col, text_col]),
         text_col=text_col, num_perms=num_perms, shingle_k=shingle_k, seed=seed,
-    )
+    ).select_columns([id_col, "minhash"])  # text dropped BEFORE any exchange
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = list_column_to_numpy(batch, "minhash", dtype=np.int64)  # (n, perms)
@@ -139,15 +179,11 @@ def minhash_near_dup_pairs(
                 np.uint64
             )
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        texts = batch.column(text_col).to_pylist()
         return pa.table(
             {
-                "band_id": pa.array(
-                    np.tile(np.arange(bands, dtype=np.int64), n)
-                ),
+                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
                 "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
-                id_col: pa.array(np.repeat(ids, bands)),
-                text_col: pa.array(np.repeat(np.array(texts, dtype=object), bands)),
+                "id": pa.array(np.repeat(ids, bands)),
             }
         )
 
@@ -159,40 +195,108 @@ def minhash_near_dup_pairs(
         )
         return batch.append_column("__fx_mbucket", pa.array(b))
 
-    def verify(tbl: pa.Table) -> pa.Table:
+    def candidates(tbl: pa.Table) -> pa.Table:
         df = arrow_to_pandas_safe(tbl)
-        out_a, out_b, out_j = [], [], []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(g) < 2:
+        out_a, out_b = [], []
+        for key, g in df.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.unique(g["id"].to_numpy())
+            if len(ids) < 2:
                 continue
-            g = g.drop_duplicates(subset=[id_col])
-            ids = g[id_col].to_numpy()
-            texts = g[text_col].to_numpy()
-            for i in range(len(g)):
-                for j in range(i + 1, len(g)):
-                    jac = ngram_jaccard(texts[i], texts[j], shingle_k)
-                    if jac >= threshold:
-                        a, b = ids[i], ids[j]
-                        lo, hi = (a, b) if a < b else (b, a)
-                        out_a.append(lo)
-                        out_b.append(hi)
-                        out_j.append(jac)
-        return pa.table(
-            {
-                "id_a": pa.array(out_a, type=pa.int64()),
-                "id_b": pa.array(out_b, type=pa.int64()),
-                "jaccard": pa.array(out_j, type=pa.float64()),
-            }
-        )
+            if len(ids) > max_group:
+                _LOG.warning(
+                    "minhash banding: dropping degenerate band group %s with %d "
+                    "distinct ids (> max_group=%d)", key, len(ids), max_group,
+                )
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b))})
 
     pairs = (
         sigged.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__fx_mbucket")
-        .map_groups(verify, batch_format="pyarrow")
+        .map_groups(candidates, batch_format="pyarrow")
     )
-    return exact_dedup(pairs, ["id_a", "id_b"], order_cols=["jaccard", "id_a", "id_b"],
-                       num_salts=2, num_buckets=16)
+    # --- candidate-bounded verification --------------------------------
+    # A pair found by several bands appears once per band; the candidate
+    # set is pulled to the driver anyway (guarded), so dedup there rather
+    # than paying a distributed two-stage dedup (saves two exchanges).
+    pairs_pd = pairs.to_pandas()  # bounded by near-dup density (guarded)
+    if len(pairs_pd) > max_candidates:
+        raise RuntimeError(
+            f"minhash candidate set ({len(pairs_pd)} pairs) exceeds "
+            f"max_candidates={max_candidates}; raise bands/r or the threshold"
+        )
+    pairs_pd = pairs_pd.drop_duplicates(ignore_index=True)
+    if not len(pairs_pd):
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "jaccard": pa.array([], type=pa.float64())})
+        return ray.data.from_arrow(empty)
+    cand_ids = np.unique(
+        np.concatenate([pairs_pd["id_a"].to_numpy(), pairs_pd["id_b"].to_numpy()])
+    )
+
+    if verify == "exact":
+        word_re = re.compile(r"\w+")
+
+        def shingle_rows(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            sets = [hashed_shingle_set(t, shingle_k, word_re)
+                    for t in batch.column(text_col).to_pylist()]
+            return pa.table({
+                "id": pa.array(ids),
+                "sh": pa.array([s.astype(np.int64) for s in sets],
+                               type=pa.list_(pa.int64())),
+            })
+
+        cand_docs = semi_join(
+            ds.select_columns([id_col, text_col]),
+            pd.DataFrame({id_col: cand_ids}),
+            on=id_col,
+        ).map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+        sh_pd = cand_docs.to_pandas()  # |candidates| rows of hash sets
+        lookup = {int(i): np.asarray(s, dtype=np.int64)
+                  for i, s in zip(sh_pd["id"], sh_pd["sh"])}
+    else:
+        sig_docs = semi_join(sigged, pd.DataFrame({id_col: cand_ids}), on=id_col)
+        sig_pd = sig_docs.to_pandas()
+        lookup = {int(i): np.asarray(s, dtype=np.int64)
+                  for i, s in zip(sig_pd[id_col], sig_pd["minhash"])}
+
+    ref = ray.put(lookup)
+    is_exact = verify == "exact"
+    pairs = ray.data.from_pandas(pairs_pd)
+
+    class VerifyPairs:
+        def __init__(self):
+            self._m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("id_a").to_numpy(zero_copy_only=False)
+            b = batch.column("id_b").to_numpy(zero_copy_only=False)
+            jac = np.empty(len(a), dtype=np.float64)
+            for i in range(len(a)):
+                sa, sb = self._m[int(a[i])], self._m[int(b[i])]
+                if is_exact:
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    union = len(sa) + len(sb) - inter
+                    jac[i] = inter / union if union else 1.0
+                else:
+                    jac[i] = float(np.mean(sa == sb))
+            out = batch.append_column("jaccard", pa.array(jac))
+            return out.filter(pa.array(jac >= threshold))
+
+    return pairs.map_batches(
+        VerifyPairs, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
 
 
 class SimHasher:

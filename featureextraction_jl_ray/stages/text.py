@@ -77,7 +77,15 @@ class QualityScore:
         punct = texts.str.count(r"[^\w\s]").fillna(0)
         words = texts.str.lower().str.findall(self._word)
         n_words = words.str.len().fillna(0)
-        stop = words.map(lambda ws: sum(1 for w in ws if w in self._stop))
+        # vectorized stopword hits: explode once, hash-probe with isin,
+        # segment-sum back by row index (no per-row Python lambda)
+        ex = words.explode()
+        stop = (
+            pd.Series(ex.isin(self._stop).to_numpy(), index=ex.index)
+            .groupby(level=0)
+            .sum()
+            .reindex(texts.index, fill_value=0)
+        )
         alpha_ratio = (alpha / n_chars.clip(lower=1)).astype(np.float64)
         punct_ratio = (punct / n_chars.clip(lower=1)).astype(np.float64)
         stop_ratio = (stop / n_words.clip(lower=1)).astype(np.float64)
@@ -111,18 +119,22 @@ class LangId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self._text_col).to_pandas()
         words = texts.str.lower().str.findall(self._word)
-
-        def classify(ws):
-            if not ws:
-                return "unk"
-            best, best_hits = "unk", 0
-            for lang, prof in self._profiles.items():
-                hits = sum(1 for w in ws if w in prof)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            return best
-
-        pred = words.map(classify)
+        # one explode + one isin per language + one segment groupby-sum:
+        # hits matrix (rows × langs), argmax picks the first max (same
+        # strictly-greater tiebreak as the scalar loop), 0 hits → "unk"
+        ex = words.explode()
+        hit_cols = {
+            lang: ex.isin(prof).to_numpy() for lang, prof in self._profiles.items()
+        }
+        H = (
+            pd.DataFrame(hit_cols, index=ex.index)
+            .groupby(level=0)
+            .sum()
+            .reindex(texts.index, fill_value=0)
+            .to_numpy()
+        )
+        langs = np.array(list(self._profiles), dtype=object)
+        pred = np.where(H.max(axis=1) > 0, langs[H.argmax(axis=1)], "unk")
         return batch.append_column(self._out_col, pa.array(pred, type=pa.string()))
 
 
