@@ -26,7 +26,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # headline synthetic image table size (cached in /tmp across runs)
 BENCH_ENTITIES = int(os.environ.get("FX_BENCH_ENTITIES", "60000"))
-BENCH_REPS = int(os.environ.get("FX_BENCH_REPS", "2"))
+BENCH_REPS = int(os.environ.get("FX_BENCH_REPS", "3"))
 
 
 def _timed(fn):
@@ -81,8 +81,8 @@ def run_bench() -> dict:
         rows = out.count()
         times.append(time.time() - t0)
     times.sort()
-    # median for odd reps; steady-state (min) for 2 reps — rep 0 pays
-    # actor-pool warmup
+    # true median (default 3 reps, odd): rep 0 pays actor-pool warmup and
+    # lands at the top of the sort, so the median is a steady-state rep
     headline_sec = round(times[(len(times) - 1) // 2], 3)
     assert rows == n_images, (rows, n_images)
 

@@ -38,7 +38,9 @@ def list_column_to_numpy(
         return mat.astype(dtype) if mat.dtype != dtype else mat
     if pa.types.is_fixed_size_list(col.type):
         p = col.type.list_size
-        flat = col.values
+        # flatten() is offset-aware for sliced arrays; .values is NOT (it
+        # returns the whole child buffer — round-1 ADVICE finding)
+        flat = col.flatten()
     else:
         offsets = col.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offsets)

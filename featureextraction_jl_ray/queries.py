@@ -627,28 +627,79 @@ def q_kernel_center(sf_dir):
     )
 
 
+def _query_vecs(sf_dir, n: int = 4) -> np.ndarray:
+    """Deterministic query matrix: vec_id 0..n−1 in id order (so the
+    engine's positional query_id equals the source vec_id)."""
+    qdf = (
+        _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(expr=f"vec_id < {n}")
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    return np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+
+
 def q_knn_bruteforce(sf_dir):
     from .stages.similarity import knn_cosine
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    q = np.stack(ds.limit(4).to_pandas()["embedding"].to_numpy()).astype(np.float64)
-    return knn_cosine(ds, q, vector_col="embedding", id_col="vec_id", k=10)
+    out = knn_cosine(ds, _query_vecs(sf_dir), vector_col="embedding",
+                     id_col="vec_id", k=10)
+    out = out[["query_id", "vec_id", "score"]].copy()
+    # engine (normalize→GEMM, float64) and oracle (cosine formula, float64)
+    # agree to ~1e-15; pin to the 1e-9 grid for the exact value-hash
+    out["score"] = np.round(out["score"].to_numpy(), 9)
+    return out
+
+
+SQL_KNN_BRUTEFORCE = """
+SELECT query_id, vec_id, ROUND(sim, 9) AS score FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 4) q
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY sim DESC, e.vec_id) <= 10)
+"""
 
 
 def q_knn_ivf(sf_dir):
     from .stages.similarity import knn_cosine_ivf
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    q = np.stack(ds.limit(4).to_pandas()["embedding"].to_numpy()).astype(np.float64)
-    return knn_cosine_ivf(ds, q, vector_col="embedding", id_col="vec_id", k=10)
+    return knn_cosine_ivf(ds, _query_vecs(sf_dir), vector_col="embedding",
+                          id_col="vec_id", k=10)
 
 
 def q_embedding_near_dup(sf_dir):
     from .stages.similarity import embedding_near_dup_pairs
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup_pairs(ds, vector_col="embedding", id_col="vec_id",
-                                    threshold=0.8, n_planes=8)
+    out = embedding_near_dup_pairs(ds, vector_col="embedding", id_col="vec_id",
+                                   threshold=0.8, bands=8, planes_per_band=8)
+    # pair sets are bounded; finalize to pandas with PINNED columns —
+    # an all-empty Dataset loses its schema through to_pandas otherwise
+    df = out.to_pandas()
+    if df.shape[1] == 0:
+        df = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    df["cosine"] = np.round(df["cosine"].to_numpy(dtype=float), 6)
+    return df
+
+
+# Exact O(n²) oracle is legitimate at the driver's sf0.01 (500 vectors);
+# the LSH engine's recall at threshold 0.8 is asserted by the planted-pair
+# pytest fixture, and at sf0.01 the true pair set is empty (max pairwise
+# cosine 0.51), which both sides must agree on.
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.8
+"""
 
 
 def q_minhash_near_dup(sf_dir):
@@ -729,6 +780,63 @@ def q_phash_near_dup(sf_dir):
     return kept
 
 
+def q_phash_near_dup_pairs(sf_dir):
+    """Verified Hamming-≤2 pairs between distinct-phash representatives —
+    the oracled core of the near-dup dedup (the cluster-collapse query
+    ``phash_near_dup`` stays rows-only; connected components are not
+    reasonably SQL-expressible)."""
+    from .stages.dedup import hamming_near_dup_pairs
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"], columns=["image_id", "phash"])
+
+    def to_int_id(t: pa.Table) -> pa.Table:
+        col = t.column("image_id")
+        ent = pc.cast(pc.utf8_slice_codeunits(col, 4, 9), pa.int64())
+        seq = pc.cast(pc.utf8_slice_codeunits(col, 10, 14), pa.int64())
+        iid = pc.add(pc.multiply(ent, pa.scalar(10_000, pa.int64())), seq)
+        return pa.table({"iid": iid, "phash": t.column("phash")})
+
+    ds = images.map_batches(to_int_id, batch_format="pyarrow")
+    return hamming_near_dup_pairs(ds, "phash", "iid", max_distance=2,
+                                  num_buckets=32)
+
+
+# The synth image table is deterministic (seed 42) and cached at a path
+# keyed by its config; the driver's correctness gate runs at sf0.01 →
+# n_entities=800, hence the fixed path below (written by the engine query
+# before the oracle runs).  Exact O(reps²) self-join is legitimate here:
+# ~3k distinct hashes.
+_SYNTH_IMG_001 = "/tmp/fx_synth_cache/n800_r5_s16_sk30_nd34_seed42_v3/images/*.parquet"
+SQL_PHASH_NEAR_DUP_PAIRS = f"""
+WITH src AS (
+  SELECT CAST(substr(image_id, 5, 5) AS BIGINT) * 10000
+         + CAST(substr(image_id, 11, 4) AS BIGINT) AS iid,
+         phash
+  FROM '{_SYNTH_IMG_001}'
+), reps AS (
+  SELECT phash, min(iid) AS iid FROM src GROUP BY phash
+)
+SELECT a.iid AS id_a, b.iid AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+FROM reps a JOIN reps b ON a.iid < b.iid
+WHERE bit_count(xor(a.phash, b.phash)) <= 2
+"""
+
+
+def q_kpca_transform(sf_dir):
+    """Kernel-PCA out-of-sample transform via the distributed centered
+    Gram tiles (rows-only: eigensolve not SQL-expressible; math covered
+    by tests/test_kernels.py::test_kpca_tiles_match_numpy_oracle)."""
+    from .state.kpca import apply_kpca_transform, fit_kpca
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    model = fit_kpca(ds, "embedding", id_col="vec_id", k=8, kernel="rbf",
+                     sample_rows=256, block_rows=64)
+    out = apply_kpca_transform(ds, model, "embedding", drop_input=True)
+    return out.select_columns(["vec_id", "z_kpca"])
+
+
 def q_images_phash_verify(sf_dir):
     from .stages.codec import with_pixel_features
 
@@ -775,6 +883,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "flagship_features": q_flagship_features,
     "phash_near_dup": q_phash_near_dup,
+    "phash_near_dup_pairs": q_phash_near_dup_pairs,
+    "kpca_transform": q_kpca_transform,
     "images_phash_verify": q_images_phash_verify,
 }
 
@@ -801,4 +911,7 @@ ORACLE_SQL = {
     "doc_ratios": SQL_DOC_RATIOS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "embed_stats": SQL_EMBED_STATS,
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "phash_near_dup_pairs": SQL_PHASH_NEAR_DUP_PAIRS,
 }

@@ -139,8 +139,12 @@ def asof_join(
             ~is_right, [c for c in df.columns if c not in (_SIDE, *out_right_names)]
         ]
         r = df.loc[is_right, [by, on, *out_right_names]]
-        if len(l) == 0:
-            return pandas_to_arrow(l.drop(columns=[_BUCKET]))
+        # NB: no early return for an empty left side — merge_asof and the
+        # window_fn kernels are empty-safe and preserve dtypes, so the
+        # emitted (possibly empty) table carries the FULL output schema
+        # (left cols + renamed right cols + window outputs); an early
+        # return used to emit a narrower schema and null-typed columns
+        # (round-1 ADVICE finding).
         # merge_asof needs both frames sorted on the `on` column (galloping
         # per-entity merge happens internally via by=)
         l = l.sort_values([on, *left_tiebreak], kind="mergesort", ignore_index=True)

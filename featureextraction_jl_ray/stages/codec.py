@@ -43,8 +43,9 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def decode_batch(batch: pa.Table) -> np.ndarray:
     """Decode a batch with UNIFORM (w, h, fmt) → (n, h, w, 3) uint8.
 
-    The flagship fixtures use constant dims; mixed-dim batches must be
-    decoded row-wise (slower path, see DecodeImages.__call__).
+    Uniform dims are a hard requirement HERE; ``DecodeImages.__call__``
+    handles mixed-dim batches by grouping rows per (w, h) and calling
+    this per group (vectorized within each group).
     """
     fmts = batch.column("fmt").to_pylist()
     if any(f != "raw" for f in fmts):
@@ -105,11 +106,10 @@ class DecodeImages:
         self._verify_phash = verify_phash
         self._drop_bytes = drop_bytes
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        pix = decode_batch(batch)
+    def _featurize(self, pix: np.ndarray) -> np.ndarray:
+        """(n, h, w, 3) uint8 → (n, g·g·3) float32 area-mean features."""
         n, h, w, _ = pix.shape
         g = self._grid
-        # area-mean downsample each channel (uniform dims within batch)
         gray = pix.astype(np.float32)
         if h % g == 0 and w % g == 0:
             feat = gray.reshape(n, g, h // g, g, w // g, 3).mean(axis=(2, 4))
@@ -120,12 +120,37 @@ class DecodeImages:
             rc = np.diff(np.append(ri, h)).reshape(1, g, 1, 1)
             cc = np.diff(np.append(ci, w)).reshape(1, 1, g, 1)
             feat = s / (rc * cc)
-        feat = (feat / np.float32(255.0)).reshape(n, g * g * 3)
+        return (feat / np.float32(255.0)).reshape(n, g * g * 3)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        g = self._grid
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        if n == 0:
+            feat = np.empty((0, g * g * 3), dtype=np.float32)
+            computed = np.empty(0, dtype=np.int64)
+        elif (w == w[0]).all() and (h == h[0]).all():
+            pix = decode_batch(batch)
+            feat = self._featurize(pix)
+            computed = ahash64_batch(pix) if self._verify_phash else None
+        else:
+            # heterogeneous dims: decode per (w, h) group — vectorized
+            # within each group — and scatter results back to row order
+            feat = np.empty((n, g * g * 3), dtype=np.float32)
+            computed = np.empty(n, dtype=np.int64) if self._verify_phash else None
+            keys = (w.astype(np.int64) << np.int64(32)) | h.astype(np.int64)
+            for kv in np.unique(keys):
+                idx = np.nonzero(keys == kv)[0]
+                sub = batch.take(pa.array(idx))
+                pix = decode_batch(sub)
+                feat[idx] = self._featurize(pix)
+                if computed is not None:
+                    computed[idx] = ahash64_batch(pix)
         out = batch.append_column(
             self._feature_col, numpy_to_fixed_list_column(feat, pa.float32())
         )
         if self._verify_phash:
-            computed = ahash64_batch(pix)
             stored = batch.column("phash").to_numpy(zero_copy_only=False)
             out = out.append_column(
                 "phash_ok", pa.array(computed == stored, type=pa.bool_())

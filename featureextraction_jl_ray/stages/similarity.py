@@ -12,16 +12,27 @@ pass, and probes only ``nprobe`` cells per query.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 
+_LOG = logging.getLogger(__name__)
+
 from ..functions.hashing import stable_hash_array
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 from ..functions.veccol import list_column_to_numpy
 
-__all__ = ["knn_cosine", "knn_cosine_ivf", "embedding_near_dup_pairs", "kmeans_fit"]
+__all__ = [
+    "knn_cosine",
+    "knn_cosine_ivf",
+    "IvfIndex",
+    "build_ivf_index",
+    "embedding_near_dup_pairs",
+    "kmeans_fit",
+]
 
 
 def _normalize(X: np.ndarray) -> np.ndarray:
@@ -110,8 +121,114 @@ def kmeans_fit(X: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 4
     return C
 
 
-def knn_cosine_ivf(
+class IvfIndex:
+    """Persisted IVF index: centroids + a one-time cell assignment.
+
+    The assignment pass runs ONCE at build time (not per query, not per
+    batch).  With ``path`` set, the assigned table is written as
+    hive-partitioned parquet (one directory per cell) and probes become
+    partition-pruned reads — the 100-TB layout, where a probe touches
+    nprobe/n_clusters of the data at the storage layer.  Without a path
+    the assigned dataset is materialized in the object store and probes
+    filter on the cell column (single-session convenience)."""
+
+    CELL = "ivf_cell"
+
+    def __init__(self, centroids: np.ndarray, data, path: str | None):
+        self.centroids = centroids
+        self._data = data
+        self._path = path
+
+    def probe(self, cells: np.ndarray):
+        cells = [int(c) for c in np.asarray(cells).reshape(-1)]
+        if self._path is not None:
+            import os
+
+            import ray.data as rd
+
+            # explicit directory pruning: only the probed cells' hive
+            # partitions are listed/read — storage-level data skipping.
+            # (Ray 2.49's read_parquet filter= binds against the physical
+            # fragment schema, which excludes partition columns.)
+            import glob
+
+            files = [
+                f
+                for c in cells
+                for f in sorted(
+                    glob.glob(os.path.join(self._path, f"{self.CELL}={c}", "*.parquet"))
+                )
+            ]
+            if files:
+                return rd.read_parquet(files)
+            return rd.read_parquet(self._path).limit(0)
+        cell_arr = np.asarray(cells, dtype=np.int64)
+
+        def flt(batch: pa.Table) -> pa.Table:
+            c = batch.column(self.CELL).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(c, cell_arr)))
+
+        return self._data.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def build_ivf_index(
     ds,
+    *,
+    vector_col: str,
+    id_col: str | None = None,
+    n_clusters: int = 16,
+    sample_rows: int = 2000,
+    seed: int = 42,
+    path: str | None = None,
+) -> IvfIndex:
+    """Fit centroids on a distributed sample (not limit(): limit pulls
+    blocks sequentially and inverts scaling) and assign every row to its
+    cell in one distributed pass.  With ``id_col`` the sample is a
+    content-hash filter — deterministic across runs, block orders and
+    cluster sizes (required for reproducible index builds); without it
+    falls back to ``random_sample`` (seeded but block-order-sensitive)."""
+    cnt = ds.count()
+    frac = min(1.0, sample_rows / max(cnt, 1))
+    if id_col is not None:
+        cut = np.uint64(int(frac * (1 << 32)))
+
+        def hash_sample(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            h = stable_hash_array(ids, seed=seed) >> np.uint64(32)
+            return batch.filter(pa.array(h < cut))
+
+        sample = ds.map_batches(
+            hash_sample, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        # block arrival order is nondeterministic and k-means init is
+        # positional — canonicalize by id so the fit is reproducible
+        sample = sample.sort_values(id_col, ignore_index=True)
+    else:
+        sample = ds.random_sample(frac, seed=seed).to_pandas()
+    Xs = np.stack(sample[vector_col].to_numpy())
+    C = kmeans_fit(Xs, n_clusters, seed=seed)
+    c_ref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self._C = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _normalize(list_column_to_numpy(batch, vector_col))
+            cell = (X @ self._C.T).argmax(axis=1).astype(np.int64)
+            return batch.append_column(IvfIndex.CELL, pa.array(cell))
+
+    assigned = ds.map_batches(
+        Assign, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+    if path is not None:
+        assigned.write_parquet(path, partition_cols=[IvfIndex.CELL], mode="overwrite")
+        return IvfIndex(C, None, path)
+    return IvfIndex(C, assigned.materialize(), None)
+
+
+def knn_cosine_ivf(
+    ds_or_index,
     queries: np.ndarray,
     *,
     vector_col: str,
@@ -122,44 +239,29 @@ def knn_cosine_ivf(
     sample_rows: int = 2000,
     seed: int = 42,
 ) -> pd.DataFrame:
-    """IVF-style approximate top-k: centroids from a driver-side sample,
-    batches drop rows outside the probed cells, then exact scoring.
-
-    At scale the assignment pass would be persisted/partitioned by cell;
-    here cells are filtered per batch (documented approximation)."""
-    sample = ds.limit(sample_rows).to_pandas()
-    Xs = np.stack(sample[vector_col].to_numpy())
-    C = kmeans_fit(Xs, n_clusters, seed=seed)
+    """IVF approximate top-k: probe the ``nprobe`` cells nearest each
+    query against a persisted cell-partitioned index, then exact-score
+    only the probed rows.  Pass an ``IvfIndex`` to amortize the build
+    across queries; passing a Dataset builds a session-local index."""
+    index = (
+        ds_or_index
+        if isinstance(ds_or_index, IvfIndex)
+        else build_ivf_index(
+            ds_or_index, vector_col=vector_col, id_col=id_col,
+            n_clusters=n_clusters, sample_rows=sample_rows, seed=seed,
+        )
+    )
     Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe_cells = np.unique(
-        np.argsort(-(Q @ C.T), axis=1)[:, :nprobe].reshape(-1)
+        np.argsort(-(Q @ index.centroids.T), axis=1)[:, :nprobe].reshape(-1)
     )
-    c_ref = ray.put(C)
-    cells_ref = ray.put(probe_cells)
     q_ref = ray.put(Q)
-
-    class Scorer(_BruteForceScore):
-        def __init__(self):
-            super().__init__(q_ref, vector_col, id_col, k)
-            self._C = ray.get(c_ref)
-            self._cells = set(int(c) for c in ray.get(cells_ref))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            X = _normalize(list_column_to_numpy(batch, vector_col))
-            cell = (X @ self._C.T).argmax(axis=1)
-            mask = np.isin(cell, list(self._cells))
-            if not mask.any():
-                return pa.table(
-                    {
-                        "query_id": pa.array([], type=pa.int64()),
-                        id_col: pa.array([], type=batch.schema.field(id_col).type),
-                        "score": pa.array([], type=pa.float64()),
-                    }
-                )
-            return super().__call__(batch.filter(pa.array(mask)))
-
-    partials = ds.map_batches(
-        Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    partials = index.probe(probe_cells).map_batches(
+        _BruteForceScore,
+        fn_constructor_args=(q_ref, vector_col, id_col, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
     )
     return _merge_topk(partials, id_col, k)
 
@@ -170,80 +272,139 @@ def embedding_near_dup_pairs(
     vector_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_planes: int = 16,
+    bands: int = 8,
+    planes_per_band: int = 8,
     seed: int = 42,
     num_buckets: int = 128,
+    max_group: int = 8192,
+    max_candidates: int = 2_000_000,
 ):
-    """Embedding-cosine near-dup via random-hyperplane LSH: sign-sketch
-    rows into buckets, verify exact cosine within each bucket.
+    """Embedding-cosine near-dup via MULTI-BAND random-hyperplane LSH.
 
-    Recall note: a single sketch table misses pairs split by a plane;
-    production would use multiple tables — here one table + a generous
-    ``n_planes`` documents the pattern (candidate precision is exact)."""
-    from ..functions.hashing import bucket_of
+    b independent bands of r hyperplanes each: a pair at angle θ collides
+    in one band with prob (1−θ/π)^r and in at least one of b bands with
+    1−(1−(1−θ/π)^r)^b — e.g. cos ≥ 0.95 (θ ≤ 18°) with b=8, r=8 gives
+    recall ≈ 0.93, vs ≈ 0.43 for the round-1 single 8-plane table
+    (recall asserted on planted near-dups in tests/test_dedup_similarity).
 
-    # planes derived deterministically once the dimensionality is known
+    Scale shape mirrors the minhash rewrite: the banding exchange carries
+    only (band_id, band_sig, id) — 24 B/row×bands, never the vector —
+    banded groups emit candidate id pairs, candidates are deduped on the
+    driver (guarded pull), and exact-cosine verification runs distributed
+    against a broadcast id→unit-vector map fetched for candidates only.
+    """
+    from ..functions.hashing import bucket_of_multi
+    from .joins import semi_join
+
     first = ds.limit(1).to_pandas()
     p = len(first[vector_col].iloc[0])
-    planes = np.random.default_rng(seed).standard_normal((p, n_planes))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands, p, planes_per_band))
     pl_ref = ray.put(planes)
+    pw = (np.uint64(1) << np.arange(planes_per_band, dtype=np.uint64))
 
     def sketch(batch: pa.Table) -> pa.Table:
-        P = ray.get(pl_ref)
+        P = ray.get(pl_ref)  # (b, p, r)
         X = _normalize(list_column_to_numpy(batch, vector_col))
-        bits = (X @ P) > 0
-        sig = (bits.astype(np.uint64) * (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))).sum(
-            axis=1, dtype=np.uint64
-        )
+        n = len(X)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # (b, n, r) sign bits → (b, n) packed signatures
+        bits = np.einsum("np,bpr->bnr", X, P) > 0
+        sigs = (bits.astype(np.uint64) * pw[None, None, :]).sum(axis=2, dtype=np.uint64)
+        band_id = np.repeat(np.arange(bands, dtype=np.int64), n)
         return pa.table(
             {
-                "sig": pa.array(sig.astype(np.int64)),
-                id_col: batch.column(id_col),
-                vector_col: batch.column(vector_col),
+                "band_id": pa.array(band_id),
+                "band_sig": pa.array(sigs.reshape(-1).astype(np.int64)),
+                "id": pa.array(np.tile(ids, bands)),
             }
         )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = bucket_of(batch.column("sig").to_numpy(zero_copy_only=False), num_buckets, seed=37)
+        b = bucket_of_multi(
+            [batch.column("band_id").to_numpy(zero_copy_only=False),
+             batch.column("band_sig").to_numpy(zero_copy_only=False)],
+            num_buckets, seed=37,
+        )
         return batch.append_column("__fx_sbucket", pa.array(b))
 
-    def verify(tbl: pa.Table) -> pa.Table:
+    def candidates(tbl: pa.Table) -> pa.Table:
         df = arrow_to_pandas_safe(tbl)
-        out_a, out_b, out_s = [], [], []
-        for _, g in df.groupby("sig", sort=False):
-            if len(g) < 2:
+        out_a, out_b = [], []
+        for key, g in df.groupby(["band_id", "band_sig"], sort=False):
+            ids = np.unique(g["id"].to_numpy())
+            if len(ids) < 2:
                 continue
-            X = _normalize(np.stack(g[vector_col].to_numpy()).astype(np.float64))
-            ids = g[id_col].to_numpy()
-            S = X @ X.T
-            ia, ib = np.triu_indices(len(g), k=1)
-            ok = S[ia, ib] >= threshold
-            if ok.any():
-                a, b = ids[ia[ok]], ids[ib[ok]]
-                lo, hi = np.minimum(a, b), np.maximum(a, b)
-                out_a.append(lo)
-                out_b.append(hi)
-                out_s.append(S[ia[ok], ib[ok]])
+            if len(ids) > max_group:
+                _LOG.warning(
+                    "embedding LSH: dropping degenerate band group %s with %d "
+                    "ids (> max_group=%d)", key, len(ids), max_group,
+                )
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
         if not out_a:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
-                }
-            )
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(out_a)),
-                "id_b": pa.array(np.concatenate(out_b)),
-                "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
-            }
-        )
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b))})
 
-    return (
+    pairs_pd = (
         ds.select_columns([vector_col, id_col])
         .map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__fx_sbucket")
-        .map_groups(verify, batch_format="pyarrow")
+        .map_groups(candidates, batch_format="pyarrow")
+        .to_pandas()  # bounded by near-dup density (guarded below)
+    )
+    if len(pairs_pd) > max_candidates:
+        raise RuntimeError(
+            f"embedding LSH candidate set ({len(pairs_pd)} pairs) exceeds "
+            f"max_candidates={max_candidates}; raise planes_per_band or threshold"
+        )
+    empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "cosine": pa.array([], type=pa.float64())})
+    pairs_pd = pairs_pd.drop_duplicates(ignore_index=True)
+    if not len(pairs_pd):
+        return ray.data.from_arrow(empty)
+
+    cand_ids = np.unique(
+        np.concatenate([pairs_pd["id_a"].to_numpy(), pairs_pd["id_b"].to_numpy()])
+    )
+
+    def unit_rows(batch: pa.Table) -> pa.Table:
+        X = _normalize(list_column_to_numpy(batch, vector_col))
+        return pa.table({
+            "id": batch.column(id_col),
+            "v": pa.array(list(X), type=pa.list_(pa.float64())),
+        })
+
+    vec_pd = (
+        semi_join(ds.select_columns([id_col, vector_col]),
+                  pd.DataFrame({id_col: cand_ids}), on=id_col)
+        .map_batches(unit_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    lookup = {int(i): np.asarray(v, dtype=np.float64)
+              for i, v in zip(vec_pd["id"], vec_pd["v"])}
+    ref = ray.put(lookup)
+
+    class VerifyCosine:
+        def __init__(self):
+            self._m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("id_a").to_numpy(zero_copy_only=False)
+            b = batch.column("id_b").to_numpy(zero_copy_only=False)
+            A = np.stack([self._m[int(x)] for x in a])
+            B = np.stack([self._m[int(x)] for x in b])
+            cos = np.einsum("ij,ij->i", A, B)
+            out = batch.append_column("cosine", pa.array(cos, type=pa.float64()))
+            return out.filter(pa.array(cos >= threshold))
+
+    return ray.data.from_pandas(pairs_pd).map_batches(
+        VerifyCosine, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
     )

@@ -44,9 +44,17 @@ def _collect_blocks(ds, vector_col: str, block_rows: int):
     return blocks, n
 
 
-def gram_tiles(ds, vector_col: str, *, block_rows: int = 2048):
-    """Dataset of upper-triangular Gram tiles (bi ≤ bj)."""
+def gram_tiles(ds, vector_col: str, *, block_rows: int = 2048,
+               kernel: str = "linear", gamma: float | None = None):
+    """Dataset of upper-triangular kernel tiles (bi ≤ bj).
+
+    ``kernel``: "linear" (A·Bᵀ) or "rbf" (exp(−γ‖a−b‖²), computed per
+    tile from the same GEMM plus broadcast row norms)."""
+    if kernel not in ("linear", "rbf"):
+        raise ValueError(f"unsupported kernel {kernel!r}")
     blocks, n = _collect_blocks(ds, vector_col, block_rows)
+    if kernel == "rbf" and gamma is None:
+        gamma = 1.0 / blocks[0][1].shape[1]  # 1/p, the scikit-style default
     refs = [(start, ray.put(B)) for start, B in blocks]
 
     items = []
@@ -69,6 +77,10 @@ def gram_tiles(ds, vector_col: str, *, block_rows: int = 2048):
             A = ray.get(ri_)
             B = ray.get(rj_)
             T = A @ B.T
+            if kernel == "rbf":
+                na = np.einsum("ij,ij->i", A, A)
+                nb = np.einsum("ij,ij->i", B, B)
+                T = np.exp(-gamma * (na[:, None] + nb[None, :] - 2.0 * T))
             out["bi"].append(bi_)
             out["bj"].append(bj_)
             out["i0"].append(i0_)
@@ -121,9 +133,11 @@ def center_gram_tiles(tiles, centerer: KernelCenterer):
     return tiles.map_batches(fn, batch_size=4)
 
 
-def centered_gram_dataset(ds, vector_col: str, *, block_rows: int = 2048):
+def centered_gram_dataset(ds, vector_col: str, *, block_rows: int = 2048,
+                          kernel: str = "linear", gamma: float | None = None):
     """embeddings Dataset → (centered tile Dataset, KernelCenterer, n)."""
-    tiles, n = gram_tiles(ds, vector_col, block_rows=block_rows)
+    tiles, n = gram_tiles(ds, vector_col, block_rows=block_rows,
+                          kernel=kernel, gamma=gamma)
     tiles = tiles.materialize()  # tiles are reused for row sums + centering
     sums = gram_row_sums(tiles, n)
     centerer = KernelCenterer.from_partials(sums, n)

@@ -18,6 +18,13 @@ common 8×8 base pattern upsampled ×2 plus antisymmetric 2×2 noise
 average-hash is bit-identical while the images differ (near-duplicates;
 exercises D2 salting + D3 banding).
 
+Near-dup fixture (``neardup_frac`` of the skewed rows): one 8×8 cell of
+the base pattern is reflected across the global cell mean (pixels of
+that cell set to 2g−cell), flipping that cell's average-hash bit — the
+resulting phashes sit at Hamming distance ~1 from the skew hash and ~2
+from each other, so the Hamming-banded near-dup pairs are NON-empty and
+the ``phash_near_dup_pairs`` DuckDB oracle checks real pairs.
+
 Leakage bait: caption rows whose ts is later than every image ts of the
 entity carry a "LEAK_" caption; a correct as-of join must never attach
 them (SURVEY.md §5.2 №4).
@@ -54,6 +61,7 @@ class SynthConfig:
         rows_per_entity: int = 5,
         img_size: int = 16,
         skew_frac: float = 0.3,
+        neardup_frac: float = 0.34,
         caption_entity_frac: float = 0.7,
         leak_frac: float = 0.5,
         session_gap_minutes: int = 30,
@@ -64,6 +72,7 @@ class SynthConfig:
         self.rows_per_entity = rows_per_entity
         self.img_size = img_size
         self.skew_frac = skew_frac
+        self.neardup_frac = neardup_frac
         self.caption_entity_frac = caption_entity_frac
         self.leak_frac = leak_frac
         self.session_gap_minutes = session_gap_minutes
@@ -125,7 +134,25 @@ def _gen_images_partition(cfg: SynthConfig, pid: int) -> pa.Table:
             noise[:, 1::2, 1::2] = d
             noise[:, 0::2, 1::2] = -d
             noise[:, 1::2, 0::2] = -d
-            imgs[skewed] = (base_up.astype(np.int16)[None] + noise).astype(np.uint8)
+            skew_imgs = (base_up.astype(np.int16)[None] + noise).astype(np.uint8)
+            # near-dup planting: reflect ONE 8×8 cell across the global
+            # cell mean → that cell's ahash bit flips (Hamming ≈ 1 from
+            # the skew hash); zero the noise in that cell so the flip is
+            # exact.  Drawn AFTER the noise from the same stream so the
+            # non-near rows' pixels are unchanged vs the v2 fixture.
+            near = erng.random(k) < cfg.neardup_frac
+            cell_pick = erng.integers(0, 64, size=k)
+            cells_gray = base.astype(np.float64).mean(axis=2)  # (8, 8)
+            g = cells_gray.mean()
+            bs = s // 8
+            for idx in np.nonzero(near)[0]:
+                r8, c8 = divmod(int(cell_pick[idx]), 8)
+                shift = 2.0 * (g - cells_gray[r8, c8])
+                val = np.clip(
+                    base[r8, c8].astype(np.float64) + shift, 0, 255
+                ).astype(np.uint8)
+                skew_imgs[idx, r8 * bs:(r8 + 1) * bs, c8 * bs:(c8 + 1) * bs] = val
+            imgs[skewed] = skew_imgs
         word_idx = erng.integers(0, len(_WORDS), size=(n_rows, 5))
         for i in range(n_rows):
             pix_all.append(imgs[i])
@@ -230,7 +257,8 @@ def write_synth_tables(cfg: SynthConfig, out_dir: str, *, use_ray: bool = True) 
 
     tag = (
         f"n{cfg.n_entities}_r{cfg.rows_per_entity}_s{cfg.img_size}"
-        f"_sk{int(cfg.skew_frac*100)}_seed{cfg.seed}_v2"
+        f"_sk{int(cfg.skew_frac*100)}_nd{int(cfg.neardup_frac*100)}"
+        f"_seed{cfg.seed}_v3"
     )
     root = os.path.join(out_dir, tag)
     paths = {

@@ -161,6 +161,27 @@ def test_knn_ivf_recall(ray_session, sf_dir):
         assert len(e & a) / len(e) >= 0.5
 
 
+def test_ivf_persisted_index_matches_session_index(ray_session, sf_dir, tmp_path):
+    """The hive-partitioned on-disk index (partition-pruned probe) and the
+    session-local materialized index must return identical neighbors."""
+    from featureextraction_jl_ray.stages.similarity import build_ivf_index
+
+    tbl = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(tbl.embedding.to_numpy()).astype(np.float64)
+    ds = ray_session.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    mem_idx = build_ivf_index(ds, vector_col="embedding", id_col="vec_id",
+                              n_clusters=8)
+    disk_idx = build_ivf_index(ds, vector_col="embedding", id_col="vec_id",
+                               n_clusters=8, path=str(tmp_path / "ivf"))
+    np.testing.assert_allclose(mem_idx.centroids, disk_idx.centroids)
+    a = knn_cosine_ivf(mem_idx, X[:2], vector_col="embedding", id_col="vec_id",
+                       k=5, nprobe=4)
+    b = knn_cosine_ivf(disk_idx, X[:2], vector_col="embedding", id_col="vec_id",
+                       k=5, nprobe=4)
+    assert list(a.vec_id) == list(b.vec_id)
+    np.testing.assert_allclose(a.score.to_numpy(), b.score.to_numpy(), rtol=1e-12)
+
+
 def test_embedding_near_dup(ray_session):
     rng = np.random.default_rng(0)
     base = rng.standard_normal(32)
@@ -173,10 +194,50 @@ def test_embedding_near_dup(ray_session):
         })
     )
     pairs = embedding_near_dup_pairs(ds, vector_col="embedding", id_col="vec_id",
-                                     threshold=0.95, n_planes=8, num_buckets=4
-                                     ).to_pandas()
+                                     threshold=0.95, bands=8, planes_per_band=8,
+                                     num_buckets=4).to_pandas()
     assert (1, 2) in set(zip(pairs.id_a, pairs.id_b))
     assert not any(3 in p for p in zip(pairs.id_a, pairs.id_b))
+
+
+def test_embedding_near_dup_planted_recall(ray_session):
+    """Multi-band LSH recall on PLANTED near-dup pairs (round-1 VERDICT
+    item 7): 40 planted cos≥0.97 pairs among 400 random 32-d vectors;
+    b=8 × r=8 must recover ≥90% (theory ≈ 0.93 at cos 0.95, higher at
+    0.97) while the random background stays near-empty at this threshold."""
+    rng = np.random.default_rng(7)
+    vecs, ids = [], []
+    next_id = 0
+    planted = []
+    for _ in range(40):
+        base = rng.standard_normal(32)
+        dup = base + rng.standard_normal(32) * 0.02 * np.linalg.norm(base) / np.sqrt(32)
+        a, b = next_id, next_id + 1
+        next_id += 2
+        vecs += [base, dup]
+        ids += [a, b]
+        planted.append((a, b))
+    for _ in range(320):
+        vecs.append(rng.standard_normal(32))
+        ids.append(next_id)
+        next_id += 1
+    norm = [v / np.linalg.norm(v) for v in vecs]
+    true = {(a, b) for a, b in planted
+            if float(norm[ids.index(a)] @ norm[ids.index(b)]) >= 0.95}
+    ds = ray_session.data.from_arrow(
+        pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        })
+    ).repartition(4)
+    pairs = embedding_near_dup_pairs(ds, vector_col="embedding", id_col="vec_id",
+                                     threshold=0.95, bands=8, planes_per_band=8,
+                                     num_buckets=8).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert len(true) >= 35  # the fixture actually plants near-dups
+    recall = len(got & true) / len(true)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(true)} planted pairs"
 
 
 def test_grouped_aggregate_matches_duckdb(ray_session, sf_dir):

@@ -118,3 +118,36 @@ def test_manifest_fingerprint_guard(tables, tmp_path, result):
     other = FlagshipConfig(num_buckets=8, k=5)
     with pytest.raises(ValueError, match="different pipeline config"):
         completed_partitions(out, op_fingerprint=other.fingerprint)
+
+
+def test_decode_mixed_dims_batch(ray_session):
+    """Mixed (w, h) batches decode via the per-dims grouped fallback
+    (round-1 ADVICE: the documented row-wise path did not exist)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.functions.phash import ahash64_batch
+    from featureextraction_jl_ray.stages.codec import with_pixel_features
+
+    rng = np.random.default_rng(3)
+    sizes = [16, 8, 16, 32, 8]
+    pix = [rng.integers(0, 256, size=(s, s, 3), dtype=np.uint8) for s in sizes]
+    tbl = pa.table({
+        "image_id": pa.array([f"i{i}" for i in range(len(sizes))]),
+        "bytes": pa.array([p.tobytes() for p in pix], type=pa.binary()),
+        "w": pa.array(sizes, type=pa.int32()),
+        "h": pa.array(sizes, type=pa.int32()),
+        "fmt": pa.array(["raw"] * len(sizes)),
+        "phash": pa.array([int(ahash64_batch(p[None])[0]) for p in pix],
+                          type=pa.int64()),
+    })
+    out = with_pixel_features(
+        ray_session.data.from_arrow(tbl), grid=4, verify_phash=True,
+        batch_size=5,
+    ).to_pandas()
+    assert out.phash_ok.all()
+    assert all(len(v) == 4 * 4 * 3 for v in out.pix)
+    # spot-check one feature against a direct downsample
+    want = pix[1].astype(np.float32).reshape(4, 2, 4, 2, 3).mean(axis=(1, 3))
+    got = np.asarray(out.loc[out.image_id == "i1", "pix"].iloc[0]).reshape(4, 4, 3)
+    np.testing.assert_allclose(got, want / 255.0, rtol=1e-6)

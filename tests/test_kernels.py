@@ -144,3 +144,60 @@ def test_model_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         m2.transform(FIX["X_tall"], "zca"), m.transform(FIX["X_tall"], "zca")
     )
+
+
+def _numpy_kpca(X: np.ndarray, k: int, kernel: str = "linear",
+                gamma: float | None = None):
+    """Direct KPCA oracle: dense kernel → center → eigh → α/sqrt(λ) with
+    the engine's sign canonicalization."""
+    if kernel == "linear":
+        K = X @ X.T
+    else:
+        sq = np.einsum("ij,ij->i", X, X)
+        K = np.exp(-gamma * (sq[:, None] + sq[None, :] - 2.0 * X @ X.T))
+    n = len(X)
+    r = K.mean(axis=1)
+    Kc = K - r[:, None] - r[None, :] + K.mean()
+    w, V = np.linalg.eigh(Kc)
+    order = np.argsort(w)[::-1]
+    w, V = w[order][:k], V[:, order][:, :k]
+    alphas = V / np.sqrt(w)[None, :]
+    flip = np.sign(alphas[np.abs(alphas).argmax(axis=0), np.arange(k)])
+    return w, alphas * flip[None, :], r, K.mean()
+
+
+@pytest.mark.parametrize("kernel", ["linear", "rbf"])
+def test_kpca_tiles_match_numpy_oracle(ray_session, sf_dir, kernel):
+    """Distributed tile KPCA (hash-sample → tiles → row sums → centered
+    tiles → eigh) vs direct dense NumPy KPCA on the same sample, plus the
+    out-of-sample actor transform vs the direct projection formula."""
+    import pandas as pd
+
+    from featureextraction_jl_ray.state.kpca import apply_kpca_transform, fit_kpca
+
+    ds = ray_session.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    gamma = 1.0 / 32 if kernel == "rbf" else None
+    model = fit_kpca(ds, "embedding", id_col="vec_id", k=5, kernel=kernel,
+                     gamma=gamma, sample_rows=300, block_rows=64)
+    X = model.train_X
+    w, alphas, r, g = _numpy_kpca(X, 5, kernel, gamma)
+    np.testing.assert_allclose(model.eigvals, w, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(model.centerer.row_means_, r, rtol=1e-10)
+    np.testing.assert_allclose(model.centerer.grand_mean_, g, rtol=1e-10)
+    np.testing.assert_allclose(model.alphas, alphas, rtol=1e-6, atol=1e-8)
+
+    out = apply_kpca_transform(ds, model, "embedding").to_pandas()
+    out = out.sort_values("vec_id", ignore_index=True)
+    full = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values(
+        "vec_id", ignore_index=True)
+    Xall = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    if kernel == "linear":
+        Kx = Xall @ X.T
+    else:
+        sa = np.einsum("ij,ij->i", Xall, Xall)
+        sb = np.einsum("ij,ij->i", X, X)
+        Kx = np.exp(-gamma * (sa[:, None] + sb[None, :] - 2.0 * Xall @ X.T))
+    t = Kx.mean(axis=1)
+    Z = (Kx - t[:, None] - r[None, :] + g) @ alphas
+    got = np.stack(out["z_kpca"].to_numpy())
+    np.testing.assert_allclose(got, Z, rtol=1e-6, atol=1e-8)

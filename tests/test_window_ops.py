@@ -262,3 +262,42 @@ def test_asof_tolerance_and_leakage(ray_session, sf_dir):
         .sort_values("row", ignore_index=True)
     )
     assert out2["cap"].tolist() == [None, "new", None]
+
+
+def test_asof_empty_left_bucket_keeps_full_schema(ray_session):
+    """A bucket containing ONLY right-side rows must still emit the full
+    output schema (left cols + matched right cols + window_fn outputs) —
+    round-1 ADVICE: the old early-return emitted a narrower, null-typed
+    table and Ray warned about mismatched RefBundle schemas."""
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.asof import asof_join
+    from featureextraction_jl_ray.stages.window import make_windows_frame_fn
+
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00"]).astype(
+        "datetime64[us]")
+    # left has only entity 0; right has entities 0..63 → with num_buckets=4
+    # several buckets get right rows and no left rows
+    left = ray_session.data.from_arrow(pa.table({
+        "eid": pa.array([0, 0], type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "v": pa.array([1.0, 2.0]),
+    }))
+    right = ray_session.data.from_arrow(pa.table({
+        "eid": pa.array(list(range(64)), type=pa.int64()),
+        "ts": pa.array([ts[0]] * 64, type=pa.timestamp("us")),
+        "state": pa.array([float(i) for i in range(64)]),
+    }))
+    out = asof_join(
+        left, right, on="ts", by="eid", right_cols=["state"], num_buckets=4,
+        window_fn=make_windows_frame_fn("eid", "ts", lag_cols=("v",)),
+        left_types={"eid": pa.int64(), "ts": pa.timestamp("us"), "v": pa.float64()},
+        right_types_in={"eid": pa.int64(), "ts": pa.timestamp("us"),
+                        "state": pa.float64()},
+    )
+    df = out.to_pandas()
+    assert sorted(df.columns) == ["eid", "lag1_v", "state", "ts", "v"]
+    assert len(df) == 2
+    assert df.loc[df.v == 2.0, "state"].iloc[0] == 0.0
+    schema = out.schema()
+    assert set(schema.names) == {"eid", "ts", "v", "state", "lag1_v"}
