@@ -44,7 +44,12 @@ class FlagshipConfig:
     session_gap: str = "30min"
     lag_k: int = 1
     rolling_window: str = "1h"
-    num_buckets: int = 64
+    # None → adaptive: ceil(rows / 250k), bounded — scales with the input
+    # instead of a static constant (see partition.adaptive_num_buckets)
+    num_buckets: int | None = None
+    # hive-style entity_bucket=<id>/ output layout → entity-pruned reads
+    # downstream (sources.io.read_entity_partitions)
+    hive_layout: bool = False
     # decode = stateless tasks (None); transform = bounded actor pool.
     # Oversized pools OVERSUBSCRIBE the node: two 32-actor pools beside
     # the shuffle made 32 cpus SLOWER than 8 before this was bounded.
@@ -64,6 +69,18 @@ class FlagshipConfig:
             f"flagship/g{self.grid}/k{self.k}/{self.mode}/gap{self.session_gap}"
             f"/lag{self.lag_k}/roll{self.rolling_window}/b{self.num_buckets}"
         )
+
+
+def _resolve_cfg(cfg: FlagshipConfig | None, images) -> FlagshipConfig:
+    """Fill the adaptive bucket count (needed before fingerprint use)."""
+    cfg = cfg or FlagshipConfig()
+    if cfg.num_buckets is None:
+        from dataclasses import replace
+
+        from ..stages.partition import adaptive_num_buckets
+
+        cfg = replace(cfg, num_buckets=adaptive_num_buckets(images.count()))
+    return cfg
 
 
 def fit_flagship_model(images, cfg: FlagshipConfig) -> PCAModel:
@@ -142,7 +159,7 @@ def run_flagship(
 ):
     """E1: full pipeline.  Returns (Dataset, model) when out_dir is None,
     else ((manifest_records, model)) after a checkpointed write."""
-    cfg = cfg or FlagshipConfig()
+    cfg = _resolve_cfg(cfg, images)
     if model is None:
         model = fit_flagship_model(images, cfg)
     # Stage order is deliberate: decode + PCA-transform BEFORE the as-of/
@@ -192,6 +209,7 @@ def run_flagship(
         num_buckets=cfg.num_buckets,
         op_fingerprint=cfg.fingerprint,
         skip_partitions=skip_partitions,
+        hive_layout=cfg.hive_layout,
     )
     return records, model
 
@@ -199,7 +217,7 @@ def run_flagship(
 def resume_flagship(images, captions, *, out_dir: str, cfg: FlagshipConfig | None = None,
                     model: PCAModel | None = None):
     """E3: skip partitions already in the manifest, run the rest."""
-    cfg = cfg or FlagshipConfig()
+    cfg = _resolve_cfg(cfg, images)
     done = completed_partitions(out_dir, op_fingerprint=cfg.fingerprint)
     return run_flagship(
         images, captions, cfg=cfg, model=model, out_dir=out_dir, skip_partitions=done

@@ -32,31 +32,13 @@ def _small_side_to_pandas(small) -> pd.DataFrame:
     return arrow_to_pandas_safe(pa.concat_tables(tables))
 
 
-class _BroadcastProbe:
-    """Actor-pool probe: resolves the broadcast dim table once per actor."""
-
-    def __init__(self, ref, on, right_on, how, suffix):
-        self._dim = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        self._on = on
-        self._right_on = right_on
-        self._how = how
-        self._suffix = suffix
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(batch)
-        merged = df.merge(
-            self._dim,
-            how=self._how,
-            left_on=self._on,
-            right_on=self._right_on,
-            suffixes=("", self._suffix),
-        )
-        drop = [
-            c for c in self._right_on if c not in self._on and c in merged.columns
-        ]
-        if drop:
-            merged = merged.drop(columns=drop)
-        return pandas_to_arrow(merged)
+def _small_side_to_arrow(small) -> pa.Table:
+    if isinstance(small, pa.Table):
+        return small
+    if isinstance(small, pd.DataFrame):
+        return pa.Table.from_pandas(small, preserve_index=False)
+    # a Dataset: materialize — caller asserts it is the SMALL side
+    return pa.concat_tables([ray.get(r) for r in small.to_arrow_refs()])
 
 
 def broadcast_join(
@@ -67,10 +49,16 @@ def broadcast_join(
     right_on=None,
     how: str = "left",
     suffix: str = "_r",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int | None = None,
 ):
-    """Stream ``big`` and hash-probe the broadcast ``small`` per batch.
+    """Stream ``big`` and hash-probe the broadcast ``small`` per batch —
+    Arrow-native end to end (``pa.Table.join`` is Acero's C++ hash join;
+    no arrow↔pandas round-trips), as STATELESS TASKS by default so the
+    scheduler uses every free CPU instead of a capped actor pool (the
+    round-1 cap made the broadcast plan lose to the two-sided shuffle).
+    The dim table ships once via ``ray.put`` and resolves zero-copy from
+    the local object store in every task.
 
     ``small`` may be a pandas DataFrame, Arrow table, or a (small!)
     Dataset.  ``how`` ∈ {left, inner}.
@@ -81,16 +69,33 @@ def broadcast_join(
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
-    dim = _small_side_to_pandas(small)
+    join_type = "left outer" if how == "left" else "inner"
+    dim = _small_side_to_arrow(small)
     ref = ray.put(dim)
-    return big.map_batches(
-        _BroadcastProbe,
-        fn_constructor_args=(ref, on, right_on, how, suffix),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        return batch.join(
+            ray.get(ref),
+            keys=on,
+            right_keys=right_on,
+            join_type=join_type,
+            right_suffix=suffix,
+        )
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=batch_size)
+    if concurrency is None:
+        return big.map_batches(probe, **kwargs)
+
+    class Probe:
+        def __init__(self):
+            self._dim = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self._dim, keys=on, right_keys=right_on,
+                              join_type=join_type, right_suffix=suffix)
+
+    return big.map_batches(Probe, concurrency=concurrency, **kwargs)
 
 
 def _key_set_filter(big, keys, on, keep_in: bool):

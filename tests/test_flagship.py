@@ -151,3 +151,37 @@ def test_decode_mixed_dims_batch(ray_session):
     want = pix[1].astype(np.float32).reshape(4, 2, 4, 2, 3).mean(axis=(1, 3))
     got = np.asarray(out.loc[out.image_id == "i1", "pix"].iloc[0]).reshape(4, 4, 3)
     np.testing.assert_allclose(got, want / 255.0, rtol=1e-6)
+
+
+def test_hive_layout_write_and_entity_pruned_read(ray_session, tmp_path):
+    """hive_layout=True writes entity_bucket=<id>/ dirs; the pruned reader
+    lists only the buckets of the requested entities and returns exactly
+    their rows (round-1 VERDICT item 10: prunable output layout)."""
+    import os
+
+    from featureextraction_jl_ray.sources.io import read_entity_partitions
+    from featureextraction_jl_ray.synth import SynthConfig, synth_captions, synth_images
+
+    cfg_s = SynthConfig(n_entities=30, seed=11)
+    images = ray_session.data.from_arrow(synth_images(cfg_s))
+    captions = ray_session.data.from_arrow(synth_captions(cfg_s))
+    out_dir = str(tmp_path / "feat")
+    fcfg = FlagshipConfig(num_buckets=8, hive_layout=True, fit_sample_rows=None)
+    records, _ = run_flagship(images, captions, cfg=fcfg, out_dir=out_dir)
+    assert records and all("entity_bucket=" in r["path"] for r in records)
+    dirs = [d for d in os.listdir(out_dir) if d.startswith("entity_bucket=")]
+    assert len(dirs) >= 2
+    want = ["ent_00003", "ent_00007"]
+    got = read_entity_partitions(out_dir, want, num_buckets=8).to_pandas()
+    assert set(got.entity_id) == set(want)
+    full = images.to_pandas()
+    assert len(got) == (full.entity_id.isin(want)).sum()
+
+
+def test_adaptive_num_buckets_scales():
+    from featureextraction_jl_ray.stages.partition import adaptive_num_buckets
+
+    assert adaptive_num_buckets(0) == 8
+    assert adaptive_num_buckets(10_000) == 8
+    assert adaptive_num_buckets(250_000 * 64) == 64
+    assert adaptive_num_buckets(10**12) == 65_536  # bounded above
