@@ -99,6 +99,13 @@ def broadcast_join(
 
 
 def _key_set_filter(big, keys, on, keep_in: bool):
+    """Stateless broadcast set-probe: the key set ships once via ray.put
+    (resolved from the LOCAL object store per task), single-key probes are
+    vectorized ``pc.is_in`` (C hash probe, any arrow type); composite keys
+    fall back to a Python set probe.  Stateless tasks, not an actor pool —
+    a capped pool only adds spin-up latency to a pure filter."""
+    import pyarrow.compute as pc
+
     on = [on] if isinstance(on, str) else list(on)
 
     if isinstance(keys, (pd.DataFrame, pa.Table)):
@@ -106,33 +113,30 @@ def _key_set_filter(big, keys, on, keep_in: bool):
     else:
         keys_df = keys.to_pandas()
     if len(on) == 1:
-        key_set = set(keys_df[on[0]].tolist())
+        value_set = pa.array(keys_df[on[0]].unique())
+        ref = ray.put(value_set)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column(on[0]), value_set=ray.get(ref))
+            if not keep_in:
+                mask = pc.invert(pc.fill_null(mask, False))
+            return batch.filter(mask)
+
     else:
         key_set = set(map(tuple, keys_df[on].itertuples(index=False)))
-    ref = ray.put(key_set)
+        ref = ray.put(key_set)
 
-    class Probe:
-        def __init__(self):
-            self._keys = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(on) == 1:
-                vals = batch.column(on[0]).to_numpy(zero_copy_only=False)
-                mask = np.fromiter(
-                    (v in self._keys for v in vals), dtype=bool, count=len(vals)
-                )
-            else:
-                cols = [batch.column(c).to_numpy(zero_copy_only=False) for c in on]
-                mask = np.fromiter(
-                    (t in self._keys for t in zip(*cols)), dtype=bool, count=batch.num_rows
-                )
+        def probe(batch: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            cols = [batch.column(c).to_numpy(zero_copy_only=False) for c in on]
+            mask = np.fromiter(
+                (t in ks for t in zip(*cols)), dtype=bool, count=batch.num_rows
+            )
             if not keep_in:
                 mask = ~mask
             return batch.filter(pa.array(mask))
 
-    return big.map_batches(
-        Probe, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+    return big.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def semi_join(big, keys, *, on):

@@ -391,20 +391,16 @@ def embedding_near_dup_pairs(
               for i, v in zip(vec_pd["id"], vec_pd["v"])}
     ref = ray.put(lookup)
 
-    class VerifyCosine:
-        def __init__(self):
-            self._m = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("id_a").to_numpy(zero_copy_only=False)
-            b = batch.column("id_b").to_numpy(zero_copy_only=False)
-            A = np.stack([self._m[int(x)] for x in a])
-            B = np.stack([self._m[int(x)] for x in b])
-            cos = np.einsum("ij,ij->i", A, B)
-            out = batch.append_column("cosine", pa.array(cos, type=pa.float64()))
-            return out.filter(pa.array(cos >= threshold))
+    def verify_cosine(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        A = np.stack([m[int(x)] for x in a])
+        B = np.stack([m[int(x)] for x in b])
+        cos = np.einsum("ij,ij->i", A, B)
+        out = batch.append_column("cosine", pa.array(cos, type=pa.float64()))
+        return out.filter(pa.array(cos >= threshold))
 
     return ray.data.from_pandas(pairs_pd).map_batches(
-        VerifyCosine, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 8),
+        verify_cosine, batch_format="pyarrow", zero_copy_batch=True
     )
