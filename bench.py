@@ -161,7 +161,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus = int(os.environ.get("FX_SCALE_LO", "8"))
+    hi_cpus = int(os.environ.get("FX_SCALE_HI", str(lo_cpus * 4)))
     lo = run_at(lo_cpus)
     hi = run_at(hi_cpus)
     r_lo = lo["headline_rows_per_sec"]
@@ -173,23 +174,25 @@ def run_scaling() -> dict:
             (lo["map_stage_sec"] / hi["map_stage_sec"]) / (hi_cpus / lo_cpus), 3
         )
     return {
-        "metric": "scaling efficiency (rows/s at 32 cpus vs 8 cpus, fresh "
-                  "processes, same input)",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "rows_per_sec_8": r_lo,
-        "rows_per_sec_32": r_hi,
+        "metric": f"scaling efficiency (rows/s at {hi_cpus} cpus vs {lo_cpus} "
+                  "cpus, fresh processes, same input)",
+        "lo_cpus": lo_cpus,
+        "hi_cpus": hi_cpus,
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "rows_per_sec_lo": r_lo,
+        "rows_per_sec_hi": r_hi,
         "scaling_efficiency": round(eff, 3),
-        "map_stage_sec_8": lo.get("map_stage_sec"),
-        "map_stage_sec_32": hi.get("map_stage_sec"),
+        "map_stage_sec_lo": lo.get("map_stage_sec"),
+        "map_stage_sec_hi": hi.get("map_stage_sec"),
         "map_stage_scaling_efficiency": map_eff,
         "note": "single-host proxy: the full job's exchange shares one memory "
                 "bus across all cpu levels (job wall time is nearly "
                 "cpu-invariant, ~5.7k rows/s even at 2 cpus); the map-stage "
                 "efficiency evidences the data-parallel scaling that governs "
                 "multi-node throughput (see BASELINE.md)",
-        "queries_8": lo["queries"],
-        "queries_32": hi["queries"],
+        "queries_lo": lo["queries"],
+        "queries_hi": hi["queries"],
     }
 
 

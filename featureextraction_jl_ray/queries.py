@@ -710,6 +710,45 @@ def q_minhash_near_dup(sf_dir):
                                   threshold=0.5)
 
 
+def q_ngram_jaccard_pairs(sf_dir):
+    """EXACT word-3-gram Jaccard near-dup pairs (shingle inverted index,
+    two bucket exchanges, no O(n²) cross join) — the exact counterpart of
+    the probabilistic minhash query, oracled by a DuckDB string-shingle
+    self-join."""
+    from .stages.minhash import ngram_jaccard_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id",
+                               threshold=0.5)
+
+
+SQL_NGRAM_JACCARD_PAIRS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(ws) = 0 THEN '∅'
+              WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS s
+  FROM words
+  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 2))) AS i) t
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+"""
+
+
 def q_simhash_docs(sf_dir):
     from .stages.minhash import with_simhash
 
@@ -878,6 +917,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_docs": q_simhash_docs,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
@@ -914,4 +954,5 @@ ORACLE_SQL = {
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "phash_near_dup_pairs": SQL_PHASH_NEAR_DUP_PAIRS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
 }

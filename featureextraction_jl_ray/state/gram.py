@@ -23,7 +23,8 @@ import ray
 from ..functions.veccol import list_column_to_numpy
 from .kernel import KernelCenterer
 
-__all__ = ["gram_tiles", "center_gram_tiles", "gram_row_sums", "centered_gram_dataset"]
+__all__ = ["gram_tiles", "center_gram_tiles", "gram_row_sums",
+           "centered_gram_dataset", "iter_tile_arrays"]
 
 
 def _collect_blocks(ds, vector_col: str, block_rows: int):
@@ -68,8 +69,8 @@ def gram_tiles(ds, vector_col: str, *, block_rows: int = 2048,
     import ray.data as rd
 
     def make_tile(batch):
-        out = {"bi": [], "bj": [], "i0": [], "j0": [], "rows": [], "cols": [],
-               "tile": []}
+        out = {"bi": [], "bj": [], "i0": [], "j0": [], "rows": [], "cols": []}
+        flats = []
         for bi_, bj_, i0_, j0_, ri_, rj_ in zip(
             batch["bi"], batch["bj"], batch["i0"], batch["j0"],
             batch["ri"], batch["rj"],
@@ -87,27 +88,54 @@ def gram_tiles(ds, vector_col: str, *, block_rows: int = 2048,
             out["j0"].append(j0_)
             out["rows"].append(T.shape[0])
             out["cols"].append(T.shape[1])
-            out["tile"].append(T.reshape(-1))
-        return {k: np.array(v, dtype=object) if k == "tile" else np.array(v)
-                for k, v in out.items()}
+            flats.append(np.ascontiguousarray(T.reshape(-1), dtype=np.float64))
+        return _tiles_to_arrow(out, flats)
 
     return rd.from_items(items).map_batches(make_tile, batch_size=1), n
+
+
+def _tiles_to_arrow(meta: dict, flats: list[np.ndarray]) -> pa.Table:
+    """Build the tile Dataset block as real Arrow (large_list<float64>).
+
+    Variable-width tiles as numpy object arrays trip Ray's tensor-extension
+    conversion and silently fall back to PICKLED python objects in the
+    object store; an explicit offsets+values list column keeps the tile
+    payload zero-copy Arrow end to end."""
+    values = pa.array(
+        np.concatenate(flats) if flats else np.empty(0, dtype=np.float64),
+        type=pa.float64(),
+    )
+    offsets = np.zeros(len(flats) + 1, dtype=np.int64)
+    if flats:
+        np.cumsum([len(f) for f in flats], out=offsets[1:])
+    tile_col = pa.LargeListArray.from_arrays(pa.array(offsets), values)
+    cols = {k: pa.array(np.asarray(v, dtype=np.int64)) for k, v in meta.items()}
+    cols["tile"] = tile_col
+    return pa.table(cols)
+
+
+def iter_tile_arrays(tiles):
+    """Yield (i0, j0, T) dense tile views from the Arrow tile Dataset."""
+    for b in tiles.iter_batches(batch_size=None, batch_format="pyarrow"):
+        i0s = b.column("i0").to_numpy()
+        j0s = b.column("j0").to_numpy()
+        rs = b.column("rows").to_numpy()
+        cs = b.column("cols").to_numpy()
+        tile_col = b.column("tile").combine_chunks()
+        flat = tile_col.flatten().to_numpy(zero_copy_only=False)
+        offs = tile_col.offsets.to_numpy()
+        for k in range(len(b)):
+            T = flat[offs[k] : offs[k + 1]].reshape(int(rs[k]), int(cs[k]))
+            yield int(i0s[k]), int(j0s[k]), T
 
 
 def gram_row_sums(tiles, n: int) -> np.ndarray:
     """Row sums of the full symmetric K from its upper-triangular tiles."""
     sums = np.zeros(n)
-    # column-wise iteration: pandas iterrows() cannot interleave the
-    # variable-width tensor 'tile' column with scalars
-    for b in tiles.iter_batches(batch_size=None, batch_format="pandas"):
-        for i0, j0, r, c, tile in zip(
-            b["i0"], b["j0"], b["rows"], b["cols"], b["tile"]
-        ):
-            T = np.asarray(tile, dtype=np.float64).reshape(int(r), int(c))
-            i0, j0 = int(i0), int(j0)
-            sums[i0 : i0 + T.shape[0]] += T.sum(axis=1)
-            if i0 != j0:  # mirror the off-diagonal tile
-                sums[j0 : j0 + T.shape[1]] += T.sum(axis=0)
+    for i0, j0, T in iter_tile_arrays(tiles):
+        sums[i0 : i0 + T.shape[0]] += T.sum(axis=1)
+        if i0 != j0:  # mirror the off-diagonal tile
+            sums[j0 : j0 + T.shape[1]] += T.sum(axis=0)
     return sums
 
 
@@ -116,21 +144,27 @@ def center_gram_tiles(tiles, centerer: KernelCenterer):
     r_ref = ray.put(centerer.row_means_)
     g = centerer.grand_mean_
 
-    def fn(batch):
+    def fn(batch: pa.Table) -> pa.Table:
         r = ray.get(r_ref)
+        i0s = batch.column("i0").to_numpy()
+        j0s = batch.column("j0").to_numpy()
+        rs = batch.column("rows").to_numpy()
+        cs = batch.column("cols").to_numpy()
+        tile_col = batch.column("tile").combine_chunks()
+        flat = tile_col.flatten().to_numpy(zero_copy_only=False)
+        offs = tile_col.offsets.to_numpy()
+        meta = {"bi": batch.column("bi").to_numpy(),
+                "bj": batch.column("bj").to_numpy(),
+                "i0": i0s, "j0": j0s, "rows": rs, "cols": cs}
         out_tiles = []
-        for k in range(len(batch["tile"])):
-            T = np.asarray(batch["tile"][k], dtype=np.float64).reshape(
-                int(batch["rows"][k]), int(batch["cols"][k])
-            )
-            i0, j0 = int(batch["i0"][k]), int(batch["j0"][k])
-            ri = r[i0 : i0 + T.shape[0]]
-            rj = r[j0 : j0 + T.shape[1]]
+        for k in range(len(batch)):
+            T = flat[offs[k] : offs[k + 1]].reshape(int(rs[k]), int(cs[k]))
+            ri = r[i0s[k] : i0s[k] + T.shape[0]]
+            rj = r[j0s[k] : j0s[k] + T.shape[1]]
             out_tiles.append((T - ri[:, None] - rj[None, :] + g).reshape(-1))
-        batch["tile"] = np.array(out_tiles, dtype=object)
-        return batch
+        return _tiles_to_arrow(meta, out_tiles)
 
-    return tiles.map_batches(fn, batch_size=4)
+    return tiles.map_batches(fn, batch_format="pyarrow", batch_size=4)
 
 
 def centered_gram_dataset(ds, vector_col: str, *, block_rows: int = 2048,

@@ -27,7 +27,7 @@ import ray
 
 from ..functions.hashing import stable_hash_array
 from ..functions.veccol import list_column_to_numpy
-from .gram import centered_gram_dataset
+from .gram import centered_gram_dataset, iter_tile_arrays
 from .kernel import KernelCenterer
 
 __all__ = ["KpcaModel", "fit_kpca", "apply_kpca_transform"]
@@ -114,14 +114,10 @@ def fit_kpca(
     assert n2 == n
     # assemble the (bounded) dense centered kernel from streamed tiles
     Kc = np.empty((n, n), dtype=np.float64)
-    for b in tiles.iter_batches(batch_size=None, batch_format="pandas"):
-        for i0, j0, r, c, tile in zip(b["i0"], b["j0"], b["rows"], b["cols"],
-                                      b["tile"]):
-            T = np.asarray(tile, dtype=np.float64).reshape(int(r), int(c))
-            i0, j0 = int(i0), int(j0)
-            Kc[i0:i0 + T.shape[0], j0:j0 + T.shape[1]] = T
-            if i0 != j0:
-                Kc[j0:j0 + T.shape[1], i0:i0 + T.shape[0]] = T.T
+    for i0, j0, T in iter_tile_arrays(tiles):
+        Kc[i0:i0 + T.shape[0], j0:j0 + T.shape[1]] = T
+        if i0 != j0:
+            Kc[j0:j0 + T.shape[1], i0:i0 + T.shape[0]] = T.T
     w, V = np.linalg.eigh(Kc)
     order = np.argsort(w)[::-1]
     w, V = w[order], V[:, order]

@@ -114,6 +114,40 @@ def test_minhash_near_dup(ray_session):
     assert ngram_jaccard(texts[0], texts[1]) > 0.5
 
 
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Distributed inverted-index exact Jaccard == per-pair reference
+    ngram_jaccard, including the short-doc / empty-doc / exact-dup edges."""
+    from featureextraction_jl_ray.stages.minhash import ngram_jaccard_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "the quick brown fox jumps over the lazy dog near the river shore",
+        "a completely different sentence about distributed data processing",
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "tiny doc",          # < k words → single joined shingle
+        "tiny doc",          # identical short doc → jaccard 1 with row 5
+        "",                  # empty → '∅' shingle
+        "",                  # empty pair → jaccard 1 with row 7
+    ]
+    ids = list(range(1, len(texts) + 1))
+    ds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(3)
+    got = ngram_jaccard_pairs(ds, text_col="text", id_col="doc_id",
+                              threshold=0.5, num_buckets=8).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in zip(got.id_a, got.id_b, got.jaccard)}
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            jac = ngram_jaccard(texts[i], texts[j])
+            if jac >= 0.5:
+                want[(ids[i], ids[j])] = jac
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert abs(got_pairs[k] - want[k]) < 1e-12
+
+
 def test_simhash_near_dup(ray_session):
     texts = [
         "alpha beta gamma delta epsilon zeta eta theta iota kappa",

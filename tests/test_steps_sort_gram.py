@@ -82,12 +82,10 @@ def test_centered_gram_tiles_match_oracle(ray_session, sf_dir):
     tiles, centerer, n = centered_gram_dataset(ds, "embedding", block_rows=128)
     assert n == 300
     got = np.full((n, n), np.nan)
-    for b in tiles.iter_batches(batch_size=None, batch_format="pandas"):
-        for i0, j0, r, c, tile in zip(b["i0"], b["j0"], b["rows"], b["cols"],
-                                      b["tile"]):
-            T = np.asarray(tile, dtype=np.float64).reshape(int(r), int(c))
-            i0, j0 = int(i0), int(j0)
-            got[i0 : i0 + T.shape[0], j0 : j0 + T.shape[1]] = T
-            got[j0 : j0 + T.shape[1], i0 : i0 + T.shape[0]] = T.T
+    from featureextraction_jl_ray.state.gram import iter_tile_arrays
+
+    for i0, j0, T in iter_tile_arrays(tiles):
+        got[i0 : i0 + T.shape[0], j0 : j0 + T.shape[1]] = T
+        got[j0 : j0 + T.shape[1], i0 : i0 + T.shape[0]] = T.T
     assert not np.isnan(got).any()
     np.testing.assert_allclose(got, want, atol=1e-8)
