@@ -68,8 +68,10 @@ def run_bench() -> dict:
     captions = rd.read_parquet(paths["captions"])
     n_images = images.count()  # warms page cache, untimed
 
-    fcfg = FlagshipConfig(num_buckets=64, k=16,
-                          transform_concurrency=(1, max(4, NUM_CPUS // 4)))
+    # stateless decode+transform (no actor pool): the fused compute stage
+    # follows the task scheduler and scales with num_cpus instead of a
+    # pool cap (round-2 finding; see FlagshipConfig)
+    fcfg = FlagshipConfig(num_buckets=64, k=16)
     # fit is model PREP (one bounded-sample aggregation), not part of the
     # metric's streaming job ("as-of join + windowed features +
     # whitened-PCA transform") — fit once, time the job, median of reps

@@ -50,11 +50,15 @@ class FlagshipConfig:
     # hive-style entity_bucket=<id>/ output layout → entity-pruned reads
     # downstream (sources.io.read_entity_partitions)
     hive_layout: bool = False
-    # decode = stateless tasks (None); transform = bounded actor pool.
-    # Oversized pools OVERSUBSCRIBE the node: two 32-actor pools beside
-    # the shuffle made 32 cpus SLOWER than 8 before this was bounded.
+    # decode AND transform default to stateless tasks (None): the whiten
+    # model is tens of KB, so shipping it in the task closure costs
+    # nothing, and a bounded actor pool CAPS the fused decode+transform
+    # stage (Ray fuses the upstream task ops into the actor pool) at the
+    # pool size regardless of cluster CPUs — measured as the flagship's
+    # scaling ceiling in round 2.  Set an int/tuple to force a pool
+    # (right only when per-worker model deserialization is expensive).
     decode_concurrency: tuple | int | None = None
-    transform_concurrency: tuple | int = (1, 8)
+    transform_concurrency: tuple | int | None = None
     # 4096 rows ≈ 3-12 MB of pixels per decode task: large enough that
     # scheduling overhead vanishes, small enough for worker heaps
     decode_batch_size: int = 4096

@@ -749,6 +749,60 @@ WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
 """
 
 
+def q_jaccard_dedup_docs(sf_dir):
+    """Near-dup CLUSTER COLLAPSE over exact n-gram Jaccard pairs (one
+    representative per connected component, min doc_id wins) — oracled by
+    a recursive min-label-propagation CTE in DuckDB (connected components
+    in SQL)."""
+    from .stages.minhash import jaccard_dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+    kept, _pairs = jaccard_dedup(ds, text_col="text", id_col="doc_id",
+                                 threshold=0.5)
+    return kept.select_columns(["doc_id", "lang", "source", "n_chars"])
+
+
+SQL_JACCARD_DEDUP_DOCS = r"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(ws) = 0 THEN '∅'
+              WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS s
+  FROM words
+  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 2))) AS i) t
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+cc AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.v AS node, cc.lbl FROM cc JOIN edges e ON cc.node = e.u
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (SELECT node, min(lbl) AS root FROM cc GROUP BY node) r
+  ON r.node = d.doc_id
+WHERE r.root = d.doc_id
+"""
+
+
 def q_simhash_docs(sf_dir):
     from .stages.minhash import with_simhash
 
@@ -761,6 +815,49 @@ def q_doc_langid(sf_dir):
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return with_langid(ds).select_columns(["doc_id", "lang_pred"])
+
+
+def _langid_sql() -> str:
+    """Build the lang-ID oracle from the SAME stopword profiles the engine
+    stage compiles, so both sides share one source of truth.  The cascading
+    CASE reproduces np.argmax's first-max tiebreak over dict order."""
+    from .stages.text import _STOPWORDS
+
+    def inlist(lang):
+        return ", ".join("'" + w + "'" for w in sorted(_STOPWORDS[lang]))
+
+    hits = ",\n    ".join(
+        f"count(*) FILTER (w IN ({inlist(lang)})) AS {lang}"
+        for lang in _STOPWORDS
+    )
+    langs = list(_STOPWORDS)
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1:]
+        if rest:
+            cond = " AND ".join(f"{lang} >= {o}" for o in rest)
+            cases.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    case_sql = "\n       ".join(cases)
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS w
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    {hits}
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN coalesce(greatest({", ".join(langs)}), 0) = 0 THEN 'unk'
+       {case_sql} END AS lang_pred
+FROM documents d LEFT JOIN hits USING (doc_id)
+"""
+
+
+SQL_DOC_LANGID = _langid_sql()
 
 
 def q_doc_fingerprint(sf_dir):
@@ -918,6 +1015,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "jaccard_dedup_docs": q_jaccard_dedup_docs,
     "simhash_docs": q_simhash_docs,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
@@ -955,4 +1053,6 @@ ORACLE_SQL = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "phash_near_dup_pairs": SQL_PHASH_NEAR_DUP_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "doc_langid": SQL_DOC_LANGID,
+    "jaccard_dedup_docs": SQL_JACCARD_DEDUP_DOCS,
 }

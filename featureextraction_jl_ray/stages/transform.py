@@ -59,16 +59,36 @@ def apply_pca_transform(
     *,
     out_col: str = "z",
     mode: str = "pca_whiten",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int | None = 4096,
     num_cpus: float = 1,
     drop_input: bool = False,
 ):
-    """ds + fitted model → ds with transformed feature column (actor pool)."""
+    """ds + fitted model → ds with transformed feature column.
+
+    ``concurrency=None`` (default path for small models) = STATELESS
+    tasks carrying a prebuilt transformer: the precomposed (μ, W) is a
+    few tens of KB, so shipping it in the task closure (deserialized once
+    per worker, cached) costs nothing, removes actor-pool spin-up
+    latency, lifts the pool-size cap so the stage scales with the
+    cluster, and lets Ray fuse it with the upstream decode into one
+    task-pool stage.  Pass a concurrency int/tuple to force an actor
+    pool (right when the model is large enough that per-worker
+    deserialization matters)."""
     # Precompose W on the driver: validates `mode` eagerly (an actor-pool
     # __init__ failure would otherwise surface late as ActorDiedError) and
     # ships the cached weight matrix with the broadcast model.
     model.weights(mode)
+    if concurrency is None:
+        fn = WhitenTransform(model, vector_col, out_col, mode,
+                             drop_input=drop_input)
+        return ds.map_batches(
+            fn,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
     model_ref = ray.put(model)
     return ds.map_batches(
         WhitenTransform,

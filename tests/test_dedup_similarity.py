@@ -148,6 +148,30 @@ def test_ngram_jaccard_pairs_exact(ray_session):
         assert abs(got_pairs[k] - want[k]) < 1e-12
 
 
+def test_jaccard_dedup_collapses_triangle(ray_session):
+    """A 3-doc near-dup triangle collapses to its min-id representative;
+    isolated docs all survive."""
+    from featureextraction_jl_ray.stages.minhash import jaccard_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    texts = [
+        base + " bank",          # 1 ┐
+        base + " shore",         # 2 ├ triangle → keep 1
+        base + " delta",         # 3 ┘
+        "a completely different sentence about distributed data processing",
+        "another unrelated string with ray data pipelines and arrow batches",
+    ]
+    ids = [1, 2, 3, 4, 5]
+    ds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    kept, pairs = jaccard_dedup(ds, text_col="text", id_col="doc_id",
+                                threshold=0.5, num_buckets=8)
+    assert set(zip(pairs.id_a, pairs.id_b)) == {(1, 2), (1, 3), (2, 3)}
+    assert sorted(kept.to_pandas()["doc_id"]) == [1, 4, 5]
+
+
 def test_simhash_near_dup(ray_session):
     texts = [
         "alpha beta gamma delta epsilon zeta eta theta iota kappa",

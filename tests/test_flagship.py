@@ -185,3 +185,23 @@ def test_adaptive_num_buckets_scales():
     assert adaptive_num_buckets(10_000) == 8
     assert adaptive_num_buckets(250_000 * 64) == 64
     assert adaptive_num_buckets(10**12) == 65_536  # bounded above
+
+
+def test_job_cli_run_and_resume(ray_session, tmp_path):
+    """The `ray job submit` entry (featureextraction_jl_ray.job): a run
+    writes partitions + manifest; --resume over an intact output is a
+    no-op (all partitions skipped upstream of the shuffle)."""
+    from featureextraction_jl_ray.job import main
+
+    paths = write_synth_tables(CFG, str(tmp_path / "synth"))
+    out = str(tmp_path / "features")
+    rc = main(["--images", paths["images"], "--captions", paths["captions"],
+               "--out", out, "--k", "10", "--num-buckets", "8"])
+    assert rc == 0
+    recs = load_manifest(out)
+    assert recs and sum(r["rows"] for r in recs) > 0
+    n_parts = len(recs)
+    rc = main(["--images", paths["images"], "--captions", paths["captions"],
+               "--out", out, "--k", "10", "--num-buckets", "8", "--resume"])
+    assert rc == 0
+    assert len(load_manifest(out)) == n_parts  # nothing rewritten

@@ -83,3 +83,27 @@ def test_video_frame_sampling_feeds_image_pipeline(ray_session):
         orig.reshape(4, 4, 4, 4, 3).mean(axis=(1, 3)) / 255.0,
         atol=1e-6,
     )
+
+
+def test_psnr_roundtrip_and_threshold():
+    """north_rule verification clause: decoded pixels must round-trip
+    losslessly for fmt='raw' (PSNR = inf) and psnr() must discriminate at
+    the 40 dB bar for lossy codecs."""
+    from featureextraction_jl_ray.stages.codec import decode_batch, encode_raw, psnr
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 256, size=(4, 16, 16, 3), dtype=np.uint8)
+    tbl = pa.table({
+        "bytes": pa.array(encode_raw(pix), type=pa.binary()),
+        "w": pa.array([16] * 4, type=pa.int32()),
+        "h": pa.array([16] * 4, type=pa.int32()),
+        "fmt": pa.array(["raw"] * 4),
+    })
+    back = decode_batch(tbl)
+    assert psnr(pix, back) == float("inf")
+    np.testing.assert_array_equal(pix, back)
+    # ±2-level quantization noise ≈ 43 dB (above the bar); ±20 ≈ 23 dB (below)
+    small = np.clip(pix.astype(np.int16) + rng.integers(-2, 3, pix.shape), 0, 255)
+    big = np.clip(pix.astype(np.int16) + rng.integers(-20, 21, pix.shape), 0, 255)
+    assert psnr(pix, small.astype(np.uint8)) >= 40.0
+    assert psnr(pix, big.astype(np.uint8)) < 40.0
