@@ -609,22 +609,56 @@ def q_zca_transform(sf_dir):
 
 
 def q_kernel_center(sf_dir):
-    """Kernel-centering over a Gram matrix of the first 256 embeddings
-    (small-n regime where the n×n kernel is legitimate)."""
-    from .functions.veccol import list_column_to_numpy
+    """Kernel-centering over the Gram matrix of the 256 smallest-vec_id
+    embeddings (small-n regime where the n×n kernel is legitimate).
+
+    Oracled by a DuckDB list_dot_product cross join + the same
+    K̃ᵢⱼ = Kᵢⱼ − rᵢ − rⱼ + g identity; both sides ROUND(x, 4) so
+    summation-order ulps (np pairwise vs SQL sequential sums) vanish
+    below the grid."""
     from .state.kernel import KernelCenterer
 
-    tbl = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").limit(256).to_pandas()
+    tbl = (
+        _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+        .sort("vec_id").limit(256).to_pandas()
+    )
     X = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
     K = X @ X.T
     Kc = KernelCenterer().fit(K).transform(K)
     return pd.DataFrame(
         {
             "i": np.arange(len(K), dtype=np.int64),
-            "row_mean_centered": Kc.mean(axis=1),
-            "diag": np.diag(Kc),
+            "row_mean_centered": np.round(Kc.mean(axis=1), 4),
+            "diag": np.round(np.diag(Kc), 4),
         }
     )
+
+
+SQL_KERNEL_CENTER = """
+WITH sel AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS i,
+         CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings ORDER BY vec_id LIMIT 256
+),
+k AS (
+  SELECT a.i AS ia, b.i AS ib, list_dot_product(a.e, b.e) AS kij
+  FROM sel a CROSS JOIN sel b
+),
+r AS (SELECT ia, avg(kij) AS ri FROM k GROUP BY ia),
+g AS (SELECT avg(kij) AS gm FROM k),
+c AS (
+  SELECT k.ia, k.ib,
+         k.kij - ra.ri - rb.ri + (SELECT gm FROM g) AS kc
+  FROM k
+  JOIN r ra ON ra.ia = k.ia
+  JOIN r rb ON rb.ia = k.ib
+)
+SELECT ia AS i,
+       ROUND(avg(kc), 4) AS row_mean_centered,
+       ROUND(max(CASE WHEN ia = ib THEN kc END), 4) AS diag
+FROM c GROUP BY ia
+"""
 
 
 def _query_vecs(sf_dir, n: int = 4) -> np.ndarray:
@@ -664,11 +698,20 @@ SELECT query_id, vec_id, ROUND(sim, 9) AS score FROM (
 
 
 def q_knn_ivf(sf_dir):
+    """IVF top-k with EXHAUSTIVE probing (nprobe = n_clusters): probing
+    every cell makes IVF provably equal to exact brute force, so the
+    driver gate verifies the whole IVF machinery (sampled k-means, cell
+    assignment, cell-pruned scoring, per-query merge) against the same
+    SQL oracle as ``knn_bruteforce``.  The approximation regime
+    (nprobe < n_clusters) is covered by the pytest recall tests."""
     from .stages.similarity import knn_cosine_ivf
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    return knn_cosine_ivf(ds, _query_vecs(sf_dir), vector_col="embedding",
-                          id_col="vec_id", k=10)
+    out = knn_cosine_ivf(ds, _query_vecs(sf_dir), vector_col="embedding",
+                         id_col="vec_id", k=10, n_clusters=8, nprobe=8)
+    out = out[["query_id", "vec_id", "score"]].copy()
+    out["score"] = np.round(out["score"].to_numpy(dtype=float), 9)
+    return out
 
 
 def q_embedding_near_dup(sf_dir):
@@ -703,6 +746,14 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 
 def q_minhash_near_dup(sf_dir):
+    """MinHash-LSH near-dup pairs with EXACT Jaccard verification.
+
+    Oracled by the same string-shingle SQL as ``ngram_jaccard_pairs``:
+    verification is exact, so the outputs agree whenever banding recall
+    is 100% — at the gate's sf0.01 every true pair has jaccard ≥ 0.90,
+    where the 32-band × 4-row miss probability is (1−0.9⁴)³² ≈ 1e-15.
+    (A banding miss would surface as an honest row-count FAIL, not a
+    silent pass.)"""
     from .stages.minhash import minhash_near_dup_pairs
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet")
@@ -918,9 +969,9 @@ def q_phash_near_dup(sf_dir):
 
 def q_phash_near_dup_pairs(sf_dir):
     """Verified Hamming-≤2 pairs between distinct-phash representatives —
-    the oracled core of the near-dup dedup (the cluster-collapse query
-    ``phash_near_dup`` stays rows-only; connected components are not
-    reasonably SQL-expressible)."""
+    the pairwise core of the near-dup dedup (the cluster collapse itself
+    is oracled separately via a recursive min-label-propagation CTE,
+    SQL_PHASH_NEAR_DUP)."""
     from .stages.dedup import hamming_near_dup_pairs
 
     _, paths = _synth_for(sf_dir)
@@ -944,6 +995,32 @@ def q_phash_near_dup_pairs(sf_dir):
 # before the oracle runs).  Exact O(reps²) self-join is legitimate here:
 # ~3k distinct hashes.
 _SYNTH_IMG_001 = "/tmp/fx_synth_cache/n800_r5_s16_sk30_nd34_seed42_v3/images/*.parquet"
+SQL_PHASH_NEAR_DUP = f"""
+WITH RECURSIVE src AS (
+  SELECT CAST(substr(image_id, 5, 5) AS BIGINT) * 10000
+         + CAST(substr(image_id, 11, 4) AS BIGINT) AS iid,
+         phash
+  FROM '{_SYNTH_IMG_001}'
+), reps AS (
+  SELECT phash, min(iid) AS iid FROM src GROUP BY phash
+), pairs AS (
+  SELECT a.iid AS id_a, b.iid AS id_b
+  FROM reps a JOIN reps b ON a.iid < b.iid
+  WHERE bit_count(xor(a.phash, b.phash)) <= 2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), cc AS (
+  SELECT iid AS node, iid AS lbl FROM reps
+  UNION
+  SELECT e.v AS node, cc.lbl FROM cc JOIN edges e ON cc.node = e.u
+)
+SELECT r.iid, r.phash
+FROM reps r
+JOIN (SELECT node, min(lbl) AS root FROM cc GROUP BY node) roots
+  ON roots.node = r.iid
+WHERE roots.root = r.iid
+"""
 SQL_PHASH_NEAR_DUP_PAIRS = f"""
 WITH src AS (
   SELECT CAST(substr(image_id, 5, 5) AS BIGINT) * 10000
@@ -1053,6 +1130,10 @@ ORACLE_SQL = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "phash_near_dup_pairs": SQL_PHASH_NEAR_DUP_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "minhash_near_dup": SQL_NGRAM_JACCARD_PAIRS,
     "doc_langid": SQL_DOC_LANGID,
     "jaccard_dedup_docs": SQL_JACCARD_DEDUP_DOCS,
+    "kernel_center": SQL_KERNEL_CENTER,
+    "knn_ivf": SQL_KNN_BRUTEFORCE,
+    "phash_near_dup": SQL_PHASH_NEAR_DUP,
 }
