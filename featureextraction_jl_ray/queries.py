@@ -85,6 +85,77 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_agg_events_var(sf_dir):
+    """Sample variance / stddev per event_type via (Σx, Σx², n) partials
+    — the partializable spread aggregates a feature pipeline needs.
+    Engine sum-of-squares vs DuckDB's stable var_samp differ in trailing
+    ulps; both sides pin to the 1e-6 grid."""
+    from .stages.groupagg import grouped_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    out = grouped_aggregate(
+        ds,
+        "event_type",
+        {
+            "mean_value": ("value", "mean"),
+            "var_value": ("value", "var"),
+            "std_value": ("value", "std"),
+            "n": ("value", "count"),
+        },
+        num_buckets=8,
+    )
+    return _round_cols(out, {"mean_value": 6, "var_value": 6, "std_value": 6})
+
+
+SQL_AGG_EVENTS_VAR = """
+SELECT event_type,
+       ROUND(avg(value), 6) AS mean_value,
+       ROUND(var_samp(value), 6) AS var_value,
+       ROUND(stddev_samp(value), 6) AS std_value,
+       count(value) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_count_distinct_users(sf_dir):
+    """Exact per-key COUNT(DISTINCT) in two exchanges: hash(key, value)
+    collapse (hot keys spread because the value joins the hash — no
+    salting needed), then a one-row-per-distinct-pair count by key."""
+    from .stages.groupagg import grouped_count_distinct
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    return grouped_count_distinct(ds, "event_type", "user_id",
+                                  out_name="n_users", num_buckets=16)
+
+
+SQL_COUNT_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_quantiles(sf_dir):
+    """Exact per-key p50/p95 (linear interpolation, the pandas.quantile /
+    DuckDB quantile_cont convention); both sides pin to the 1e-6 grid."""
+    from .stages.groupagg import grouped_quantile
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    out = grouped_quantile(ds, "event_type", "value", qs=(0.5, 0.95),
+                           num_buckets=8)
+    return _round_cols(out, {"q50": 6, "q95": 6})
+
+
+SQL_EVENT_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS q50,
+       ROUND(quantile_cont(value, 0.95), 6) AS q95
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # M1/M2/M3: filter + computed column + projection (vectorized Arrow)
 # ---------------------------------------------------------------------------
@@ -1061,6 +1132,9 @@ def q_images_phash_verify(sf_dir):
 
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
+    "agg_events_var": q_agg_events_var,
+    "count_distinct_users": q_count_distinct_users,
+    "event_quantiles": q_event_quantiles,
     "filter_project": q_filter_project,
     "hash_join_agg": q_hash_join_agg,
     "broadcast_join_agg": q_broadcast_join_agg,
@@ -1105,6 +1179,9 @@ QUERIES = {
 
 ORACLE_SQL = {
     "agg_lineitem": SQL_AGG_LINEITEM,
+    "agg_events_var": SQL_AGG_EVENTS_VAR,
+    "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
+    "event_quantiles": SQL_EVENT_QUANTILES,
     "filter_project": SQL_FILTER_PROJECT,
     "hash_join_agg": SQL_JOIN_AGG,
     "broadcast_join_agg": SQL_JOIN_AGG,

@@ -18,15 +18,19 @@ from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 
 _BUCKET = "__fx_gbucket"
 
-__all__ = ["grouped_aggregate", "grouped_topn"]
+__all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
+           "grouped_quantile"]
 
-_PARTIALIZABLE = {"sum", "count", "min", "max", "mean"}
+_PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
 
 
 def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buckets: int = 64):
     """Grouped aggregates with map-side partial aggregation.
 
-    ``aggs``: {out_name: (col, fn)} with fn ∈ sum/count/min/max/mean.
+    ``aggs``: {out_name: (col, fn)} with fn ∈ sum/count/min/max/mean/
+    var/std (var/std are SAMPLE variance/stddev, ddof=1, composed from
+    (Σx, Σx², n) partials — the sum-of-squares form loses precision when
+    |mean| ≫ stddev; pin outputs to a rounding grid when hash-comparing).
     Example: {"sum_qty": ("l_quantity", "sum"), "n": ("l_orderkey", "count")}
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
@@ -34,11 +38,15 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
         if fn not in _PARTIALIZABLE:
             raise ValueError(f"unsupported agg {fn!r} for {name}")
 
-    # mean = sum/count composed from partials
+    # mean = Σx/n, var = (Σx² − (Σx)²/n)/(n−1) composed from partials
     partial_cols: dict[str, tuple[str, str]] = {}
     for name, (col, fn) in aggs.items():
         if fn == "mean":
             partial_cols[f"__s_{name}"] = (col, "sum")
+            partial_cols[f"__c_{name}"] = (col, "count")
+        elif fn in ("var", "std"):
+            partial_cols[f"__s_{name}"] = (col, "sum")
+            partial_cols[f"__q_{name}"] = (col, "sumsq")
             partial_cols[f"__c_{name}"] = (col, "count")
         else:
             partial_cols[name] = (col, fn)
@@ -48,7 +56,11 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
         g = df.groupby(key_cols, sort=False, dropna=False)
         out = pd.DataFrame(index=g.size().index)
         for name, (col, fn) in partial_cols.items():
-            out[name] = getattr(g[col], fn)()
+            if fn == "sumsq":
+                sq = df[[*key_cols]].assign(__sq=df[col].to_numpy() ** 2)
+                out[name] = sq.groupby(key_cols, sort=False, dropna=False)["__sq"].sum()
+            else:
+                out[name] = getattr(g[col], fn)()
         out = out.reset_index()
         b = bucket_of_multi(
             [out[c].to_numpy() for c in key_cols], num_buckets, seed=29
@@ -56,7 +68,8 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
         out[_BUCKET] = b
         return pandas_to_arrow(out)
 
-    _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max",
+              "sumsq": "sum"}
 
     def final(tbl: pa.Table) -> pa.Table:
         df = arrow_to_pandas_safe(tbl)
@@ -69,10 +82,102 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
             if fn == "mean":
                 out[name] = out[f"__s_{name}"] / out[f"__c_{name}"]
                 out = out.drop(columns=[f"__s_{name}", f"__c_{name}"])
+            elif fn in ("var", "std"):
+                s = out[f"__s_{name}"].to_numpy()
+                q = out[f"__q_{name}"].to_numpy()
+                n = out[f"__c_{name}"].to_numpy().astype(np.float64)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    v = np.where(n > 1, (q - s * s / n) / (n - 1), np.nan)
+                    v = np.maximum(v, 0.0)  # clamp −ε from cancellation
+                out[name] = np.sqrt(v) if fn == "std" else v
+                out = out.drop(
+                    columns=[f"__s_{name}", f"__q_{name}", f"__c_{name}"]
+                )
         return pandas_to_arrow(out)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(_BUCKET).map_groups(final, batch_format="pyarrow")
+
+
+def grouped_count_distinct(ds, key_cols, col: str, *, out_name: str = "n_distinct",
+                           num_buckets: int = 64):
+    """Exact per-key COUNT(DISTINCT col) in two exchanges.
+
+    Exchange 1 partitions on hash(key, col) — duplicates of the same
+    (key, value) land together and collapse, and a hot KEY still spreads
+    over buckets because the value participates in the hash (no salting
+    needed).  Exchange 2 moves one row per surviving distinct pair and
+    counts per key.  Map-side drop_duplicates shrinks both exchanges.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = key_cols + [col]
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(batch)[cols].drop_duplicates()
+        df[_BUCKET] = bucket_of_multi(
+            [df[c].to_numpy() for c in cols], num_buckets, seed=37
+        )
+        return pandas_to_arrow(df)
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)[cols].drop_duplicates()
+        df[_BUCKET] = bucket_of_multi(
+            [df[c].to_numpy() for c in key_cols], num_buckets, seed=41
+        )
+        return pandas_to_arrow(df)
+
+    def count_per_key(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        out = (
+            df.groupby(key_cols, sort=False, dropna=False)
+            .size()
+            .rename(out_name)
+            .reset_index()
+        )
+        return pandas_to_arrow(out)
+
+    return (
+        ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(_BUCKET)
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+        .groupby(_BUCKET)
+        .map_groups(count_per_key, batch_format="pyarrow")
+    )
+
+
+def grouped_quantile(ds, key_cols, value_col: str, qs=(0.5,), *,
+                     num_buckets: int = 64, prefix: str = "q"):
+    """EXACT per-key quantiles (linear interpolation, same convention as
+    pandas.quantile / DuckDB quantile_cont).
+
+    Exact quantiles need every value of a key in one place, so the
+    exchange moves (key, value) pairs co-bucketed by key — unlike the
+    partialized aggregates above there is no map-side shrink.  At corpus
+    scale prefer a mergeable sketch (t-digest / KLL) if ±ε is
+    acceptable; this operator is the exact path and says so.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(batch)[key_cols + [value_col]]
+        df[_BUCKET] = bucket_of_multi(
+            [df[c].to_numpy() for c in key_cols], num_buckets, seed=43
+        )
+        return pandas_to_arrow(df)
+
+    def quantiles(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        g = df.groupby(key_cols, sort=False, dropna=False)[value_col]
+        out = pd.DataFrame(index=g.size().index)
+        for q in qs:
+            out[f"{prefix}{int(q * 100)}"] = g.quantile(q)
+        return pandas_to_arrow(out.reset_index())
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(_BUCKET)
+        .map_groups(quantiles, batch_format="pyarrow")
+    )
 
 
 def grouped_topn(

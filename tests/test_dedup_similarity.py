@@ -317,6 +317,47 @@ def test_grouped_aggregate_matches_duckdb(ray_session, sf_dir):
     np.testing.assert_allclose(got.avg_qty, want.avg_qty, rtol=1e-12)
 
 
+def test_grouped_var_countdistinct_quantile_match_duckdb(ray_session, sf_dir):
+    """The round-2 aggregate family: partialized var/std, two-exchange
+    exact COUNT(DISTINCT), exact per-key quantiles — all vs DuckDB."""
+    from featureextraction_jl_ray.stages.groupagg import (
+        grouped_count_distinct,
+        grouped_quantile,
+    )
+
+    ev = f"{sf_dir}/events.parquet"
+    ds = ray_session.data.read_parquet(ev)
+    got_v = grouped_aggregate(
+        ds, ["event_type"], {"v": ("value", "var"), "s": ("value", "std")},
+        num_buckets=4,
+    ).to_pandas().sort_values("event_type", ignore_index=True)
+    want_v = duckdb.sql(
+        f"SELECT event_type, var_samp(value) v, stddev_samp(value) s "
+        f"FROM '{ev}' GROUP BY 1 ORDER BY 1"
+    ).fetchdf()
+    np.testing.assert_allclose(got_v.v, want_v.v, rtol=1e-9)
+    np.testing.assert_allclose(got_v.s, want_v.s, rtol=1e-9)
+
+    got_d = grouped_count_distinct(
+        ds, "event_type", "user_id", out_name="nd", num_buckets=4
+    ).to_pandas().sort_values("event_type", ignore_index=True)
+    want_d = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) nd FROM '{ev}' "
+        f"GROUP BY 1 ORDER BY 1"
+    ).fetchdf()
+    assert (got_d.nd.to_numpy() == want_d.nd.to_numpy()).all()
+
+    got_q = grouped_quantile(
+        ds, "event_type", "value", qs=(0.5, 0.9), num_buckets=4
+    ).to_pandas().sort_values("event_type", ignore_index=True)
+    want_q = duckdb.sql(
+        f"SELECT event_type, quantile_cont(value, 0.5) q50, "
+        f"quantile_cont(value, 0.9) q90 FROM '{ev}' GROUP BY 1 ORDER BY 1"
+    ).fetchdf()
+    np.testing.assert_allclose(got_q.q50, want_q.q50, rtol=1e-12)
+    np.testing.assert_allclose(got_q.q90, want_q.q90, rtol=1e-12)
+
+
 def test_grouped_topn_matches_duckdb(ray_session, sf_dir):
     ds = ray_session.data.read_parquet(f"{sf_dir}/orders.parquet")
     got = grouped_topn(ds, "o_custkey", ["o_totalprice", "o_orderkey"], n=2,
