@@ -816,6 +816,43 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_embedding_dedup(sf_dir):
+    """Embedding-cosine near-dup CLUSTER COLLAPSE (multi-band hyperplane
+    LSH pairs → shared union-find tail); oracled by the exact O(n²)
+    cosine join + recursive connected-components CTE.  Verification is
+    exact cosine, so engine pairs = true pairs whenever LSH recall is 1
+    (pytest asserts the planted-pair recall; at the gate's sf0.01 the
+    true pair set is empty and both sides must keep every row)."""
+    from .stages.similarity import embedding_dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    kept, _pairs = embedding_dedup(ds, vector_col="embedding", id_col="vec_id",
+                                   threshold=0.8, bands=8, planes_per_band=8)
+    return kept.select_columns(["vec_id"])
+
+
+SQL_EMBEDDING_DEDUP = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.8
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), cc AS (
+  SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+  UNION
+  SELECT e.v AS node, cc.lbl FROM cc JOIN edges e ON cc.node = e.u
+)
+SELECT e.vec_id
+FROM embeddings e
+JOIN (SELECT node, min(lbl) AS root FROM cc GROUP BY node) r
+  ON r.node = e.vec_id
+WHERE r.root = e.vec_id
+"""
+
+
 def q_minhash_near_dup(sf_dir):
     """MinHash-LSH near-dup pairs with EXACT Jaccard verification.
 
@@ -1164,6 +1201,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_dedup": q_embedding_dedup,
     "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_dedup_docs": q_jaccard_dedup_docs,
@@ -1205,6 +1243,7 @@ ORACLE_SQL = {
     "embed_stats": SQL_EMBED_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_dedup": SQL_EMBEDDING_DEDUP,
     "phash_near_dup_pairs": SQL_PHASH_NEAR_DUP_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "minhash_near_dup": SQL_NGRAM_JACCARD_PAIRS,

@@ -27,7 +27,49 @@ from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 _BUCKET = "__fx_dbucket"
 _SALT = "__fx_salt"
 
-__all__ = ["exact_dedup", "hamming_near_dup_pairs", "hamming_dedup"]
+__all__ = ["exact_dedup", "hamming_near_dup_pairs", "hamming_dedup",
+           "collapse_pairs"]
+
+
+def collapse_pairs(ds, pairs_pd: pd.DataFrame, id_col: str, *,
+                   max_pairs: int = 10_000_000):
+    """Keep one representative per connected component of a verified
+    near-dup pair set (min id wins) — the shared cluster-collapse tail of
+    hamming/jaccard/embedding dedup.
+
+    Union-find runs on the driver over ``pairs_pd`` (columns id_a, id_b),
+    which is bounded by near-dup density, never corpus size; the guard is
+    loud, not an OOM.  The sorted drop list rides the task closure
+    (serialized once per worker) and filters via one vectorized np.isin.
+    """
+    if len(pairs_pd) > max_pairs:
+        raise RuntimeError(
+            f"collapse_pairs: verified pair set ({len(pairs_pd)}) exceeds "
+            f"max_pairs={max_pairs}; tighten the near-dup threshold"
+        )
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_pd.get("id_a", ()), pairs_pd.get("id_b", ())):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    drop = np.array(sorted(x for x in parent if find(x) != x), dtype=np.int64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if not len(drop):
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, drop)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _keep_one(df: pd.DataFrame, key_cols, order_cols, ascending) -> pd.DataFrame:
@@ -246,11 +288,6 @@ def hamming_dedup(
     pairs_tbl = hamming_near_dup_pairs(
         ds, hash_col, id_col, max_distance=max_distance, num_buckets=num_buckets
     ).to_pandas()
-    if len(pairs_tbl) > max_pairs:
-        raise RuntimeError(
-            f"hamming_dedup: verified pair set ({len(pairs_tbl)}) exceeds "
-            f"max_pairs={max_pairs}; lower max_distance or pre-filter"
-        )
     if "id_a" not in pairs_tbl.columns:  # empty result loses schema in Ray
         pairs_tbl = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
     # keep only exact-dedup representatives, then drop union-find non-roots
@@ -261,29 +298,4 @@ def hamming_dedup(
         num_salts=16,
         num_buckets=num_buckets,
     )
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs_tbl["id_a"], pairs_tbl["id_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    # sorted drop-list → vectorized np.isin probe; the array rides in the
-    # task closure (serialized once per worker, not per batch) — small by
-    # construction (non-root representatives only, ≤ max_pairs)
-    drop = np.array(sorted(x for x in parent if find(x) != x), dtype=np.int64)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        if not len(drop):
-            return batch
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~np.isin(ids, drop)))
-
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True), pairs_tbl
+    return collapse_pairs(ds, pairs_tbl, id_col, max_pairs=max_pairs), pairs_tbl

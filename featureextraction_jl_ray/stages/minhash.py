@@ -560,43 +560,14 @@ def jaccard_dedup(
     """Collapse exact-Jaccard near-dup clusters to one representative
     (min id wins) — the KEEPING form of ``ngram_jaccard_pairs``.
 
-    Union-find runs on the driver over the verified pair set, which is
-    bounded by near-dup density, never corpus size (same argument and
-    same loud ``max_pairs`` guard as ``dedup.hamming_dedup``); the drop
-    list rides the task closure and filters via one vectorized np.isin
-    pass.  Returns (kept_ds, pairs_df).
+    The cluster-collapse tail is the shared ``dedup.collapse_pairs``
+    (driver union-find bounded by near-dup density, loud ``max_pairs``
+    guard, np.isin keep filter).  Returns (kept_ds, pairs_df).
     """
-    import ray
+    from .dedup import collapse_pairs
 
     pairs_pd = ngram_jaccard_pairs(
         ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
         threshold=threshold, num_buckets=num_buckets,
     ).to_pandas()
-    if len(pairs_pd) > max_pairs:
-        raise RuntimeError(
-            f"jaccard_dedup: verified pair set ({len(pairs_pd)}) exceeds "
-            f"max_pairs={max_pairs}; raise the threshold or pre-filter"
-        )
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs_pd["id_a"], pairs_pd["id_b"]):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    drop = np.array(sorted(x for x in parent if find(x) != x), dtype=np.int64)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        if not len(drop):
-            return batch
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~np.isin(ids, drop)))
-
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True), pairs_pd
+    return collapse_pairs(ds, pairs_pd, id_col, max_pairs=max_pairs), pairs_pd

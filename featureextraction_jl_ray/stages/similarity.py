@@ -31,6 +31,7 @@ __all__ = [
     "IvfIndex",
     "build_ivf_index",
     "embedding_near_dup_pairs",
+    "embedding_dedup",
     "kmeans_fit",
 ]
 
@@ -404,3 +405,30 @@ def embedding_near_dup_pairs(
     return ray.data.from_pandas(pairs_pd).map_batches(
         verify_cosine, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def embedding_dedup(
+    ds,
+    *,
+    vector_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    num_buckets: int = 128,
+    max_pairs: int = 10_000_000,
+):
+    """Keep one representative per embedding-cosine near-dup cluster
+    (min id wins): multi-band hyperplane LSH pairs → the shared
+    ``dedup.collapse_pairs`` tail (driver union-find bounded by near-dup
+    density, loud guard, vectorized keep filter).  Returns
+    (kept_ds, pairs_df)."""
+    from .dedup import collapse_pairs
+
+    pairs_pd = embedding_near_dup_pairs(
+        ds, vector_col=vector_col, id_col=id_col, threshold=threshold,
+        bands=bands, planes_per_band=planes_per_band, seed=seed,
+        num_buckets=num_buckets,
+    ).to_pandas()
+    return collapse_pairs(ds, pairs_pd, id_col, max_pairs=max_pairs), pairs_pd

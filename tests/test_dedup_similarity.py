@@ -367,3 +367,27 @@ def test_grouped_topn_matches_duckdb(ray_session, sf_dir):
         "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2"
     ).fetchdf()
     assert set(got.o_orderkey) == set(want.o_orderkey)
+
+
+def test_embedding_dedup_collapses_planted_cluster(ray_session):
+    from featureextraction_jl_ray.stages.similarity import embedding_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(32)
+    rows = [base,
+            base + rng.standard_normal(32) * 0.01,
+            base + rng.standard_normal(32) * 0.01,
+            rng.standard_normal(32),
+            rng.standard_normal(32)]
+    ds = ray_session.data.from_arrow(
+        pa.table({
+            "vec_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "embedding": pa.array([r.astype(np.float32).tolist() for r in rows],
+                                  type=pa.list_(pa.float32())),
+        })
+    ).repartition(2)
+    kept, pairs = embedding_dedup(ds, vector_col="embedding", id_col="vec_id",
+                                  threshold=0.95, bands=8, planes_per_band=8,
+                                  num_buckets=4)
+    assert {(1, 2), (1, 3), (2, 3)} <= set(zip(pairs.id_a, pairs.id_b))
+    assert sorted(kept.to_pandas()["vec_id"]) == [1, 4, 5]
