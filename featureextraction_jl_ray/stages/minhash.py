@@ -408,8 +408,17 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(sigs))
 
 
-def with_simhash(ds, *, text_col: str = "text", concurrency=(1, 8),
+def with_simhash(ds, *, text_col: str = "text", concurrency=None,
                  batch_size: int | None = 2048):
+    """Default = stateless tasks with a prebuilt hasher (state is one
+    compiled regex; see with_minhash for the rationale)."""
+    if concurrency is None:
+        return ds.map_batches(
+            SimHasher(text_col=text_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
     return ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col},

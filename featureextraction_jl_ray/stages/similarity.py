@@ -90,12 +90,20 @@ def _merge_topk(partials, id_col: str, k: int) -> pd.DataFrame:
 
 
 def knn_cosine(ds, queries: np.ndarray, *, vector_col: str, id_col: str, k: int = 10,
-               concurrency=(1, 8)) -> pd.DataFrame:
+               concurrency=None) -> pd.DataFrame:
     """Exact cosine top-k: per-batch GEMM + local top-k → global merge.
 
-    Returns a DataFrame (query_id, id, score) with k rows per query —
-    small by construction, hence driver-side.
+    Default = STATELESS tasks carrying the (tiny) normalized query matrix
+    in the task closure — zero actor-pool spin-up, parallelism follows
+    the block count.  Pass ``concurrency`` to force an actor pool (right
+    only for a query matrix large enough that per-worker deserialization
+    matters).  Returns a DataFrame (query_id, id, score) with k rows per
+    query — small by construction, hence driver-side.
     """
+    if concurrency is None:
+        fn = _BruteForceScore(np.atleast_2d(queries), vector_col, id_col, k)
+        partials = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        return _merge_topk(partials, id_col, k)
     q_ref = ray.put(np.atleast_2d(queries))
     partials = ds.map_batches(
         _BruteForceScore,
@@ -208,20 +216,16 @@ def build_ivf_index(
         sample = ds.random_sample(frac, seed=seed).to_pandas()
     Xs = np.stack(sample[vector_col].to_numpy())
     C = kmeans_fit(Xs, n_clusters, seed=seed)
-    c_ref = ray.put(C)
 
-    class Assign:
-        def __init__(self):
-            self._C = ray.get(c_ref)
+    def assign(batch: pa.Table) -> pa.Table:
+        # stateless task: the centroid matrix is KBs and rides the task
+        # closure (deserialized once per worker), so assignment scales
+        # with the block count instead of an actor-pool cap
+        X = _normalize(list_column_to_numpy(batch, vector_col))
+        cell = (X @ C.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column(IvfIndex.CELL, pa.array(cell))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            X = _normalize(list_column_to_numpy(batch, vector_col))
-            cell = (X @ self._C.T).argmax(axis=1).astype(np.int64)
-            return batch.append_column(IvfIndex.CELL, pa.array(cell))
-
-    assigned = ds.map_batches(
-        Assign, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     if path is not None:
         assigned.write_parquet(path, partition_cols=[IvfIndex.CELL], mode="overwrite")
         return IvfIndex(C, None, path)
@@ -256,13 +260,10 @@ def knn_cosine_ivf(
     probe_cells = np.unique(
         np.argsort(-(Q @ index.centroids.T), axis=1)[:, :nprobe].reshape(-1)
     )
-    q_ref = ray.put(Q)
     partials = index.probe(probe_cells).map_batches(
-        _BruteForceScore,
-        fn_constructor_args=(q_ref, vector_col, id_col, k),
+        _BruteForceScore(Q, vector_col, id_col, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     return _merge_topk(partials, id_col, k)
 

@@ -173,7 +173,19 @@ class Fingerprint:
 
 
 def _actor_stage(cls):
-    def apply(ds, *, concurrency=(1, 8), batch_size: int | None = 4096, **kw):
+    def apply(ds, *, concurrency=None, batch_size: int | None = 4096, **kw):
+        # default = stateless tasks with a PREBUILT callable: the state
+        # (compiled regexes, stopword tables) is KBs, workers cache the
+        # deserialized instance across tasks, and the stage scales with
+        # block count instead of an actor-pool cap.  Pass concurrency to
+        # force an actor pool.
+        if concurrency is None:
+            return ds.map_batches(
+                cls(**kw),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=batch_size,
+            )
         return ds.map_batches(
             cls,
             fn_constructor_kwargs=kw,
