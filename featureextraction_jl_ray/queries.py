@@ -156,6 +156,19 @@ FROM events GROUP BY event_type
 """
 
 
+def q_event_quantiles_sketch(sf_dir):
+    """Mergeable bottom-k sketch quantiles — the corpus-scale path
+    (exchange bounded at sketch_size rows/key/batch).  Rows-only:
+    approximate by construction; accuracy asserted by pytest against the
+    exact operator."""
+    from .stages.groupagg import grouped_quantile_sketch
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return grouped_quantile_sketch(ds, "event_type", "value", qs=(0.5, 0.95),
+                                   sketch_size=1024, num_buckets=8)
+
+
 # ---------------------------------------------------------------------------
 # M1/M2/M3: filter + computed column + projection (vectorized Arrow)
 # ---------------------------------------------------------------------------
@@ -1172,6 +1185,7 @@ QUERIES = {
     "agg_events_var": q_agg_events_var,
     "count_distinct_users": q_count_distinct_users,
     "event_quantiles": q_event_quantiles,
+    "event_quantiles_sketch": q_event_quantiles_sketch,
     "filter_project": q_filter_project,
     "hash_join_agg": q_hash_join_agg,
     "broadcast_join_agg": q_broadcast_join_agg,

@@ -19,7 +19,7 @@ from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 _BUCKET = "__fx_gbucket"
 
 __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
-           "grouped_quantile"]
+           "grouped_quantile", "grouped_quantile_sketch"]
 
 _PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
 
@@ -226,3 +226,70 @@ def grouped_topn(
     pruned = ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
     bucketed = pruned.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed.groupby(_BUCKET).map_groups(topn, batch_format="pyarrow")
+
+
+def grouped_quantile_sketch(ds, key_cols, value_col: str, qs=(0.5,), *,
+                            sketch_size: int = 1024, num_buckets: int = 64,
+                            prefix: str = "q", seed: int = 47):
+    """APPROXIMATE per-key quantiles via a mergeable bottom-k sample —
+    the corpus-scale path ``grouped_quantile`` points at.
+
+    Each (key, value) row gets a deterministic hash priority; keeping the
+    ``sketch_size`` smallest priorities per key is a mergeable uniform
+    sample (bottom-k / KMV):  min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)),
+    so partials combine associatively.  Map-side partials bound the
+    exchange at sketch_size rows per key per batch (vs every row for the
+    exact operator); the reduce merges partials and reads quantiles off
+    the sample.  Error is the usual sampling error O(1/√k) in rank —
+    assert tolerance, not equality, against exact oracles.
+    """
+    from ..functions.hashing import stable_hash_array
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    cols = key_cols + [value_col]
+
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values("__prio", kind="mergesort")
+            .groupby(key_cols, sort=False, dropna=False)
+            .head(sketch_size)
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import combine_hashes
+
+        df = arrow_to_pandas_safe(batch)[cols]
+        # priority = hash(value) mixed with the value's occurrence index,
+        # so duplicate VALUES keep distinct priorities (a pure value-hash
+        # would sample distinct values, not rows, skewing quantiles of
+        # heavy-duplicate distributions).  The occurrence index is
+        # batch-local: deterministic for a fixed input layout, approximate
+        # across relayouts — fine for a ±O(1/√k)-rank estimator.
+        dup = (
+            df.groupby(key_cols + [value_col], sort=False, dropna=False)
+            .cumcount()
+            .to_numpy()
+        )
+        df["__prio"] = combine_hashes(
+            stable_hash_array(df[value_col].to_numpy(), seed=seed),
+            stable_hash_array(dup, seed=seed + 1),
+        )
+        df = bottomk(df)
+        df[_BUCKET] = bucket_of_multi(
+            [df[c].to_numpy() for c in key_cols], num_buckets, seed=53
+        )
+        return pandas_to_arrow(df)
+
+    def final(tbl: pa.Table) -> pa.Table:
+        df = bottomk(arrow_to_pandas_safe(tbl))
+        g = df.groupby(key_cols, sort=False, dropna=False)[value_col]
+        out = pd.DataFrame(index=g.size().index)
+        for q in qs:
+            out[f"{prefix}{int(q * 100)}"] = g.quantile(q)
+        return pandas_to_arrow(out.reset_index())
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(_BUCKET)
+        .map_groups(final, batch_format="pyarrow")
+    )

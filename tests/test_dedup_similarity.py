@@ -391,3 +391,27 @@ def test_embedding_dedup_collapses_planted_cluster(ray_session):
                                   num_buckets=4)
     assert {(1, 2), (1, 3), (2, 3)} <= set(zip(pairs.id_a, pairs.id_b))
     assert sorted(kept.to_pandas()["vec_id"]) == [1, 4, 5]
+
+
+def test_grouped_quantile_sketch_accuracy(ray_session, sf_dir):
+    """Mergeable bottom-k sketch quantiles land within sampling error of
+    the exact quantiles (rank error O(1/√k); assert a loose value bound
+    via the exact per-key spread)."""
+    from featureextraction_jl_ray.stages.groupagg import (
+        grouped_quantile,
+        grouped_quantile_sketch,
+    )
+
+    ds = ray_session.data.read_parquet(f"{sf_dir}/events.parquet")
+    exact = grouped_quantile(
+        ds, "event_type", "value", qs=(0.5, 0.9), num_buckets=4
+    ).to_pandas().sort_values("event_type", ignore_index=True)
+    approx = grouped_quantile_sketch(
+        ds, "event_type", "value", qs=(0.5, 0.9), sketch_size=512, num_buckets=4
+    ).to_pandas().sort_values("event_type", ignore_index=True)
+    assert list(exact.event_type) == list(approx.event_type)
+    spread = exact.q90.to_numpy() - exact.q50.to_numpy()
+    for col in ("q50", "q90"):
+        err = np.abs(exact[col].to_numpy() - approx[col].to_numpy())
+        # 512-sample rank error ~4.4%/sqrt at 1σ; allow 5σ in value terms
+        assert (err <= 0.25 * np.maximum(spread, 1e-9)).all(), (col, err, spread)
