@@ -136,6 +136,22 @@ FROM events GROUP BY event_type
 """
 
 
+def q_count_distinct_users_hll(sf_dir):
+    """HyperLogLog approximate per-key COUNT(DISTINCT) — the corpus-scale
+    path beside the exact operator: register-max merge, 4 KB per key per
+    batch through the exchange regardless of row count.  Rows-only
+    (approximate by construction; 5-sigma error bound asserted by
+    pytest).  At the gate's cardinalities the linear-counting regime is
+    exact, so values coincide with the exact query."""
+    from .stages.groupagg import grouped_count_distinct_hll
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    return grouped_count_distinct_hll(ds, "event_type", "user_id",
+                                      out_name="n_users", precision=12,
+                                      num_buckets=8)
+
+
 def q_event_quantiles(sf_dir):
     """Exact per-key p50/p95 (linear interpolation, the pandas.quantile /
     DuckDB quantile_cont convention); both sides pin to the 1e-6 grid."""
@@ -1184,6 +1200,7 @@ QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "agg_events_var": q_agg_events_var,
     "count_distinct_users": q_count_distinct_users,
+    "count_distinct_users_hll": q_count_distinct_users_hll,
     "event_quantiles": q_event_quantiles,
     "event_quantiles_sketch": q_event_quantiles_sketch,
     "filter_project": q_filter_project,
@@ -1233,6 +1250,7 @@ ORACLE_SQL = {
     "agg_lineitem": SQL_AGG_LINEITEM,
     "agg_events_var": SQL_AGG_EVENTS_VAR,
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
+    "count_distinct_users_hll": SQL_COUNT_DISTINCT_USERS,
     "event_quantiles": SQL_EVENT_QUANTILES,
     "filter_project": SQL_FILTER_PROJECT,
     "hash_join_agg": SQL_JOIN_AGG,

@@ -19,7 +19,8 @@ from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 _BUCKET = "__fx_gbucket"
 
 __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
-           "grouped_quantile", "grouped_quantile_sketch"]
+           "grouped_quantile", "grouped_quantile_sketch",
+           "grouped_count_distinct_hll"]
 
 _PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
 
@@ -292,4 +293,78 @@ def grouped_quantile_sketch(ds, key_cols, value_col: str, qs=(0.5,), *,
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(_BUCKET)
         .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def grouped_count_distinct_hll(ds, key_cols, col: str, *,
+                               out_name: str = "n_distinct",
+                               precision: int = 12, num_buckets: int = 64,
+                               seed: int = 59):
+    """APPROXIMATE per-key COUNT(DISTINCT) via HyperLogLog — the
+    corpus-scale path beside the exact two-exchange operator.
+
+    Per batch, each key gets a 2^precision-register sketch (register =
+    max leading-zero rank of the hashed value within its register slot);
+    register-wise max is associative, so partials merge in one keyed
+    exchange of 2^precision bytes per key per batch — independent of row
+    count.  Estimator: Flajolet et al. 2007 with the small-range
+    linear-counting correction; standard error ≈ 1.04/√2^precision
+    (≈1.6% at precision 12).
+    """
+    from ..functions.hashing import stable_hash_array
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    m = 1 << precision
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # bias constant for m ≥ 128
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(batch)[key_cols + [col]]
+        h = stable_hash_array(df[col].to_numpy(), seed=seed)
+        slot = (h >> np.uint64(64 - precision)).astype(np.int64)
+        rest = (h << np.uint64(precision)) | np.uint64((1 << precision) - 1)
+        # rank = 1 + number of leading zeros of the remaining 64-p bits
+        nz = np.zeros(len(h), dtype=np.uint8)
+        v = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):  # branchless clz
+            mask = v < (np.uint64(1) << np.uint64(64 - shift))
+            nz[mask] += shift
+            v[mask] <<= np.uint64(shift)
+        rank = nz.astype(np.int64) + 1
+        keys, inv = np.unique(
+            pd.MultiIndex.from_frame(df[key_cols]).to_numpy() if len(key_cols) > 1
+            else df[key_cols[0]].to_numpy(),
+            return_inverse=True,
+        )
+        regs = np.zeros((len(keys), m), dtype=np.uint8)
+        np.maximum.at(regs, (inv, slot), rank.astype(np.uint8))
+        out = pd.DataFrame({key_cols[0] if len(key_cols) == 1 else "__key": keys})
+        if len(key_cols) > 1:
+            out[key_cols] = pd.DataFrame(list(keys), columns=key_cols)
+            out = out.drop(columns="__key")
+        out["__hll"] = [r.tobytes() for r in regs]
+        out[_BUCKET] = bucket_of_multi(
+            [out[c].to_numpy() for c in key_cols], num_buckets, seed=61
+        )
+        return pandas_to_arrow(out)
+
+    def merge_estimate(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        rows = []
+        for key, g in df.groupby(key_cols, sort=False, dropna=False):
+            regs = np.zeros(m, dtype=np.uint8)
+            for b in g["__hll"]:
+                np.maximum(regs, np.frombuffer(b, dtype=np.uint8), out=regs)
+            est = alpha * m * m / np.sum(np.float64(2.0) ** -regs.astype(np.float64))
+            zeros = int((regs == 0).sum())
+            if est <= 2.5 * m and zeros:
+                est = m * np.log(m / zeros)  # linear counting, small range
+            row = dict(zip(key_cols, key if isinstance(key, tuple) else (key,)))
+            row[out_name] = int(round(est))
+            rows.append(row)
+        return pandas_to_arrow(pd.DataFrame(rows))
+
+    return (
+        ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(_BUCKET)
+        .map_groups(merge_estimate, batch_format="pyarrow")
     )

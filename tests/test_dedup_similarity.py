@@ -415,3 +415,26 @@ def test_grouped_quantile_sketch_accuracy(ray_session, sf_dir):
         err = np.abs(exact[col].to_numpy() - approx[col].to_numpy())
         # 512-sample rank error ~4.4%/sqrt at 1σ; allow 5σ in value terms
         assert (err <= 0.25 * np.maximum(spread, 1e-9)).all(), (col, err, spread)
+
+
+def test_grouped_count_distinct_hll_error_bound(ray_session):
+    """HLL estimate within ~5σ of exact (σ ≈ 1.04/√m ≈ 1.6% at p=12),
+    across the linear-counting and raw-estimator regimes."""
+    from featureextraction_jl_ray.stages.groupagg import grouped_count_distinct_hll
+
+    rng = np.random.default_rng(11)
+    keys, vals = [], []
+    truth = {"small": 500, "large": 60_000}
+    for k, n_distinct in truth.items():
+        v = rng.choice(n_distinct * 10, size=n_distinct, replace=False)
+        v = np.concatenate([v, rng.choice(v, size=n_distinct)])  # dup rows
+        keys += [k] * len(v)
+        vals.append(v)
+    ds = ray_session.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(np.concatenate(vals))})
+    ).repartition(4)
+    got = grouped_count_distinct_hll(ds, "k", "v", out_name="nd", precision=12,
+                                     num_buckets=4).to_pandas()
+    for k, n_distinct in truth.items():
+        est = int(got.loc[got.k == k, "nd"].iloc[0])
+        assert abs(est - n_distinct) / n_distinct < 0.08, (k, est, n_distinct)
