@@ -1005,10 +1005,11 @@ def q_doc_langid(sf_dir):
     return with_langid(ds).select_columns(["doc_id", "lang_pred"])
 
 
-def _langid_sql() -> str:
-    """Build the lang-ID oracle from the SAME stopword profiles the engine
-    stage compiles, so both sides share one source of truth.  The cascading
-    CASE reproduces np.argmax's first-max tiebreak over dict order."""
+def _langid_parts() -> tuple[str, str, list]:
+    """Lang-ID SQL fragments built from the SAME stopword profiles the
+    engine stage compiles (one source of truth).  The cascading CASE
+    reproduces np.argmax's first-max tiebreak over dict order.  Returns
+    (hits_select_list, case_sql, langs)."""
     from .stages.text import _STOPWORDS
 
     def inlist(lang):
@@ -1027,11 +1028,15 @@ def _langid_sql() -> str:
             cases.append(f"WHEN {cond} THEN '{lang}'")
         else:
             cases.append(f"ELSE '{lang}'")
-    case_sql = "\n       ".join(cases)
+    return hits, "\n       ".join(cases), langs
+
+
+def _langid_sql(src: str = "documents") -> str:
+    hits, case_sql, langs = _langid_parts()
     return f"""
 WITH w AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS w
-  FROM documents
+  FROM {src}
 ),
 hits AS (
   SELECT doc_id,
@@ -1041,11 +1046,92 @@ hits AS (
 SELECT d.doc_id,
   CASE WHEN coalesce(greatest({", ".join(langs)}), 0) = 0 THEN 'unk'
        {case_sql} END AS lang_pred
-FROM documents d LEFT JOIN hits USING (doc_id)
+FROM {src} d LEFT JOIN hits USING (doc_id)
 """
 
 
 SQL_DOC_LANGID = _langid_sql()
+
+
+def q_text_prep(sf_dir):
+    """COMPOSED text-preparation pipeline (exact dedup → exact-Jaccard
+    near-dup collapse → lang-ID → token counts → quality ratios), oracled
+    END-TO-END by one chained SQL so wrong stage INTERACTIONS fail the
+    gate, not just wrong stages."""
+    from .pipelines.textprep import run_text_prep
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+    out, _pairs = run_text_prep(ds)
+    return out.select_columns(
+        ["doc_id", "lang_pred", "n_tokens_ws", "alpha_ratio"]
+    )
+
+
+def _text_prep_sql() -> str:
+    hits, case_sql, langs = _langid_parts()
+    return rf"""
+WITH RECURSIVE dedup AS (
+  SELECT * FROM documents
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM dedup
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(ws) = 0 THEN '∅'
+              WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS s
+  FROM words
+  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 2))) AS i) t
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+cc AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM dedup
+  UNION
+  SELECT e.v AS node, cc.lbl FROM cc JOIN edges e ON cc.node = e.u
+),
+kept AS (
+  SELECT d.* FROM dedup d
+  JOIN (SELECT node, min(lbl) AS root FROM cc GROUP BY node) r
+    ON r.node = d.doc_id
+  WHERE r.root = d.doc_id
+),
+w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS w
+  FROM kept
+),
+hits AS (
+  SELECT doc_id,
+    {hits}
+  FROM w GROUP BY doc_id
+)
+SELECT k.doc_id,
+  CASE WHEN coalesce(greatest({", ".join(langs)}), 0) = 0 THEN 'unk'
+       {case_sql} END AS lang_pred,
+  len(string_split_regex(trim(k.text), '\s+')) AS n_tokens_ws,
+  CAST(length(regexp_replace(k.text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS DOUBLE)
+    / greatest(length(k.text), 1) AS alpha_ratio
+FROM kept k LEFT JOIN hits USING (doc_id)
+"""
+
+
+SQL_TEXT_PREP = _text_prep_sql()
 
 
 def q_doc_fingerprint(sf_dir):
@@ -1239,6 +1325,7 @@ QUERIES = {
     "simhash_docs": q_simhash_docs,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "text_prep": q_text_prep,
     "flagship_features": q_flagship_features,
     "phash_near_dup": q_phash_near_dup,
     "phash_near_dup_pairs": q_phash_near_dup_pairs,
@@ -1281,6 +1368,7 @@ ORACLE_SQL = {
     "minhash_near_dup": SQL_NGRAM_JACCARD_PAIRS,
     "doc_langid": SQL_DOC_LANGID,
     "jaccard_dedup_docs": SQL_JACCARD_DEDUP_DOCS,
+    "text_prep": SQL_TEXT_PREP,
     "kernel_center": SQL_KERNEL_CENTER,
     "knn_ivf": SQL_KNN_BRUTEFORCE,
     "phash_near_dup": SQL_PHASH_NEAR_DUP,
