@@ -469,9 +469,13 @@ FROM (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_
 def q_rolling(sf_dir):
     from .stages.window import with_rolling
 
+    # ties="peers" = SQL RANGE-frame tie semantics, exactly what the
+    # oracle's RANGE window means (no ties in the gate data today, but
+    # the mode pins the contract; streaming pipelines use the default
+    # ties="row" — see the property tests for the distinction)
     ds = with_rolling(_events(sf_dir), "user_id", "ts", "value", window="1h",
                       aggs=("count", "sum", "max"), num_buckets=32,
-                      tiebreak_cols=("event_id",))
+                      tiebreak_cols=("event_id",), ties="peers")
     ds = ds.select_columns(
         ["event_id", "user_id", "ts", "roll_value_count", "roll_value_sum",
          "roll_value_max"]

@@ -53,6 +53,7 @@ def asof_join(
     window_fn=None,
     left_types: dict | None = None,
     right_types_in: dict | None = None,
+    left_salt: int | None = None,
 ):
     """As-of join ``left`` with ``right`` on time column ``on`` per entity
     column ``by``; returns left rows + matched right columns (left join —
@@ -65,11 +66,27 @@ def asof_join(
     frame, e.g. from ``make_windows_frame_fn``) runs INSIDE the same
     bucketed exchange right after the merge — the flagship's windowed
     features therefore cost zero extra shuffles.
+
+    ``left_salt=s`` spreads a HOT entity: left rows bucket by
+    (entity, hash(ts) % s) and the right side is replicated once per
+    salt, so no bucket holds more than ~1/s of a hot entity's left rows
+    while every bucket still sees the entity's full right history — the
+    per-left-row asof match is unchanged (it depends only on that row
+    and the right side).  Exchange cost rises by (s−1)·|right|; use only
+    when the left side is the skewed one.  Incompatible with
+    ``window_fn`` (window features need an entity's FULL left history in
+    one place) — that combination raises.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    if left_salt is not None and left_salt > 1 and window_fn is not None:
+        raise ValueError(
+            "left_salt splits an entity's left rows across buckets; "
+            "window_fn needs the full per-entity history — drop one"
+        )
+    n_salts = int(left_salt) if left_salt else 1
     tol = pd.Timedelta(tolerance) if tolerance is not None else None
 
     # Schema discovery: ds.schema() on a lazy chain partially EXECUTES the
@@ -94,12 +111,24 @@ def asof_join(
     left_arrow = left_types
     right_types = {rename[c]: right_types_in[c] for c in right_cols}
 
+    def _bucket_salted(ent: np.ndarray, salt: np.ndarray) -> np.ndarray:
+        from ..functions.hashing import bucket_of_multi
+
+        return bucket_of_multi([ent, salt], num_buckets, seed=0)
+
     def tag_left(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         ent = batch.column(by).to_numpy(zero_copy_only=False)
-        batch = batch.append_column(
-            _BUCKET, pa.array(bucket_of(ent, num_buckets), type=pa.int64())
-        )
+        if n_salts > 1:
+            from ..functions.hashing import stable_hash_array
+
+            ts = batch.column(on).to_numpy(zero_copy_only=False)
+            salt = (stable_hash_array(ts.view(np.int64), seed=67)
+                    % np.uint64(n_salts)).astype(np.int64)
+            b = _bucket_salted(ent, salt)
+        else:
+            b = bucket_of(ent, num_buckets)
+        batch = batch.append_column(_BUCKET, pa.array(b, type=pa.int64()))
         batch = batch.append_column(_SIDE, pa.array(np.zeros(n, dtype=np.int8)))
         for name in out_right_names:
             batch = batch.append_column(name, pa.nulls(n, type=right_types[name]))
@@ -107,7 +136,6 @@ def asof_join(
 
     def tag_right(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        ent = batch.column(by).to_numpy(zero_copy_only=False)
         out = pa.table(
             {
                 by: batch.column(by),
@@ -119,10 +147,20 @@ def asof_join(
             if name in (by, on):
                 continue
             out = out.append_column(name, pa.nulls(n, type=left_arrow[name]))
+        if n_salts > 1:
+            # replicate the right side once per salt so every salted
+            # bucket sees the entity's full right history
+            out = pa.concat_tables([out] * n_salts)
+            ent = out.column(by).to_numpy(zero_copy_only=False)
+            salt = np.repeat(np.arange(n_salts, dtype=np.int64), n)
+            b = _bucket_salted(ent, salt)
+        else:
+            ent = batch.column(by).to_numpy(zero_copy_only=False)
+            b = bucket_of(ent, num_buckets)
+        out = out.append_column(_BUCKET, pa.array(b, type=pa.int64()))
         out = out.append_column(
-            _BUCKET, pa.array(bucket_of(ent, num_buckets), type=pa.int64())
+            _SIDE, pa.array(np.ones(out.num_rows, dtype=np.int8))
         )
-        out = out.append_column(_SIDE, pa.array(np.ones(n, dtype=np.int8)))
         # column order must match the left side for union
         return out.select([*left_names, _BUCKET, _SIDE, *out_right_names])
 

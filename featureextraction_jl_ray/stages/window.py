@@ -67,8 +67,17 @@ def _rolling_frame(
     window: str | pd.Timedelta,
     aggs: tuple[str, ...],
     prefix: str,
+    ties: str = "row",
 ) -> pd.DataFrame:
     """Trailing event-time window [ts − window, ts] per entity.
+
+    ``ties``: "row" (default) = STREAMING semantics — row i's window
+    holds rows 0..i of its entity (the reference's monotonic-deque
+    model; no lookahead).  "peers" = SQL RANGE-frame semantics — rows
+    with EQUAL ts all share the full tie group's aggregate (what
+    ``RANGE ... AND CURRENT ROW`` means in DuckDB/standard SQL, which
+    includes current-row peers).  The two differ only on tie-heavy
+    timestamps; property tests pin both against oracles.
 
     Implementation: pandas ``groupby().rolling()`` pays per-group
     overhead that is catastrophic with many small entities, so instead
@@ -98,12 +107,19 @@ def _rolling_frame(
     tmp = pd.DataFrame(
         {"__adj": adj.view("datetime64[us]"), "__v": vals.to_numpy()}
     )
+    if ties not in ("row", "peers"):
+        raise ValueError(f"ties must be 'row' or 'peers', got {ties!r}")
     r = tmp.rolling(window=pd.Timedelta(window), on="__adj", closed="both")["__v"]
     for agg in aggs:
         out = getattr(r, agg)().to_numpy()
         if agg == "count":
             out = out.astype(np.int64)
         df[f"{prefix}{agg}"] = out
+    if ties == "peers" and len(df):
+        # the LAST row of an equal-(entity, ts) group has the full peer
+        # set in its row-ordered window; broadcast it across the group
+        cols = [f"{prefix}{a}" for a in aggs]
+        df[cols] = df.groupby([entity_col, ts_col], sort=False)[cols].transform("last")
     return df
 
 
@@ -193,12 +209,14 @@ def with_rolling(
     prefix: str | None = None,
     num_buckets: int = 64,
     tiebreak_cols: tuple[str, ...] = (),
+    ties: str = "row",
 ):
     """Trailing rolling aggregates over [ts − window, ts] per entity (W4)."""
     prefix = prefix if prefix is not None else f"roll_{value_col}_"
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return _rolling_frame(df, entity_col, ts_col, value_col, window, aggs, prefix)
+        return _rolling_frame(df, entity_col, ts_col, value_col, window, aggs,
+                              prefix, ties=ties)
 
     return sorted_scan(
         ds, entity_col, ts_col, fn, num_buckets=num_buckets, tiebreak_cols=tiebreak_cols
@@ -242,6 +260,7 @@ def make_windows_frame_fn(
                 rolling.get("window", "1h"),
                 tuple(rolling.get("aggs", ("count", "sum"))),
                 rolling.get("prefix", f"roll_{rolling['value_col']}_"),
+                ties=rolling.get("ties", "row"),
             )
         return df
 

@@ -1,0 +1,124 @@
+"""Hypothesis property tests for the pure window kernel (SURVEY §5.2):
+random per-entity event streams vs a DuckDB window-SQL oracle, no Ray
+launch per example (the kernel is the same code the fused as-of stage
+runs inside each bucket)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from featureextraction_jl_ray.stages.window import make_windows_frame_fn
+
+
+@st.composite
+def event_frames(draw):
+    n = draw(st.integers(min_value=1, max_value=60))
+    n_entities = draw(st.integers(min_value=1, max_value=4))
+    ents = draw(st.lists(st.integers(0, n_entities - 1), min_size=n, max_size=n))
+    # tie-heavy timestamps (seconds) to exercise equal-ts ordering
+    offs = draw(st.lists(st.integers(0, 30), min_size=n, max_size=n))
+    vals = draw(st.lists(st.integers(-5, 5), min_size=n, max_size=n))
+    df = pd.DataFrame({
+        "eid": np.array(ents, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.array(offs, dtype=np.int64), unit="s"),
+        "v": np.array(vals, dtype=np.float64),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    return df.sort_values(["eid", "ts", "rid"], ignore_index=True)
+
+
+@settings(max_examples=60, deadline=None)
+@given(event_frames())
+def test_lag_backfill_sessionize_match_duckdb(df):
+    fn = make_windows_frame_fn("eid", "ts", lag_cols=["v"], lag_k=1,
+                               session_gap="5s")
+    got = fn(df.copy())
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT rid, lag1_v,
+               CAST(sum(is_new) OVER (PARTITION BY eid ORDER BY ts, rid
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+        FROM (
+          SELECT rid, eid, ts,
+                 lag(v) OVER w AS lag1_v,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 5 SECOND
+                      THEN 1 ELSE 0 END AS is_new
+          FROM t
+          WINDOW w AS (PARTITION BY eid ORDER BY ts, rid)
+        )
+        ORDER BY rid
+    """).fetchdf()
+    got = got.sort_values("rid", ignore_index=True)
+    lag_g = got["lag1_v"].to_numpy()
+    lag_w = want["lag1_v"].to_numpy()
+    both_nan = np.isnan(lag_g) & np.isnan(lag_w)
+    assert ((lag_g == lag_w) | both_nan).all()
+    assert (got["session_id"].to_numpy() == want["session_id"].to_numpy()).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(event_frames())
+def test_rolling_trailing_window_matches_duckdb(df):
+    """Trailing time-window count/sum/max vs DuckDB RANGE frames on
+    tie-heavy timestamps.  SQL RANGE frames include current-row PEERS
+    (equal-ts rows after the current one), so the engine runs in
+    ties="peers" mode here; the streaming default (ties="row", no
+    lookahead) is pinned by the next test.  This split was FOUND by this
+    property test — a two-equal-ts-rows example falsified the naive
+    row-mode comparison."""
+    from featureextraction_jl_ray.stages.window import make_windows_frame_fn
+
+    fn = make_windows_frame_fn(
+        "eid", "ts",
+        rolling={"value_col": "v", "window": "5s",
+                 "aggs": ("count", "sum", "max"), "prefix": "roll_",
+                 "ties": "peers"},
+    )
+    got = fn(df.copy()).sort_values("rid", ignore_index=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT rid,
+               count(v) OVER w AS roll_count,
+               sum(v)   OVER w AS roll_sum,
+               max(v)   OVER w AS roll_max
+        FROM t WINDOW w AS (PARTITION BY eid ORDER BY ts
+                            RANGE BETWEEN INTERVAL 5 SECOND PRECEDING
+                            AND CURRENT ROW)
+        ORDER BY rid
+    """).fetchdf()
+    for c in ("roll_count", "roll_sum", "roll_max"):
+        g = got[c].to_numpy(dtype=float)
+        w = want[c].to_numpy(dtype=float)
+        both_nan = np.isnan(g) & np.isnan(w)
+        assert ((g == w) | both_nan).all(), c
+
+
+@settings(max_examples=60, deadline=None)
+@given(event_frames())
+def test_rolling_row_mode_is_streaming_prefix(df):
+    """ties="row" (the streaming default): row i's window is exactly the
+    rows 0..i of its entity within [t−w, t] — verified against a direct
+    O(n²) reference scan (no lookahead, ever)."""
+    from featureextraction_jl_ray.stages.window import make_windows_frame_fn
+
+    fn = make_windows_frame_fn(
+        "eid", "ts",
+        rolling={"value_col": "v", "window": "5s",
+                 "aggs": ("count", "sum"), "prefix": "roll_"},
+    )
+    got = fn(df.copy())
+    w = pd.Timedelta("5s")
+    for i in range(len(df)):
+        e, t = df.eid.iloc[i], df.ts.iloc[i]
+        prev = df.iloc[: i + 1]
+        sel = prev[(prev.eid == e) & (prev.ts >= t - w) & (prev.ts <= t)]
+        assert got.roll_count.iloc[i] == len(sel)
+        assert abs(got.roll_sum.iloc[i] - sel.v.sum()) < 1e-9

@@ -301,3 +301,48 @@ def test_asof_empty_left_bucket_keeps_full_schema(ray_session):
     assert df.loc[df.v == 2.0, "state"].iloc[0] == 0.0
     schema = out.schema()
     assert set(schema.names) == {"eid", "ts", "v", "state", "lag1_v"}
+
+
+def test_asof_left_salt_matches_unsalted(ray_session):
+    """Hot-entity skew mitigation: salted left (right replicated per
+    salt) returns EXACTLY the unsalted result, and window_fn+salt is
+    rejected loudly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from featureextraction_jl_ray.stages.asof import asof_join
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    # one hot entity holds 80% of left rows
+    ents = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 20, n)).astype(np.int64)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 10**6, n), unit="s"
+    )
+    left = pa.table({"eid": pa.array(ents), "ts": pa.array(ts),
+                     "rid": pa.array(np.arange(n, dtype=np.int64))})
+    r_ents = np.repeat(np.arange(20, dtype=np.int64), 10)
+    r_ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.tile(np.arange(10), 20) * 10**5 + r_ents * 7, unit="s"
+    )
+    right = pa.table({"eid": pa.array(r_ents), "ts": pa.array(r_ts),
+                      "state": pa.array(rng.standard_normal(200))})
+    lds = ray_session.data.from_arrow(left).repartition(4)
+    rds = ray_session.data.from_arrow(right).repartition(2)
+
+    def run(salt):
+        return (
+            asof_join(lds, rds, on="ts", by="eid", right_cols=["state"],
+                      num_buckets=8, left_tiebreak=("rid",), left_salt=salt)
+            .to_pandas()
+            .sort_values("rid", ignore_index=True)
+        )
+
+    base, salted = run(None), run(4)
+    pd.testing.assert_frame_equal(base, salted)
+
+    with pytest.raises(ValueError, match="left_salt"):
+        asof_join(lds, rds, on="ts", by="eid", right_cols=["state"],
+                  left_salt=4, window_fn=lambda df: df)
