@@ -203,9 +203,10 @@ def run_scaling() -> dict:
                 "task scheduler, not numpy/arrow threads).  The full job "
                 "carries a CPU-invariant exchange+IPC component that shares "
                 "one memory bus at every N on one host; the map-stage "
-                "efficiency (0.99 at 2→8 cores pinned, round 2) evidences "
-                "the data-parallel scaling that governs multi-node "
-                "throughput (see BASELINE.md round-2 results)",
+                "efficiency (0.65-0.99 at 2→8 cores pinned across round-2 "
+                "runs, median ~0.81 — host co-tenant variance is ±25%) "
+                "evidences the data-parallel scaling that governs "
+                "multi-node throughput (see BASELINE.md round-2 results)",
         "queries_lo": lo["queries"],
         "queries_hi": hi["queries"],
     }
