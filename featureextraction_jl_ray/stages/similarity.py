@@ -82,9 +82,16 @@ def _merge_topk(partials, id_col: str, k: int) -> pd.DataFrame:
         return pandas_to_arrow(out)
 
     merged = partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    df = merged.to_pandas()
+    if df.shape[1] == 0:
+        # Ray elides empty blocks through map plans (schema lost on a
+        # fully-empty corpus); pin the contract columns here, at the
+        # driver-side pandas boundary
+        df = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                           id_col: pd.Series(dtype="int64"),
+                           "score": pd.Series(dtype="float64")})
     return (
-        merged.to_pandas()
-        .sort_values(["query_id", "score", id_col], ascending=[True, False, True])
+        df.sort_values(["query_id", "score", id_col], ascending=[True, False, True])
         .reset_index(drop=True)
     )
 

@@ -1,0 +1,104 @@
+"""Empty-input behavior across the operator surface.
+
+Ray Data 2.49 elides fully-empty blocks through map plans — even
+``from_arrow(typed_empty).to_pandas()`` loses columns — so Dataset-
+returning operators can only guarantee ZERO ROWS on empty input (the
+framework drops the schema at the boundary; partially-empty datasets
+keep schemas via the round-1 as-of empty-bucket fix).  Operators whose
+results cross to driver-side pandas (knn top-k, near-dup pair pulls)
+MUST pin their contract columns, and these tests assert that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _empty_events(ray_session):
+    t = pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "ts": pa.array([], type=pa.timestamp("us")),
+        "user_id": pa.array([], type=pa.int64()),
+        "event_type": pa.array([], type=pa.string()),
+        "value": pa.array([], type=pa.float64()),
+    })
+    return ray_session.data.from_arrow(t)
+
+
+def _empty_docs(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+    })
+    return ray_session.data.from_arrow(t)
+
+
+def test_grouped_aggregate_empty(ray_session):
+    from featureextraction_jl_ray.stages.groupagg import grouped_aggregate
+
+    out = grouped_aggregate(
+        _empty_events(ray_session), "event_type",
+        {"s": ("value", "sum"), "v": ("value", "var")}, num_buckets=4,
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_exact_dedup_empty(ray_session):
+    from featureextraction_jl_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_empty_events(ray_session), "event_type",
+                      order_cols=["ts", "event_id"], num_salts=4,
+                      num_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_windows_empty(ray_session):
+    from featureextraction_jl_ray.stages.window import with_rolling
+
+    out = with_rolling(_empty_events(ray_session), "user_id", "ts", "value",
+                       window="1h", aggs=("count", "sum"),
+                       num_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_minhash_pairs_empty(ray_session):
+    from featureextraction_jl_ray.stages.minhash import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    p1 = minhash_near_dup_pairs(_empty_docs(ray_session), text_col="text",
+                                id_col="doc_id", num_buckets=4).to_pandas()
+    assert len(p1) == 0  # schema elided by Ray on fully-empty data
+    p2 = ngram_jaccard_pairs(_empty_docs(ray_session), text_col="text",
+                             id_col="doc_id", num_buckets=4).to_pandas()
+    assert len(p2) == 0
+
+
+def test_text_stages_empty(ray_session):
+    from featureextraction_jl_ray.stages.text import (
+        with_langid,
+        with_quality,
+        with_token_stats,
+    )
+
+    ds = _empty_docs(ray_session)
+    out = with_quality(with_token_stats(with_langid(ds))).to_pandas()
+    assert len(out) == 0  # schema elided by Ray on fully-empty data
+
+
+def test_knn_empty_corpus(ray_session):
+    from featureextraction_jl_ray.stages.similarity import knn_cosine
+
+    t = pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+    })
+    out = knn_cosine(ray_session.data.from_arrow(t),
+                     np.zeros((2, 8)), vector_col="embedding",
+                     id_col="vec_id", k=5)
+    # pandas-boundary result: columns MUST be pinned even on empty
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "vec_id", "score"]
