@@ -44,11 +44,26 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # bench output is ONE JSON line; worker log echo (including ray's
+        # harmless per-worker schema-hash warning) stays out of the
+        # recorded tail.  Errors still surface: a failed task raises in
+        # the driver regardless of log echo.
+        log_to_driver=False,
     )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # ray 2.49 logs a harmless "Failed to hash the schemas (for
+    # deduplication): unhashable type: 'dict'" warning per worker when a
+    # schema carries extension metadata; it's framework-internal noise —
+    # keep it out of the recorded bench tail
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     import ray.data as rd
 
