@@ -185,6 +185,47 @@ def q_event_quantiles_sketch(sf_dir):
                                    sketch_size=1024, num_buckets=8)
 
 
+def q_range_join(sf_dir):
+    """Interval join (the operator Ray Data lacks): each event matched to
+    every per-user purchase window [purchase_ts − 30min, purchase_ts +
+    30min] it falls inside — one bucketed exchange, entity-equi merge +
+    vectorized interval filter per bucket, loud per-entity density
+    guard."""
+    from .stages.joins import range_join
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def purchase_windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        lo = pc.subtract(t["ts"], pa.scalar(pd.Timedelta("30min")))
+        hi = pc.add(t["ts"], pa.scalar(pd.Timedelta("30min")))
+        return pa.table({"user_id": t["user_id"],
+                         "purchase_id": t["event_id"],
+                         "start_ts": lo, "end_ts": hi})
+
+    win = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(purchase_windows, batch_format="pyarrow", zero_copy_batch=True)
+    out = range_join(ev, win, by="user_id", on="ts",
+                     start_col="start_ts", end_col="end_ts",
+                     right_cols=["purchase_id", "start_ts", "end_ts"],
+                     num_buckets=16)
+    return out.select_columns(["event_id", "user_id", "purchase_id"])
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, e.user_id, p.event_id AS purchase_id
+FROM events e
+JOIN (SELECT event_id, user_id,
+             ts - INTERVAL 30 MINUTE AS start_ts,
+             ts + INTERVAL 30 MINUTE AS end_ts
+      FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.start_ts AND e.ts <= p.end_ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # M1/M2/M3: filter + computed column + projection (vectorized Arrow)
 # ---------------------------------------------------------------------------
@@ -1296,6 +1337,7 @@ QUERIES = {
     "filter_project": q_filter_project,
     "hash_join_agg": q_hash_join_agg,
     "broadcast_join_agg": q_broadcast_join_agg,
+    "range_join": q_range_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "topk_orders": q_topk_orders,
@@ -1346,6 +1388,7 @@ ORACLE_SQL = {
     "filter_project": SQL_FILTER_PROJECT,
     "hash_join_agg": SQL_JOIN_AGG,
     "broadcast_join_agg": SQL_JOIN_AGG,
+    "range_join": SQL_RANGE_JOIN,
     "semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
     "topk_orders": SQL_TOPK_ORDERS,

@@ -19,7 +19,8 @@ import ray
 
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 
-__all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join"]
+__all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join",
+           "range_join"]
 
 
 def _small_side_to_pandas(small) -> pd.DataFrame:
@@ -162,3 +163,112 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partiti
         on=on,
         right_on=right_on,
     )
+
+
+def range_join(
+    left,
+    right,
+    *,
+    by: str,
+    on: str,
+    start_col: str,
+    end_col: str,
+    right_cols: list[str] | None = None,
+    num_buckets: int = 64,
+    suffix: str = "_r",
+    max_intervals_per_entity: int = 100_000,
+):
+    """Interval join: left rows (entity e, time t) × right intervals
+    (entity e, [start, end]) with start ≤ t ≤ end — INNER, one output row
+    per matching (row, interval) pair (intervals may overlap).
+
+    Scale shape mirrors the as-of join: both sides bucket by the SAME
+    stable entity hash and co-locate in ONE exchange; inside a bucket the
+    match is an entity-equi merge followed by a vectorized interval
+    filter.  Per-entity cost is rows_e × intervals_e — bounded in
+    practice by interval density, guarded LOUDLY by
+    ``max_intervals_per_entity`` (an entity carrying more intervals than
+    that needs an interval-tree variant, not a bigger executor).
+    """
+    from ..functions.hashing import bucket_of
+    from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+    from .partition import _BUCKET
+
+    if right_cols is None:
+        s = right.schema()
+        right_cols = [c for c in s.names if c not in (by,)]
+    left_names = list(left.schema().names)
+    rename = {c: (c + suffix if c in left_names else c) for c in right_cols}
+
+    side = "__fx_rside"
+
+    def tag(side_val: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ent = batch.column(by).to_numpy(zero_copy_only=False)
+            batch = batch.append_column(
+                _BUCKET, pa.array(bucket_of(ent, num_buckets), type=pa.int64())
+            )
+            return batch.append_column(
+                side, pa.array(np.full(batch.num_rows, side_val, dtype=np.int8))
+            )
+
+        return fn
+
+    # unlike the as-of union, the two sides keep their own schemas: the
+    # per-bucket matcher pulls them apart by the side marker, so no
+    # null-padding columns ride the exchange
+    lt = left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    rt = (
+        right.select_columns([by, *right_cols])
+        .map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    l_schema = dict(zip(left.schema().names, left.schema().types))
+    r_schema = dict(zip(right.schema().names, right.schema().types))
+
+    def to_union(batch: pa.Table, names_types: dict, other: dict) -> pa.Table:
+        for name, typ in other.items():
+            if name not in batch.column_names:
+                batch = batch.append_column(name, pa.nulls(batch.num_rows, typ))
+        return batch.select(sorted(batch.column_names))
+
+    out_right = {rename[c]: r_schema[c] for c in right_cols}
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        return to_union(batch, l_schema, out_right)
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        batch = pa.table({
+            **{rename[c]: batch.column(c) for c in right_cols},
+            by: batch.column(by),
+            _BUCKET: batch.column(_BUCKET),
+            side: batch.column(side),
+        })
+        left_pad = {c: t for c, t in l_schema.items() if c != by}
+        return to_union(batch, out_right, left_pad)
+
+    unioned = (
+        lt.map_batches(pad_left, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rt.map_batches(pad_right, batch_format="pyarrow",
+                              zero_copy_batch=True))
+    )
+    start_r, end_r = rename[start_col], rename[end_col]
+
+    def match(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        is_r = df[side].to_numpy() == 1
+        l = df.loc[~is_r, [c for c in left_names]]
+        r = df.loc[is_r, [by, *[rename[c] for c in right_cols]]]
+        if len(r):
+            biggest = r.groupby(by, sort=False).size().max()
+            if biggest > max_intervals_per_entity:
+                raise RuntimeError(
+                    f"range_join: an entity carries {biggest} intervals "
+                    f"(> {max_intervals_per_entity}); use an interval-tree "
+                    "variant for interval-dense entities"
+                )
+        m = l.merge(r, on=by, how="inner")
+        keep = (m[on] >= m[start_r]) & (m[on] <= m[end_r])
+        return pandas_to_arrow(m.loc[keep].reset_index(drop=True))
+
+    return unioned.groupby(_BUCKET).map_groups(match, batch_format="pyarrow")

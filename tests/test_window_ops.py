@@ -346,3 +346,50 @@ def test_asof_left_salt_matches_unsalted(ray_session):
     with pytest.raises(ValueError, match="left_salt"):
         asof_join(lds, rds, on="ts", by="eid", right_cols=["state"],
                   left_salt=4, window_fn=lambda df: df)
+
+
+def test_range_join_overlapping_intervals(ray_session):
+    """Overlapping windows produce one row per (event, window) pair;
+    events outside every window drop (inner join); the per-entity
+    density guard raises loudly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from featureextraction_jl_ray.stages.joins import range_join
+
+    base = pd.to_datetime("2024-01-01")
+    ev = pa.table({
+        "eid": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "rid": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "ts": pa.array([base + pd.Timedelta(m, "m") for m in (5, 15, 40, 5)]),
+    })
+    win = pa.table({
+        "eid": pa.array([1, 1, 2], type=pa.int64()),
+        "wid": pa.array([100, 101, 102], type=pa.int64()),
+        "start_ts": pa.array([base, base + pd.Timedelta("10min"),
+                              base + pd.Timedelta("20min")]),
+        "end_ts": pa.array([base + pd.Timedelta("20min"),
+                            base + pd.Timedelta("30min"),
+                            base + pd.Timedelta("40min")]),
+    })
+    out = range_join(
+        ray_session.data.from_arrow(ev).repartition(2),
+        ray_session.data.from_arrow(win),
+        by="eid", on="ts", start_col="start_ts", end_col="end_ts",
+        right_cols=["wid", "start_ts", "end_ts"], num_buckets=4,
+    ).to_pandas()
+    got = sorted(zip(out.rid, out.wid))
+    # rid 11 (t=15min) falls in BOTH eid-1 windows; rid 12 (40min) in
+    # neither; rid 13 (eid 2, 5min) outside its window
+    assert got == [(10, 100), (11, 100), (11, 101)]
+
+    with pytest.raises(Exception, match="intervals"):
+        range_join(
+            ray_session.data.from_arrow(ev),
+            ray_session.data.from_arrow(win),
+            by="eid", on="ts", start_col="start_ts", end_col="end_ts",
+            right_cols=["wid", "start_ts", "end_ts"], num_buckets=4,
+            max_intervals_per_entity=1,
+        ).to_pandas()
