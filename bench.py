@@ -218,8 +218,8 @@ def run_scaling() -> dict:
                 "task scheduler, not numpy/arrow threads).  The full job "
                 "carries a CPU-invariant exchange+IPC component that shares "
                 "one memory bus at every N on one host; the map-stage "
-                "efficiency (0.65-0.99 at 2→8 cores pinned across round-2 "
-                "runs, median ~0.81 — host co-tenant variance is ±25%) "
+                "efficiency (0.65-1.20 at 2→8 cores pinned across six "
+                "round-2 paired runs, median 0.80 — host co-tenant variance) "
                 "evidences the data-parallel scaling that governs "
                 "multi-node throughput (see BASELINE.md round-2 results)",
         "queries_lo": lo["queries"],
