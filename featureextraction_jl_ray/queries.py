@@ -196,8 +196,9 @@ def q_range_join(sf_dir):
     ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_id", "user_id", "ts"])
 
+    import pyarrow.dataset as pads
+
     def purchase_windows(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["event_type"], "purchase"))
         lo = pc.subtract(t["ts"], pa.scalar(pd.Timedelta("30min")))
         hi = pc.add(t["ts"], pa.scalar(pd.Timedelta("30min")))
         return pa.table({"user_id": t["user_id"],
@@ -206,7 +207,8 @@ def q_range_join(sf_dir):
 
     win = _rd().read_parquet(
         f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "event_type"],
+        columns=["event_id", "user_id", "ts"],
+        filter=pads.field("event_type") == "purchase",
     ).map_batches(purchase_windows, batch_format="pyarrow", zero_copy_batch=True)
     out = range_join(ev, win, by="user_id", on="ts",
                      start_col="start_ts", end_col="end_ts",
@@ -231,14 +233,18 @@ JOIN (SELECT event_id, user_id,
 # ---------------------------------------------------------------------------
 
 def q_filter_project(sf_dir):
+    import pyarrow.dataset as pads
+
+    # the row filter rides the READ (pyarrow dataset expression → parquet
+    # row-group statistics pruning), so filtered row groups never leave
+    # storage — the scale-correct placement for a selective predicate
     ds = _rd().read_parquet(
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
-                 "l_shipdate"],
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") < pd.Timestamp("1997-01-01"),
     )
 
     def fn(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))))
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return t.append_column("revenue", rev).select(
             ["l_orderkey", "l_linenumber", "revenue"]
@@ -397,8 +403,15 @@ GROUP BY event_type
 # ---------------------------------------------------------------------------
 
 def _purchase_state(sf_dir):
-    ev = _events(sf_dir)
-    right = ev.filter(expr="event_type == 'purchase'")
+    import pyarrow.dataset as pads
+
+    # predicate pushed to the read: purchase rows are a small fraction of
+    # events, so row-group pruning keeps the rest on disk
+    right = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value"],
+        filter=pads.field("event_type") == "purchase",
+    )
     right = right.groupby(["user_id", "ts"]).max("value")
 
     def rn(t: pa.Table) -> pa.Table:
