@@ -380,10 +380,13 @@ SQL_DISTINCT_TYPES = "SELECT DISTINCT event_type FROM events"
 def q_union_counts(sf_dir):
     from .stages.groupagg import grouped_aggregate
 
-    ev = _events(sf_dir)
-    clicks = ev.filter(expr="event_type == 'click'")
-    purchases = ev.filter(expr="event_type == 'purchase'")
-    both = clicks.union(purchases)
+    import pyarrow.dataset as pads
+
+    def branch(tp):  # predicate pushed to each branch's read
+        return _rd().read_parquet(f"{sf_dir}/events.parquet",
+                                  filter=pads.field("event_type") == tp)
+
+    both = branch("click").union(branch("purchase"))
     return grouped_aggregate(
         both, "event_type", {"n": ("event_id", "count")}, num_buckets=4
     )
@@ -650,8 +653,11 @@ FROM documents
 def q_explode_tokens(sf_dir):
     """M7 explode/flatten: one row per whitespace token per doc (top-200
     docs to bound output), with per-doc token ordinal."""
-    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ds = ds.filter(expr="doc_id < 200")
+    import pyarrow.dataset as pads
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"],
+                            filter=pads.field("doc_id") < 200)
 
     def explode(t: pa.Table) -> pa.Table:
         # fully vectorized flatten: arrow whitespace split (same semantics
