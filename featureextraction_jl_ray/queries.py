@@ -1231,6 +1231,40 @@ def q_flagship_features(sf_dir):
     )
 
 
+def q_flagship_core(sf_dir):
+    """The flagship's POINT-IN-TIME CORE, gate-oracled: the as-of join +
+    ALL fused window features (backfill, lag-1 phash, 30-min sessionize,
+    1-h rolling count) over the synth image+caption tables, minus only
+    the decode/PCA stages (binary pixels aren't SQL).  Oracle = DuckDB
+    ASOF LEFT JOIN + window SQL over the same cached parquet — the
+    north-rule's zero-leakage per-entity×timestamp semantics verified
+    end-to-end, not just per window op on the events table."""
+    from .stages.asof import asof_join
+    from .stages.window import make_windows_frame_fn
+
+    _, paths = _synth_for(sf_dir)
+    rd_ = _rd()
+    images = rd_.read_parquet(paths["images"],
+                              columns=["image_id", "entity_id", "ts", "phash"])
+    captions = rd_.read_parquet(paths["captions"])
+    window_fn = make_windows_frame_fn(
+        "entity_id", "ts", lag_cols=["phash"], lag_k=1,
+        backfill_cols=["caption_state", "phash_state"], session_gap="30min",
+        rolling={"value_col": "phash", "window": "1h", "aggs": ("count",),
+                 "prefix": "roll_"},
+    )
+    out = asof_join(images, captions, on="ts", by="entity_id",
+                    right_cols=["caption_state", "phash_state"], num_buckets=16,
+                    left_tiebreak=("image_id",), window_fn=window_fn)
+    return out.select_columns(
+        ["image_id", "entity_id", "ts", "caption_state", "phash_state",
+         "lag1_phash", "session_id", "roll_count"]
+    )
+
+
+_SYNTH_CAP_001 = "/tmp/fx_synth_cache/n800_r5_s16_sk30_nd34_seed42_v3/captions/*.parquet"
+
+
 def q_phash_near_dup(sf_dir):
     """Near-dup image dedup on phash: the ~30% skew cluster collapses to
     one representative in the salted exact-dedup pre-step; surviving
@@ -1323,6 +1357,31 @@ FROM reps a JOIN reps b ON a.iid < b.iid
 WHERE bit_count(xor(a.phash, b.phash)) <= 2
 """
 
+SQL_FLAGSHIP_CORE = f"""
+WITH base AS (
+  SELECT i.image_id, i.entity_id, i.ts, i.phash, c.caption_state, c.phash_state
+  FROM '{_SYNTH_IMG_001}' i
+  ASOF LEFT JOIN '{_SYNTH_CAP_001}' c
+    ON i.entity_id = c.entity_id AND i.ts >= c.ts
+),
+w1 AS (
+  SELECT *, lag(phash) OVER w AS lag1_phash,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+           AS is_new,
+         count(phash) OVER (PARTITION BY entity_id ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                            AND CURRENT ROW) AS roll_count
+  FROM base
+  WINDOW w AS (PARTITION BY entity_id ORDER BY ts, image_id)
+)
+SELECT image_id, entity_id, ts, caption_state, phash_state, lag1_phash,
+       CAST(sum(is_new) OVER (PARTITION BY entity_id ORDER BY ts, image_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_id,
+       roll_count
+FROM w1
+"""
+
 
 def q_kpca_transform(sf_dir):
     """Kernel-PCA out-of-sample transform via the distributed centered
@@ -1392,6 +1451,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "text_prep": q_text_prep,
     "flagship_features": q_flagship_features,
+    "flagship_core": q_flagship_core,
     "phash_near_dup": q_phash_near_dup,
     "phash_near_dup_pairs": q_phash_near_dup_pairs,
     "kpca_transform": q_kpca_transform,
@@ -1438,4 +1498,5 @@ ORACLE_SQL = {
     "kernel_center": SQL_KERNEL_CENTER,
     "knn_ivf": SQL_KNN_BRUTEFORCE,
     "phash_near_dup": SQL_PHASH_NEAR_DUP,
+    "flagship_core": SQL_FLAGSHIP_CORE,
 }
