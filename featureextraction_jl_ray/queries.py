@@ -480,6 +480,39 @@ SELECT event_id, user_id, ts, value, state_value FROM (
 """
 
 
+def q_asof_forward(sf_dir):
+    """FORWARD as-of (J1 direction variant): each event attaches the
+    EARLIEST purchase state at-or-after its timestamp — the label-side
+    lookup (leads are legitimate for labels, SURVEY §2-B W2)."""
+    from .stages.asof import asof_join
+
+    left = _events(sf_dir).select_columns(["event_id", "user_id", "ts", "value"])
+    out = asof_join(
+        left,
+        _purchase_state(sf_dir),
+        on="ts",
+        by="user_id",
+        right_cols=["state_value"],
+        direction="forward",
+        num_buckets=32,
+        left_tiebreak=("event_id",),
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "value", "state_value"])
+
+
+SQL_ASOF_FORWARD = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS state_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT event_id, user_id, ts, value, state_value FROM (
+  SELECT e.event_id, e.user_id, e.ts, e.value, r.state_value, r.ts AS rts
+  FROM events e
+  LEFT JOIN r ON e.user_id = r.user_id AND r.ts >= e.ts
+  QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY r.ts ASC) = 1)
+"""
+
+
 # ---------------------------------------------------------------------------
 # W1–W4 window operators
 # ---------------------------------------------------------------------------
@@ -1423,6 +1456,7 @@ QUERIES = {
     "union_counts": q_union_counts,
     "asof_join": q_asof_join,
     "asof_tolerance": q_asof_tolerance,
+    "asof_forward": q_asof_forward,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
     "rolling": q_rolling,
@@ -1475,6 +1509,7 @@ ORACLE_SQL = {
     "union_counts": SQL_UNION_COUNTS,
     "asof_join": SQL_ASOF_JOIN,
     "asof_tolerance": SQL_ASOF_TOLERANCE,
+    "asof_forward": SQL_ASOF_FORWARD,
     "lag_lead": SQL_LAG_LEAD,
     "sessionize": SQL_SESSIONIZE,
     "rolling": SQL_ROLLING,
