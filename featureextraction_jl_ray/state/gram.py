@@ -56,27 +56,31 @@ def gram_tiles(ds, vector_col: str, *, block_rows: int = 2048,
     blocks, n = _collect_blocks(ds, vector_col, block_rows)
     if kernel == "rbf" and gamma is None:
         gamma = 1.0 / blocks[0][1].shape[1]  # 1/p, the scikit-style default
-    refs = [(start, ray.put(B)) for start, B in blocks]
+    # Block payloads go to the object store ONCE; the Dataset rows carry only
+    # (bi, bj, i0, j0) int64 coordinates.  Shipping the ObjectRefs through a
+    # Dataset COLUMN would defeat Arrow conversion (Ray falls back to pickled
+    # python objects); a closure-captured ref list is serialized natively and
+    # each task ray.get()s just the two blocks it needs, zero-copy.
+    offsets_ = [start for start, _ in blocks]
+    block_refs = [ray.put(B) for _, B in blocks]
 
     items = []
-    for bi, (i0, ri) in enumerate(refs):
-        for bj, (j0, rj) in enumerate(refs):
+    for bi, i0 in enumerate(offsets_):
+        for bj, j0 in enumerate(offsets_):
             if bj < bi:
                 continue
-            items.append({"bi": bi, "bj": bj, "i0": i0, "j0": j0,
-                          "ri": ri, "rj": rj})
+            items.append({"bi": bi, "bj": bj, "i0": i0, "j0": j0})
 
     import ray.data as rd
 
     def make_tile(batch):
         out = {"bi": [], "bj": [], "i0": [], "j0": [], "rows": [], "cols": []}
         flats = []
-        for bi_, bj_, i0_, j0_, ri_, rj_ in zip(
+        for bi_, bj_, i0_, j0_ in zip(
             batch["bi"], batch["bj"], batch["i0"], batch["j0"],
-            batch["ri"], batch["rj"],
         ):
-            A = ray.get(ri_)
-            B = ray.get(rj_)
+            A = ray.get(block_refs[int(bi_)])
+            B = ray.get(block_refs[int(bj_)])
             T = A @ B.T
             if kernel == "rbf":
                 na = np.einsum("ij,ij->i", A, A)
