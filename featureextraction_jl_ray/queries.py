@@ -185,6 +185,32 @@ def q_event_quantiles_sketch(sf_dir):
                                    sketch_size=1024, num_buckets=8)
 
 
+def q_heavy_hitters(sf_dir):
+    """Per-key top-5 most frequent values via a mergeable Misra–Gries
+    summary (exchange bounded at capacity rows/key/batch).  EXACT here:
+    distinct users per event_type at gate scale is far below capacity,
+    so no compress triggers and counts equal the SQL group-count — the
+    approximate regime (guaranteed containment of any value with
+    frequency > n/(capacity+1), counts within that bound) is asserted
+    by pytest."""
+    from .stages.groupagg import grouped_heavy_hitters
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+    return grouped_heavy_hitters(ds, "event_type", "user_id", k=5,
+                                 capacity=8192, num_buckets=8)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT event_type, user_id, n, rank FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 5
+"""
+
+
 def q_range_join(sf_dir):
     """Interval join (the operator Ray Data lacks): each event matched to
     every per-user purchase window [purchase_ts − 30min, purchase_ts +
@@ -1445,6 +1471,7 @@ QUERIES = {
     "count_distinct_users_hll": q_count_distinct_users_hll,
     "event_quantiles": q_event_quantiles,
     "event_quantiles_sketch": q_event_quantiles_sketch,
+    "heavy_hitters": q_heavy_hitters,
     "filter_project": q_filter_project,
     "hash_join_agg": q_hash_join_agg,
     "broadcast_join_agg": q_broadcast_join_agg,
@@ -1498,6 +1525,7 @@ ORACLE_SQL = {
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "count_distinct_users_hll": SQL_COUNT_DISTINCT_USERS,
     "event_quantiles": SQL_EVENT_QUANTILES,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "filter_project": SQL_FILTER_PROJECT,
     "hash_join_agg": SQL_JOIN_AGG,
     "broadcast_join_agg": SQL_JOIN_AGG,

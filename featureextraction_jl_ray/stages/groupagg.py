@@ -20,7 +20,7 @@ _BUCKET = "__fx_gbucket"
 
 __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
            "grouped_quantile", "grouped_quantile_sketch",
-           "grouped_count_distinct_hll"]
+           "grouped_count_distinct_hll", "grouped_heavy_hitters"]
 
 _PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
 
@@ -367,4 +367,87 @@ def grouped_count_distinct_hll(ds, key_cols, col: str, *,
         ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(_BUCKET)
         .map_groups(merge_estimate, batch_format="pyarrow")
+    )
+
+
+def _mg_compress(cnt: pd.DataFrame, key_cols, weight_col: str,
+                 capacity: int) -> pd.DataFrame:
+    """Misra–Gries compress: per key, keep ≤ ``capacity`` (value, weight)
+    entries by subtracting the (capacity+1)-th largest weight from every
+    entry and dropping the non-positive remainder.  Each surviving weight
+    under-counts its true frequency by at most n_key/(capacity+1)
+    (Misra & Gries 1982; mergeability per Agarwal et al. 2013,
+    "Mergeable Summaries").
+    """
+    cnt = cnt.sort_values(weight_col, ascending=False, kind="mergesort")
+    pos = cnt.groupby(key_cols, sort=False, dropna=False).cumcount()
+    over = cnt.loc[pos == capacity, key_cols + [weight_col]].rename(
+        columns={weight_col: "__thr"}
+    )
+    if not len(over):
+        return cnt
+    cnt = cnt.merge(over, on=key_cols, how="left")
+    cnt["__thr"] = cnt["__thr"].fillna(0)
+    cnt[weight_col] = cnt[weight_col] - cnt["__thr"]
+    return cnt.loc[cnt[weight_col] > 0].drop(columns="__thr")
+
+
+def grouped_heavy_hitters(ds, key_cols, col: str, *, k: int = 10,
+                          capacity: int = 4096, num_buckets: int = 64,
+                          count_name: str = "n", rank_name: str = "rank"):
+    """Per-key top-k most frequent values via a mergeable Misra–Gries
+    summary — the heavy-hitters member of the sketch family (beside the
+    KMV quantile and HLL distinct-count sketches).
+
+    Per batch, per key: exact value counts (a pandas groupby), then MG
+    compress to ``capacity`` entries, so the keyed exchange is bounded at
+    capacity rows per key per batch — independent of row count.  The
+    reduce sums weights per (key, value), compresses once more, and emits
+    the top ``k`` by (count desc, value asc) with a 1-based ``rank``.
+
+    EXACT whenever no compress triggers (every batch and the merged
+    summary hold ≤ capacity distinct values per key) — the driver oracle
+    runs in that regime.  Otherwise each reported count under-counts by
+    at most n_key/(capacity+1), and any value with true frequency above
+    that bound is guaranteed present (the classical MG guarantee) —
+    assert containment + tolerance, not equality, in that regime.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(batch)[key_cols + [col]]
+        cnt = (
+            df.groupby(key_cols + [col], sort=False, dropna=False)
+            .size()
+            .reset_index(name=count_name)
+        )
+        cnt = _mg_compress(cnt, key_cols, count_name, capacity)
+        cnt[_BUCKET] = bucket_of_multi(
+            [cnt[c].to_numpy() for c in key_cols], num_buckets, seed=67
+        )
+        return pandas_to_arrow(cnt)
+
+    def final(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        cnt = (
+            df.groupby(key_cols + [col], sort=False, dropna=False)[count_name]
+            .sum()
+            .reset_index()
+        )
+        cnt = _mg_compress(cnt, key_cols, count_name, capacity)
+        cnt = cnt.sort_values(
+            [*key_cols, count_name, col],
+            ascending=[*(True,) * len(key_cols), False, True],
+            kind="mergesort",
+        )
+        cnt[rank_name] = cnt.groupby(key_cols, sort=False, dropna=False).cumcount() + 1
+        cnt = cnt.loc[cnt[rank_name] <= k]
+        cnt[count_name] = cnt[count_name].astype(np.int64)
+        cnt[rank_name] = cnt[rank_name].astype(np.int64)
+        return pandas_to_arrow(cnt)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(_BUCKET)
+        .map_groups(final, batch_format="pyarrow")
     )

@@ -438,3 +438,70 @@ def test_grouped_count_distinct_hll_error_bound(ray_session):
     for k, n_distinct in truth.items():
         est = int(got.loc[got.k == k, "nd"].iloc[0])
         assert abs(est - n_distinct) / n_distinct < 0.08, (k, est, n_distinct)
+
+
+def test_grouped_heavy_hitters_exact_regime(ray_session):
+    """With capacity above the distinct-value count, no MG compress
+    triggers and the top-k equals the exact pandas group-count top-k
+    (count desc, value asc tiebreak)."""
+    from featureextraction_jl_ray.stages.groupagg import grouped_heavy_hitters
+
+    rng = np.random.default_rng(23)
+    k = rng.choice(["a", "b"], size=5000)
+    v = rng.zipf(1.5, size=5000) % 100
+    ds = ray_session.data.from_arrow(
+        pa.table({"k": pa.array(k), "v": pa.array(v.astype(np.int64))})
+    ).repartition(4)
+    got = (
+        grouped_heavy_hitters(ds, "k", "v", k=5, capacity=1024, num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "rank"], ignore_index=True)
+    )
+    df = pd.DataFrame({"k": k, "v": v.astype(np.int64)})
+    exp = (
+        df.groupby(["k", "v"]).size().reset_index(name="n")
+        .sort_values(["k", "n", "v"], ascending=[True, False, True])
+        .groupby("k").head(5)
+    )
+    exp["rank"] = exp.groupby("k").cumcount() + 1
+    exp = exp.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "n", "rank"]], exp[["k", "v", "n", "rank"]],
+        check_dtype=False,
+    )
+
+
+def test_grouped_heavy_hitters_mg_guarantee(ray_session):
+    """Compressed regime (capacity << distinct): every value with true
+    frequency > n/(capacity+1) is reported, and reported counts
+    under-count by at most n/(capacity+1) (the Misra–Gries bound —
+    summing per-batch/merge decrements stays within one global bound
+    because decrement totals are sub-additive under merge)."""
+    from featureextraction_jl_ray.stages.groupagg import grouped_heavy_hitters
+
+    rng = np.random.default_rng(31)
+    # 3 planted heavy values + a long uniform tail of 5000 distinct values
+    heavy = np.repeat([1_000_001, 1_000_002, 1_000_003], [800, 600, 400])
+    tail = rng.integers(0, 5000, size=8200)
+    v = np.concatenate([heavy, tail])
+    rng.shuffle(v)
+    n = len(v)
+    cap = 64
+    ds = ray_session.data.from_arrow(
+        pa.table({"k": pa.array(["x"] * n), "v": pa.array(v.astype(np.int64))})
+    ).repartition(4)
+    got = (
+        grouped_heavy_hitters(ds, "k", "v", k=10, capacity=cap, num_buckets=2)
+        .to_pandas()
+    )
+    bound = n / (cap + 1)
+    true_counts = pd.Series(v).value_counts()
+    for hv, tc in ((1_000_001, 800), (1_000_002, 600), (1_000_003, 400)):
+        assert tc > bound  # planted heavies are above the MG threshold
+        row = got.loc[got.v == hv]
+        assert len(row) == 1, (hv, got)
+        assert 0 < row.n.iloc[0] <= tc
+        assert tc - row.n.iloc[0] <= bound + 1e-9
+    # reported counts never exceed true counts (MG only under-counts)
+    for _, r in got.iterrows():
+        assert r.n <= true_counts.get(r.v, 0) or r.n <= bound
