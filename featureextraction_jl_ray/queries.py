@@ -1464,6 +1464,24 @@ def q_images_phash_verify(sf_dir):
     return out.select_columns(["image_id", "phash_ok"])
 
 
+def q_image_resize_stats(sf_dir):
+    """Corpus-prep image path: resize every image to a fixed 16×16 (the
+    pre-inference normalization step), then per-image channel/luminance
+    stats + dark/bright/low-contrast quality flags.  Binary pixel
+    payloads aren't SQL-expressible → rows-only driver check; the
+    resize and stats kernels are pytest-oracled against a naive
+    per-pixel reference (tests/test_image_stages.py)."""
+    from .stages.codec import resize_images, with_image_stats
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"])
+    out = with_image_stats(resize_images(images, out_w=16, out_h=16))
+    return out.select_columns(
+        ["image_id", "r_mean", "g_mean", "b_mean", "lum_mean", "lum_std",
+         "flag_dark", "flag_bright", "flag_low_contrast"]
+    )
+
+
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "agg_events_var": q_agg_events_var,
@@ -1517,6 +1535,7 @@ QUERIES = {
     "phash_near_dup_pairs": q_phash_near_dup_pairs,
     "kpca_transform": q_kpca_transform,
     "images_phash_verify": q_images_phash_verify,
+    "image_resize_stats": q_image_resize_stats,
 }
 
 ORACLE_SQL = {

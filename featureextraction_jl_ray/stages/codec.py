@@ -22,7 +22,17 @@ import pyarrow as pa
 from ..functions.phash import ahash64_batch
 from ..functions.veccol import numpy_to_fixed_list_column
 
-__all__ = ["DecodeImages", "psnr", "decode_batch", "with_pixel_features"]
+__all__ = [
+    "DecodeImages",
+    "psnr",
+    "decode_batch",
+    "with_pixel_features",
+    "resize_batch",
+    "ResizeImages",
+    "resize_images",
+    "ImageStats",
+    "with_image_stats",
+]
 
 try:  # pragma: no cover - PIL absent in this container
     from PIL import Image  # noqa: F401
@@ -207,3 +217,156 @@ def with_pixel_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def _map_dim_groups(batch: pa.Table, per_group):
+    """Run ``per_group(pix, idx)`` once per uniform-(w, h) row group of
+    ``batch`` (vectorized within each group), in row order when dims are
+    already uniform.  Returns nothing; per_group scatters into
+    caller-owned output arrays via ``idx``."""
+    n = batch.num_rows
+    if n == 0:
+        return
+    w = batch.column("w").to_numpy(zero_copy_only=False)
+    h = batch.column("h").to_numpy(zero_copy_only=False)
+    if (w == w[0]).all() and (h == h[0]).all():
+        per_group(decode_batch(batch), np.arange(n))
+        return
+    keys = (w.astype(np.int64) << np.int64(32)) | h.astype(np.int64)
+    for kv in np.unique(keys):
+        idx = np.nonzero(keys == kv)[0]
+        per_group(decode_batch(batch.take(pa.array(idx))), idx)
+
+
+def resize_batch(pix: np.ndarray, out_w: int, out_h: int,
+                 method: str = "bilinear") -> np.ndarray:
+    """(n, h, w, 3) uint8 → (n, out_h, out_w, 3) uint8, fully vectorized.
+
+    ``nearest``: sample at output-pixel centers.  ``bilinear``:
+    half-pixel-center (align_corners=False) convention — the one PIL /
+    OpenCV / torch default to — with edge clamping; rint-rounded back to
+    uint8.
+    """
+    n, h, w, _ = pix.shape
+    if method == "nearest":
+        ri = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+        ci = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+        return pix[:, ri][:, :, ci]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    fy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    fx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(fy), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(fx), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0).astype(np.float32).reshape(1, -1, 1, 1)
+    wx = np.clip(fx - x0, 0.0, 1.0).astype(np.float32).reshape(1, 1, -1, 1)
+    p = pix.astype(np.float32)
+    r0 = p[:, y0]           # (n, out_h, w, 3) — one row gather, reused
+    r1 = p[:, y1]
+    top = r0[:, :, x0] * (1.0 - wx) + r0[:, :, x1] * wx
+    bot = r1[:, :, x0] * (1.0 - wx) + r1[:, :, x1] * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class ResizeImages:
+    """Stage: decode → resize to a fixed (out_w, out_h) → re-encode raw.
+
+    The standard corpus-prep step before batched model inference (every
+    vision model wants one input size).  Mixed-dim batches resize per
+    (w, h) group, vectorized within each group.  Output rows keep their
+    schema with ``bytes``/``w``/``h`` replaced (fmt stays 'raw').
+    """
+
+    def __init__(self, out_w: int, out_h: int, method: str = "bilinear"):
+        self._ow, self._oh, self._method = int(out_w), int(out_h), method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = np.empty((n, self._oh, self._ow, 3), dtype=np.uint8)
+
+        def per_group(pix, idx):
+            out[idx] = resize_batch(pix, self._ow, self._oh, self._method)
+
+        _map_dim_groups(batch, per_group)
+        i = batch.schema.get_field_index("bytes")
+        batch = batch.set_column(i, "bytes", pa.array(encode_raw(out), type=pa.binary()))
+        batch = batch.set_column(
+            batch.schema.get_field_index("w"), "w",
+            pa.array(np.full(n, self._ow, dtype=np.int32)))
+        return batch.set_column(
+            batch.schema.get_field_index("h"), "h",
+            pa.array(np.full(n, self._oh, dtype=np.int32)))
+
+
+def resize_images(ds, *, out_w: int, out_h: int, method: str = "bilinear",
+                  concurrency=None, batch_size: int | None = 512):
+    """Images ds → same schema with every image resized to (out_w, out_h).
+
+    Stateless by default (tasks); pass ``concurrency`` for an actor pool.
+    Small batches — both the input AND output pixel payloads are live
+    per batch.
+    """
+    stage = ResizeImages(out_w, out_h, method)
+    if concurrency is None:
+        return ds.map_batches(lambda b: stage(b), batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    return ds.map_batches(
+        ResizeImages, fn_constructor_args=(out_w, out_h, method),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
+class ImageStats:
+    """Stage: per-image channel means + luminance mean/std + quality
+    flags (dark / bright / low-contrast) — the image analog of the text
+    quality-scoring stage, for corpus filtering before training.
+    """
+
+    def __init__(self, dark: float = 32.0, bright: float = 224.0,
+                 low_contrast: float = 8.0, drop_bytes: bool = True):
+        self._dark, self._bright = dark, bright
+        self._lc = low_contrast
+        self._drop = drop_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ch_mean = np.empty((n, 3), dtype=np.float64)
+        lum_mean = np.empty(n, dtype=np.float64)
+        lum_std = np.empty(n, dtype=np.float64)
+
+        def per_group(pix, idx):
+            p = pix.astype(np.float64)
+            ch_mean[idx] = p.mean(axis=(1, 2))
+            # ITU-R BT.601 luma
+            lum = p[..., 0] * 0.299 + p[..., 1] * 0.587 + p[..., 2] * 0.114
+            lum_mean[idx] = lum.mean(axis=(1, 2))
+            lum_std[idx] = lum.std(axis=(1, 2))
+
+        _map_dim_groups(batch, per_group)
+        for name, arr in (("r_mean", ch_mean[:, 0]), ("g_mean", ch_mean[:, 1]),
+                          ("b_mean", ch_mean[:, 2]), ("lum_mean", lum_mean),
+                          ("lum_std", lum_std)):
+            batch = batch.append_column(name, pa.array(arr))
+        batch = batch.append_column("flag_dark", pa.array(lum_mean <= self._dark))
+        batch = batch.append_column("flag_bright", pa.array(lum_mean >= self._bright))
+        batch = batch.append_column("flag_low_contrast", pa.array(lum_std <= self._lc))
+        if self._drop:
+            batch = batch.drop_columns(["bytes"])
+        return batch
+
+
+def with_image_stats(ds, *, dark: float = 32.0, bright: float = 224.0,
+                     low_contrast: float = 8.0, drop_bytes: bool = True,
+                     concurrency=None, batch_size: int | None = 1024):
+    """Images ds → + per-image channel/luminance stats and quality flags."""
+    stage = ImageStats(dark, bright, low_contrast, drop_bytes)
+    if concurrency is None:
+        return ds.map_batches(lambda b: stage(b), batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    return ds.map_batches(
+        ImageStats, fn_constructor_args=(dark, bright, low_contrast, drop_bytes),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)

@@ -1,0 +1,145 @@
+"""Image resize + per-image stats stages (corpus-prep family).
+
+resize_batch is oracled against a naive per-output-pixel loop using the
+same half-pixel-center (align_corners=False) convention; the Ray stages
+are checked end-to-end on a mixed-dimension table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from featureextraction_jl_ray.stages.codec import (
+    ImageStats,
+    ResizeImages,
+    decode_batch,
+    resize_batch,
+    resize_images,
+    with_image_stats,
+)
+
+
+def _naive_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Per-pixel reference: half-pixel centers, edge clamp, rint round."""
+    h, w, _ = img.shape
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    for oy in range(out_h):
+        fy = (oy + 0.5) * h / out_h - 0.5
+        y0 = min(max(int(np.floor(fy)), 0), h - 1)
+        y1 = min(y0 + 1, h - 1)
+        wy = min(max(fy - y0, 0.0), 1.0)
+        for ox in range(out_w):
+            fx = (ox + 0.5) * w / out_w - 0.5
+            x0 = min(max(int(np.floor(fx)), 0), w - 1)
+            x1 = min(x0 + 1, w - 1)
+            wx = min(max(fx - x0, 0.0), 1.0)
+            p = img.astype(np.float64)
+            top = p[y0, x0] * (1 - wx) + p[y0, x1] * wx
+            bot = p[y1, x0] * (1 - wx) + p[y1, x1] * wx
+            out[oy, ox] = np.clip(np.rint(top * (1 - wy) + bot * wy), 0, 255)
+    return out
+
+
+def _img_table(dims, seed=7):
+    """One row per (w, h) in dims, deterministic random pixels."""
+    rng = np.random.default_rng(seed)
+    pix = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for (w, h) in dims]
+    return pix, pa.table(
+        {
+            "image_id": pa.array([f"img_{i}" for i in range(len(dims))]),
+            "bytes": pa.array([p.tobytes() for p in pix], type=pa.binary()),
+            "w": pa.array([w for (w, _) in dims], type=pa.int32()),
+            "h": pa.array([h for (_, h) in dims], type=pa.int32()),
+            "fmt": pa.array(["raw"] * len(dims)),
+        }
+    )
+
+
+def test_resize_bilinear_matches_naive_oracle():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    for ow, oh in [(4, 4), (16, 5), (7, 11)]:
+        got = resize_batch(img[None], ow, oh, "bilinear")[0]
+        want = _naive_bilinear(img, ow, oh)
+        # float32 vs float64 accumulation can flip an exact-half rint on
+        # rare pixels; allow ±1 count-bounded, exact elsewhere
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 0.02
+
+
+def test_resize_identity_and_nearest():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(9, 6, 3), dtype=np.uint8)
+    # identity bilinear: weights are exactly 0 → bit-exact passthrough
+    assert np.array_equal(resize_batch(img[None], 6, 9, "bilinear")[0], img)
+    # nearest 2x downscale of a 2x2-block-constant image is exact
+    big = np.kron(img, np.ones((2, 2, 1))).astype(np.uint8)
+    assert np.array_equal(resize_batch(big[None], 6, 9, "nearest")[0], img)
+    with pytest.raises(ValueError):
+        resize_batch(img[None], 3, 3, "bicubic")
+
+
+def test_resize_images_stage_mixed_dims(ray_session):
+    import ray
+
+    dims = [(8, 8), (12, 6), (8, 8), (5, 9), (12, 6)]
+    pix, tbl = _img_table(dims)
+    ds = ray.data.from_arrow(tbl)
+    out = resize_images(ds, out_w=10, out_h=4).take_all()
+    out = {r["image_id"]: r for r in out}
+    assert len(out) == len(dims)
+    for i, p in enumerate(pix):
+        r = out[f"img_{i}"]
+        assert (r["w"], r["h"], r["fmt"]) == (10, 4, "raw")
+        got = np.frombuffer(r["bytes"], dtype=np.uint8).reshape(4, 10, 3)
+        want = resize_batch(p[None], 10, 4)[0]
+        assert np.array_equal(got, want)
+
+
+def test_image_stats_matches_numpy(ray_session):
+    import ray
+
+    dims = [(8, 8), (12, 6), (4, 4)]
+    pix, tbl = _img_table(dims, seed=11)
+    # plant a dark and a bright image to exercise the flags
+    pix[1][:] = 5
+    pix[2][:] = 250
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("bytes"),
+        "bytes",
+        pa.array([p.tobytes() for p in pix], type=pa.binary()),
+    )
+    ds = ray.data.from_arrow(tbl)
+    rows = {r["image_id"]: r for r in with_image_stats(ds).take_all()}
+    assert "bytes" not in next(iter(rows.values()))
+    for i, p in enumerate(pix):
+        r = rows[f"img_{i}"]
+        f = p.astype(np.float64)
+        assert np.isclose(r["r_mean"], f[..., 0].mean())
+        assert np.isclose(r["g_mean"], f[..., 1].mean())
+        assert np.isclose(r["b_mean"], f[..., 2].mean())
+        lum = f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+        assert np.isclose(r["lum_mean"], lum.mean())
+        assert np.isclose(r["lum_std"], lum.std())
+    assert rows["img_1"]["flag_dark"] and not rows["img_1"]["flag_bright"]
+    assert rows["img_2"]["flag_bright"] and not rows["img_2"]["flag_dark"]
+    # constant images have zero contrast
+    assert rows["img_1"]["flag_low_contrast"] and rows["img_2"]["flag_low_contrast"]
+
+
+def test_stage_classes_direct_no_ray():
+    """ResizeImages/ImageStats are plain callables over Arrow tables —
+    exercised directly to pin the schema contract without Ray overhead."""
+    dims = [(6, 4), (6, 4)]
+    pix, tbl = _img_table(dims, seed=13)
+    out = ResizeImages(3, 2)(tbl)
+    assert out.column("w").to_pylist() == [3, 3]
+    assert out.column("h").to_pylist() == [2, 2]
+    dec = decode_batch(out)
+    assert dec.shape == (2, 2, 3, 3)
+    st = ImageStats(drop_bytes=False)(tbl)
+    assert "bytes" in st.column_names
+    assert st.num_rows == 2
