@@ -132,11 +132,15 @@ def fit_moments(
     """One streaming pass over ``ds[vector_col]`` → global :class:`Moments`.
 
     Scale shape: the input dataset streams through a stateless
-    ``map_batches`` (one (p+p²)-float partial per block), the partials are
-    coalesced into ``fan_in`` merge tasks (each merging its share
-    sequentially — a (p,p) add per partial), and the driver merges the
-    final ``fan_in`` rows.  One streaming execution end-to-end; nothing
-    but the tiny partials is ever shuffled or materialized.
+    ``map_batches`` (one (p+p²)-float partial per block), then a second
+    ``map_batches`` with ``batch_size=fan_in`` coalesces every ``fan_in``
+    partial rows into one merged row (Ray bundles rows across blocks to
+    fill a batch, so this is the tree fan-in WITHOUT a repartition
+    exchange — an earlier ``repartition(fan_in)`` version also emitted
+    empty-schema blocks when partials < fan_in), and the driver merges
+    the ≤ num_partials/fan_in remaining rows.  One streaming execution
+    end-to-end; nothing but the tiny partials is ever shuffled or
+    materialized.
     """
     partials = ds.select_columns([vector_col]).map_batches(
         _partials_stage(vector_col),
@@ -144,8 +148,8 @@ def fit_moments(
         batch_size=batch_size,
         zero_copy_batch=True,
     )
-    merged = partials.repartition(fan_in).map_batches(
-        _merge_stage, batch_format="pyarrow", batch_size=None
+    merged = partials.map_batches(
+        _merge_stage, batch_format="pyarrow", batch_size=fan_in
     )
     final = pa.concat_tables(
         [b for b in merged.iter_batches(batch_size=None, batch_format="pyarrow")]
