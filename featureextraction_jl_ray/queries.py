@@ -1464,6 +1464,112 @@ def q_images_phash_verify(sf_dir):
     return out.select_columns(["image_id", "phash_ok"])
 
 
+def q_lineitem_corr(sf_dir):
+    """Pairwise Pearson correlations of four lineitem measures from ONE
+    streaming moments pass (mean + full scatter tree-merged; the same
+    sufficient statistics the PCA fit runs on, surfaced as a driver-
+    oracled query).  corr = m2_ij/√(m2_ii·m2_jj) — divisor cancels, so
+    this is exactly DuckDB's sample corr modulo summation ulps; both
+    sides pin to the 1e-6 grid."""
+    from .stages.scale import corr_table, fit_numeric_moments
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    m = fit_numeric_moments(ds, cols)
+    return corr_table(m, cols, ndigits=6)
+
+
+SQL_LINEITEM_CORR = """
+WITH pairs(col_a, col_b, corr) AS (
+  SELECT 'l_quantity', 'l_extendedprice', ROUND(corr(l_quantity, l_extendedprice), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount', ROUND(corr(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(corr(l_quantity, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', ROUND(corr(l_extendedprice, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(corr(l_extendedprice, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax', ROUND(corr(l_discount, l_tax), 6) FROM lineitem
+)
+SELECT * FROM pairs
+"""
+
+
+def q_scale_standard(sf_dir):
+    """Standard-scale (z-score) two lineitem measures: distributed
+    moments fit → stateless vectorized transform; σ from the n−1 sample
+    covariance diagonal, matching stddev_samp.  1e-6 grid both sides."""
+    from .stages.scale import fit_numeric_moments, standard_scale
+
+    cols = ["l_quantity", "l_extendedprice"]
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", *cols],
+    )
+    out = standard_scale(ds, cols, fit_numeric_moments(ds, cols))
+    out = out.select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity_z", "l_extendedprice_z"]
+    )
+    return _round_cols(out, {"l_quantity_z": 6, "l_extendedprice_z": 6})
+
+
+SQL_SCALE_STANDARD = """
+SELECT l_orderkey, l_linenumber,
+       ROUND((l_quantity - a.mq) / a.sq, 6) AS l_quantity_z,
+       ROUND((l_extendedprice - a.mp) / a.sp, 6) AS l_extendedprice_z
+FROM lineitem CROSS JOIN (
+  SELECT avg(l_quantity) mq, stddev_samp(l_quantity) sq,
+         avg(l_extendedprice) mp, stddev_samp(l_extendedprice) sp
+  FROM lineitem
+) a
+"""
+
+
+def q_minmax_bin_events(sf_dir):
+    """Min-max scale + 10-bin equal-width discretization of the events
+    value column.  Min/max partials are exact and the transform repeats
+    the oracle's IEEE ops in the same association, so the driver hash
+    matches BIT-EXACTLY with no rounding grid (pytest-verified vs DuckDB
+    evaluating the mirrored expression)."""
+    from .stages.scale import equal_width_bin, fit_min_max, min_max_scale
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    bounds = fit_min_max(ds, ["value"])
+    lo, hi = bounds["value"]
+    out = equal_width_bin(
+        min_max_scale(ds, ["value"], bounds), "value", num_bins=10, lo=lo, hi=hi
+    )
+    return out.select_columns(["event_id", "value_mm", "value_bin"])
+
+
+SQL_MINMAX_BIN_EVENTS = """
+SELECT event_id,
+       (value - a.mn) / (a.mx - a.mn) AS value_mm,
+       LEAST(GREATEST(CAST(FLOOR((value - a.mn) * 10 / (a.mx - a.mn)) AS BIGINT), 0), 9) AS value_bin
+FROM events CROSS JOIN (SELECT min(value) mn, max(value) mx FROM events) a
+"""
+
+
+def q_onehot_events(sf_dir):
+    """One-hot encode event_type: vocabulary from a distributed distinct
+    pass (sorted for stable column order), indicators appended by a
+    stateless vectorized transform.  Exact integers — no grid."""
+    from .stages.scale import one_hot_encode
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+    return one_hot_encode(ds, "event_type", prefix="et", drop_input=True)
+
+
+SQL_ONEHOT_EVENTS = """
+SELECT event_id,
+       CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS BIGINT) AS et_click,
+       CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS BIGINT) AS et_error,
+       CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS et_purchase,
+       CAST(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS BIGINT) AS et_signup,
+       CAST(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS BIGINT) AS et_view
+FROM events
+"""
+
+
 def q_image_resize_stats(sf_dir):
     """Corpus-prep image path: resize every image to a fixed 16×16 (the
     pre-inference normalization step), then per-image channel/luminance
@@ -1536,9 +1642,17 @@ QUERIES = {
     "kpca_transform": q_kpca_transform,
     "images_phash_verify": q_images_phash_verify,
     "image_resize_stats": q_image_resize_stats,
+    "lineitem_corr": q_lineitem_corr,
+    "scale_standard": q_scale_standard,
+    "minmax_bin_events": q_minmax_bin_events,
+    "onehot_events": q_onehot_events,
 }
 
 ORACLE_SQL = {
+    "lineitem_corr": SQL_LINEITEM_CORR,
+    "scale_standard": SQL_SCALE_STANDARD,
+    "minmax_bin_events": SQL_MINMAX_BIN_EVENTS,
+    "onehot_events": SQL_ONEHOT_EVENTS,
     "agg_lineitem": SQL_AGG_LINEITEM,
     "agg_events_var": SQL_AGG_EVENTS_VAR,
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,

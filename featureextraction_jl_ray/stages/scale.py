@@ -1,0 +1,233 @@
+"""Column-wise feature scaling / encoding stages (classic tabular
+feature engineering over plain numeric columns, reusing the same
+distributed sufficient-statistics machinery the PCA path runs on).
+
+Everything here is two-phase: a FIT that streams one ``map_batches``
+pass over the input and tree-merges tiny partials (Moments for
+mean/cov/corr, per-column min/max for range scaling — both mergeable,
+so no shuffle and nothing larger than O(p²) ever leaves a task), and a
+TRANSFORM that is a stateless vectorized ``map_batches`` over the full
+table with the O(p) fitted model captured in the task closure (a few
+floats — no actor pool, no ray.put needed).
+
+Scale notes (100 TB): fit partials are (p+p²) floats per input block
+regardless of row count; transforms are embarrassingly parallel row
+maps with zero exchange.  The only driver-side work is merging
+≤ num_blocks/fan_in partial rows (O(p²) each) and, for one-hot, holding
+the category vocabulary (bounded by definition of "categorical").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.moments import Moments
+
+__all__ = [
+    "fit_numeric_moments",
+    "fit_min_max",
+    "corr_table",
+    "standard_scale",
+    "min_max_scale",
+    "equal_width_bin",
+    "one_hot_encode",
+]
+
+
+def _cols_matrix(batch: pa.Table, cols) -> np.ndarray:
+    """Stack plain numeric columns into an (n, p) float64 matrix."""
+    return np.column_stack(
+        [
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols
+        ]
+    )
+
+
+def fit_numeric_moments(ds, cols, *, fan_in: int = 64, batch_size=None) -> Moments:
+    """One streaming pass over plain numeric ``cols`` → global
+    :class:`Moments` (mean + centered scatter), the same partial/merge
+    shape as :func:`~..state.moments.fit_moments` over a vector column.
+    """
+    cols = list(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return Moments.of(_cols_matrix(batch, cols)).to_row()
+
+    partials = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    merged = partials.map_batches(
+        lambda b: Moments.from_rows(b).to_row(),
+        batch_format="pyarrow",
+        batch_size=fan_in,
+    )
+    final = pa.concat_tables(
+        list(merged.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    return Moments.from_rows(final)
+
+
+def fit_min_max(ds, cols, *, fan_in: int = 64, batch_size=None) -> dict:
+    """Global per-column (min, max) in one streaming pass (mergeable
+    partials, no shuffle).  Returns {col: (min, max)} floats."""
+    cols = list(cols)
+    empty = pa.table(
+        {
+            "mn": pa.array([], type=pa.list_(pa.float64())),
+            "mx": pa.array([], type=pa.list_(pa.float64())),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _cols_matrix(batch, cols)
+        if X.shape[0] == 0:
+            return empty
+        return pa.table(
+            {
+                "mn": pa.array([X.min(axis=0).tolist()], type=pa.list_(pa.float64())),
+                "mx": pa.array([X.max(axis=0).tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        mn = np.asarray(batch.column("mn").to_pylist(), dtype=np.float64)
+        mx = np.asarray(batch.column("mx").to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "mn": pa.array([mn.min(axis=0).tolist()], type=pa.list_(pa.float64())),
+                "mx": pa.array([mx.max(axis=0).tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    partials = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    merged = partials.map_batches(merge, batch_format="pyarrow", batch_size=fan_in)
+    final = pa.concat_tables(
+        list(merged.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    if final.num_rows == 0:
+        raise ValueError("fit_min_max over an empty dataset")
+    mn = np.asarray(final.column("mn").to_pylist(), dtype=np.float64).min(axis=0)
+    mx = np.asarray(final.column("mx").to_pylist(), dtype=np.float64).max(axis=0)
+    return {c: (float(mn[i]), float(mx[i])) for i, c in enumerate(cols)}
+
+
+def corr_table(moments: Moments, cols, *, ndigits: int | None = None) -> pa.Table:
+    """Upper-triangle (i < j) Pearson correlations from the merged
+    scatter: corr_ij = m2_ij / √(m2_ii · m2_jj) — the n−ddof divisor
+    cancels, so this is the exact sample correlation."""
+    cols = list(cols)
+    m2 = moments.scatter()
+    d = np.sqrt(np.diag(m2))
+    a_names, b_names, vals = [], [], []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a_names.append(cols[i])
+            b_names.append(cols[j])
+            v = m2[i, j] / (d[i] * d[j])
+            vals.append(round(v, ndigits) if ndigits is not None else v)
+    return pa.table(
+        {
+            "col_a": pa.array(a_names, type=pa.string()),
+            "col_b": pa.array(b_names, type=pa.string()),
+            "corr": pa.array(vals, type=pa.float64()),
+        }
+    )
+
+
+def standard_scale(ds, cols, moments: Moments, *, suffix: str = "_z", ddof: int = 1):
+    """Append ``col<suffix>`` = (x − μ) / σ per column (σ from the
+    n−ddof sample covariance diagonal).  The O(p)-float model rides the
+    task closure; stateless tasks, zero exchange."""
+    cols = list(cols)
+    mean = moments.mean.copy()
+    sd = np.sqrt(np.diag(moments.cov(ddof))).copy()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for i, c in enumerate(cols):
+            x = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            batch = batch.append_column(
+                c + suffix, pa.array((x - mean[i]) / sd[i], type=pa.float64())
+            )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def min_max_scale(ds, cols, bounds: dict, *, suffix: str = "_mm"):
+    """Append ``col<suffix>`` = (x − min) / (max − min) per column.
+    Bit-deterministic: the same IEEE ops in the same association an SQL
+    oracle's ``(x − mn) / (mx − mn)`` evaluates, with exact min/max."""
+    cols = list(cols)
+    lohi = [bounds[c] for c in cols]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for i, c in enumerate(cols):
+            lo, hi = lohi[i]
+            x = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            batch = batch.append_column(
+                c + suffix, pa.array((x - lo) / (hi - lo), type=pa.float64())
+            )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def equal_width_bin(ds, col: str, *, num_bins: int, lo: float, hi: float,
+                    out_col: str | None = None):
+    """Append int64 ``out_col`` = clip(⌊(x − lo) · num_bins / (hi − lo)⌋,
+    0, num_bins − 1) — equal-width discretization with x == hi folded
+    into the top bin, matching the SQL mirror
+    ``LEAST(GREATEST(CAST(FLOOR(...) AS BIGINT), 0), num_bins − 1)``."""
+    out_col = out_col or f"{col}_bin"
+    nb = int(num_bins)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor((x - lo) * nb / (hi - lo))
+        b = np.clip(b, 0, nb - 1).astype(np.int64)
+        return batch.append_column(out_col, pa.array(b, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sanitize(cat) -> str:
+    s = str(cat)
+    return "".join(ch if (ch.isalnum() or ch == "_") else "_" for ch in s)
+
+
+def one_hot_encode(ds, col: str, *, categories=None, prefix: str | None = None,
+                   drop_input: bool = False):
+    """Append one int64 indicator column per category.
+
+    ``categories=None`` runs a distributed distinct pass (``ds.unique``
+    — tiny output by definition of "categorical") and sorts the
+    vocabulary for a stable column order; pass an explicit list to pin
+    the schema across datasets (the train/serve contract).  Unknown
+    categories encode as all-zeros rather than erroring — the standard
+    handle-unknown='ignore' behavior.
+    """
+    prefix = prefix if prefix is not None else col
+    if categories is None:
+        categories = sorted(ds.unique(col))
+    categories = list(categories)
+    names = [f"{prefix}_{_sanitize(c)}" for c in categories]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
+        for cat, name in zip(categories, names):
+            flag = pc.cast(
+                pc.fill_null(pc.equal(arr, pa.scalar(cat)), False), pa.int64()
+            )
+            batch = batch.append_column(name, flag)
+        if drop_input:
+            batch = batch.drop_columns([col])
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,119 @@
+"""Column-wise scaling / encoding stages vs NumPy + DuckDB oracles."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from featureextraction_jl_ray.stages.scale import (
+    corr_table,
+    equal_width_bin,
+    fit_min_max,
+    fit_numeric_moments,
+    min_max_scale,
+    one_hot_encode,
+    standard_scale,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(EVENTS, columns=["event_id", "event_type", "value"])
+
+
+def _values():
+    return duckdb.sql(f"SELECT value FROM '{EVENTS}'").fetchnumpy()["value"]
+
+
+def test_fit_numeric_moments_matches_numpy(events_ds):
+    rng = np.random.default_rng(0)
+    # two correlated columns via a synthetic second column is overkill —
+    # use (value, value²) which has nontrivial covariance
+    import ray.data as rd
+
+    v = _values()
+    X = np.column_stack([v, v * v])
+    ds = rd.from_arrow(pa.table({"a": X[:, 0], "b": X[:, 1]}))
+    m = fit_numeric_moments(ds, ["a", "b"], batch_size=97)
+    assert m.n == len(v)
+    np.testing.assert_allclose(m.mean, X.mean(axis=0), rtol=1e-12)
+    np.testing.assert_allclose(m.cov(), np.cov(X, rowvar=False), rtol=1e-9)
+    ct = corr_table(m, ["a", "b"])
+    want = np.corrcoef(X, rowvar=False)[0, 1]
+    np.testing.assert_allclose(ct.column("corr").to_numpy()[0], want, rtol=1e-9)
+
+
+def test_standard_scale_zero_mean_unit_var(events_ds):
+    m = fit_numeric_moments(events_ds, ["value"])
+    out = standard_scale(events_ds, ["value"], m)
+    z = np.array([r["value_z"] for r in out.take_all()])
+    assert abs(z.mean()) < 1e-9
+    assert abs(z.std(ddof=1) - 1.0) < 1e-9
+
+
+def test_min_max_scale_and_bin_exact(events_ds):
+    v = _values()
+    bounds = fit_min_max(events_ds, ["value"], batch_size=61)
+    lo, hi = bounds["value"]
+    assert lo == v.min() and hi == v.max()
+    out = equal_width_bin(
+        min_max_scale(events_ds, ["value"], bounds),
+        "value", num_bins=10, lo=lo, hi=hi,
+    )
+    rows = out.take_all()
+    got_mm = np.array([r["value_mm"] for r in rows])
+    got_bin = np.array([r["value_bin"] for r in rows])
+    vals = np.array([r["value"] for r in rows])
+    np.testing.assert_array_equal(got_mm, (vals - lo) / (hi - lo))
+    want_bin = np.clip(np.floor((vals - lo) * 10 / (hi - lo)), 0, 9).astype(np.int64)
+    np.testing.assert_array_equal(got_bin, want_bin)
+    # the max row lands in the top bin, min row in bin 0
+    assert got_bin[vals.argmax()] == 9 and got_bin[vals.argmin()] == 0
+    # bit-exact vs DuckDB evaluating the mirrored SQL expression
+    sql = duckdb.sql(
+        f"""
+        SELECT event_id, (value - mn) / (mx - mn) AS mm,
+               LEAST(GREATEST(CAST(FLOOR((value - mn) * 10 / (mx - mn)) AS BIGINT), 0), 9) AS b
+        FROM '{EVENTS}', (SELECT min(value) mn, max(value) mx FROM '{EVENTS}')
+        ORDER BY event_id
+        """
+    ).fetchnumpy()
+    order = np.argsort(np.array([r["event_id"] for r in rows]))
+    np.testing.assert_array_equal(got_mm[order], sql["mm"])
+    np.testing.assert_array_equal(got_bin[order], sql["b"])
+
+
+def test_one_hot_matches_duckdb(events_ds):
+    out = one_hot_encode(events_ds.select_columns(["event_id", "event_type"]),
+                         "event_type", prefix="et")
+    rows = sorted(out.take_all(), key=lambda r: r["event_id"])
+    cats = duckdb.sql(
+        f"SELECT DISTINCT event_type FROM '{EVENTS}' ORDER BY 1"
+    ).fetchnumpy()["event_type"]
+    assert [f"et_{c}" for c in cats] == [k for k in rows[0] if k.startswith("et_")]
+    want = duckdb.sql(
+        f"SELECT event_type FROM '{EVENTS}' ORDER BY event_id"
+    ).fetchnumpy()["event_type"]
+    for r, t in zip(rows, want):
+        onehots = {k: r[k] for k in r if k.startswith("et_")}
+        assert sum(onehots.values()) == 1
+        assert onehots[f"et_{t}"] == 1
+
+
+def test_one_hot_pinned_vocab_unknown_is_zero(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"c": ["a", "b", "zzz", None]}))
+    rows = one_hot_encode(ds, "c", categories=["a", "b"], drop_input=True).take_all()
+    assert [sorted(r.items()) for r in rows] == [
+        [("c_a", 1), ("c_b", 0)],
+        [("c_a", 0), ("c_b", 1)],
+        [("c_a", 0), ("c_b", 0)],
+        [("c_a", 0), ("c_b", 0)],
+    ]
