@@ -1464,6 +1464,64 @@ def q_images_phash_verify(sf_dir):
     return out.select_columns(["image_id", "phash_ok"])
 
 
+def q_rank_events(sf_dir):
+    """SQL window-rank family (row_number / rank / dense_rank /
+    percent_rank / ntile) per user ordered by value, as one bucketed
+    scan.  All-integer ranks and an exact (rank−1)/(n−1) division —
+    bit-exact vs the oracle, no rounding grid."""
+    from .stages.window import with_ranks
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+    out = with_ranks(ds, "user_id", "value", ntile=4,
+                     tiebreak_cols=("event_id",), num_buckets=16)
+    return out.select_columns(
+        ["event_id", "row_number", "rank", "dense_rank", "percent_rank", "ntile_4"]
+    )
+
+
+SQL_RANK_EVENTS = """
+SELECT event_id,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS row_number,
+  RANK() OVER (PARTITION BY user_id ORDER BY value) AS rank,
+  DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS dense_rank,
+  PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS percent_rank,
+  NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS ntile_4
+FROM events
+"""
+
+
+def q_cumulative_user_value(sf_dir):
+    """Running per-user aggregates in event-time order, inclusive of the
+    current row (a user's cumulative count/spend/max as of each event —
+    the expanding-window point-in-time feature).  count/min/max are
+    comparison-only (bit-exact); the running sum pins to the 1e-6 grid
+    because DuckDB's windowed SUM may use a segment tree whose addition
+    order differs from the sequential cumsum in trailing ulps."""
+    from .stages.window import with_cumulative
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+    out = with_cumulative(ds, "user_id", "ts", "value",
+                          aggs=("count", "sum", "max"),
+                          tiebreak_cols=("event_id",), num_buckets=16)
+    out = out.select_columns(
+        ["event_id", "cum_value_count", "cum_value_sum", "cum_value_max"]
+    )
+    return _round_cols(out, {"cum_value_sum": 6})
+
+
+SQL_CUMULATIVE_USER_VALUE = """
+SELECT event_id,
+  COUNT(*) OVER w AS cum_value_count,
+  ROUND(SUM(value) OVER w, 6) AS cum_value_sum,
+  MAX(value) OVER w AS cum_value_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_lineitem_corr(sf_dir):
     """Pairwise Pearson correlations of four lineitem measures from ONE
     streaming moments pass (mean + full scatter tree-merged; the same
@@ -1642,6 +1700,8 @@ QUERIES = {
     "kpca_transform": q_kpca_transform,
     "images_phash_verify": q_images_phash_verify,
     "image_resize_stats": q_image_resize_stats,
+    "rank_events": q_rank_events,
+    "cumulative_user_value": q_cumulative_user_value,
     "lineitem_corr": q_lineitem_corr,
     "scale_standard": q_scale_standard,
     "minmax_bin_events": q_minmax_bin_events,
@@ -1649,6 +1709,8 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rank_events": SQL_RANK_EVENTS,
+    "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "scale_standard": SQL_SCALE_STANDARD,
     "minmax_bin_events": SQL_MINMAX_BIN_EVENTS,

@@ -30,6 +30,8 @@ __all__ = [
     "with_sessionize",
     "with_rolling",
     "with_windows",
+    "with_ranks",
+    "with_cumulative",
 ]
 
 _AGG_NAMES = ("count", "sum", "mean", "min", "max")
@@ -296,4 +298,101 @@ def with_windows(
     )
     return sorted_scan(
         ds, entity_col, ts_col, fn, num_buckets=num_buckets, tiebreak_cols=tiebreak_cols
+    )
+
+
+def _ntile_vec(rn: np.ndarray, n: np.ndarray, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 1-based row numbers and per-row group sizes:
+    the first n % k tiles get ⌈n/k⌉ rows, the rest ⌊n/k⌋ (vectorized
+    across groups of different sizes)."""
+    q, r = n // k, n % k
+    big = r * (q + 1)  # rows covered by the ⌈n/k⌉-sized tiles
+    in_big = rn <= big
+    tile_big = (rn - 1) // (q + 1) + 1
+    tile_small = r + (rn - 1 - big) // np.maximum(q, 1) + 1
+    return np.where(in_big, tile_big, tile_small).astype(np.int64)
+
+
+def with_ranks(
+    ds,
+    part_col: str,
+    order_col: str,
+    *,
+    ntile: int | None = None,
+    prefix: str = "",
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Per-partition rank features ordered ascending by ``order_col``:
+    row_number / rank / dense_rank / percent_rank (+ ntile_k when asked)
+    — the SQL window-rank family as one bucketed scan.  Ties on
+    ``order_col`` share rank/dense_rank/percent_rank; row_number and
+    ntile need a total order, so pass unique ``tiebreak_cols`` for
+    deterministic output (descending order = rank the negated column).
+    percent_rank = (rank − 1)/(n − 1), 0 for single-row partitions —
+    exact integer division, bit-identical to the SQL oracle."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(part_col, sort=False)
+        rn = (g.cumcount() + 1).to_numpy(dtype=np.int64)
+        rnk = g[order_col].rank(method="min").to_numpy(dtype=np.int64)
+        drnk = g[order_col].rank(method="dense").to_numpy(dtype=np.int64)
+        n = g[order_col].transform("size").to_numpy(dtype=np.int64)
+        pct = np.where(n > 1, (rnk - 1) / np.maximum(n - 1, 1), 0.0)
+        df[f"{prefix}row_number"] = rn
+        df[f"{prefix}rank"] = rnk
+        df[f"{prefix}dense_rank"] = drnk
+        df[f"{prefix}percent_rank"] = pct
+        if ntile is not None:
+            df[f"{prefix}ntile_{ntile}"] = _ntile_vec(rn, n, int(ntile))
+        return df
+
+    return sorted_scan(
+        ds, part_col, order_col, fn,
+        num_buckets=num_buckets, tiebreak_cols=tiebreak_cols,
+    )
+
+
+def with_cumulative(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    aggs: tuple[str, ...] = ("count", "sum"),
+    prefix: str | None = None,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Running (expanding) aggregates per entity in event-time order,
+    INCLUSIVE of the current row — SQL's ``ROWS BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW`` (e.g. a user's cumulative spend as of
+    each event).  Strictly-prior variants compose as with_lag of these
+    columns.  aggs ⊆ {count, sum, mean, min, max}; pandas C group
+    kernels, one bucketed exchange."""
+    prefix = prefix if prefix is not None else f"cum_{value_col}_"
+    bad = set(aggs) - {"count", "sum", "mean", "min", "max"}
+    if bad:
+        raise ValueError(f"unsupported cumulative aggs: {sorted(bad)}")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(entity_col, sort=False)
+        cnt = (g.cumcount() + 1).to_numpy(dtype=np.int64)
+        if "count" in aggs:
+            df[f"{prefix}count"] = cnt
+        if "sum" in aggs or "mean" in aggs:
+            s = g[value_col].cumsum().to_numpy(dtype=np.float64)
+            if "sum" in aggs:
+                df[f"{prefix}sum"] = s
+            if "mean" in aggs:
+                df[f"{prefix}mean"] = s / cnt
+        if "min" in aggs:
+            df[f"{prefix}min"] = g[value_col].cummin()
+        if "max" in aggs:
+            df[f"{prefix}max"] = g[value_col].cummax()
+        return df
+
+    return sorted_scan(
+        ds, entity_col, ts_col, fn,
+        num_buckets=num_buckets, tiebreak_cols=tiebreak_cols,
     )

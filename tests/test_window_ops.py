@@ -393,3 +393,91 @@ def test_range_join_overlapping_intervals(ray_session):
             right_cols=["wid", "start_ts", "end_ts"], num_buckets=4,
             max_intervals_per_entity=1,
         ).to_pandas()
+
+
+def test_ranks_vs_duckdb(ray_session, sf_dir, db):
+    from featureextraction_jl_ray.stages.window import with_ranks
+
+    ds = with_ranks(
+        events_ds(ray_session, sf_dir).select_columns(
+            ["event_id", "user_id", "value"]
+        ),
+        "user_id",
+        "value",
+        ntile=4,
+        tiebreak_cols=("event_id",),
+        num_buckets=16,
+    )
+    want = db.execute(
+        """
+        SELECT event_id, user_id, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value, event_id) AS row_number,
+          RANK() OVER (PARTITION BY user_id ORDER BY value) AS rank,
+          DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS dense_rank,
+          PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS percent_rank,
+          NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS ntile_4
+        FROM events
+        """
+    ).fetchdf()
+    cmp(ds, want,
+        ["row_number", "rank", "dense_rank", "percent_rank", "ntile_4"],
+        sort_key=["event_id"])
+
+
+def test_ntile_edge_cases_vs_duckdb(ray_session, db):
+    """n < k, n == k, n % k ≠ 0 — the ntile size-split boundaries."""
+    import pyarrow as pa
+    from featureextraction_jl_ray.stages.window import with_ranks
+
+    rows = [("a", i) for i in range(2)] + [("b", i) for i in range(4)] + [
+        ("c", i) for i in range(7)
+    ]
+    tbl = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows]),
+            "v": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+    import ray.data as rd
+
+    got = (
+        with_ranks(rd.from_arrow(tbl), "k", "v", ntile=4, num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "v"], ignore_index=True)
+    )
+    want = duckdb.sql(
+        """
+        SELECT k, v, NTILE(4) OVER (PARTITION BY k ORDER BY v) AS t
+        FROM tbl ORDER BY k, v
+        """
+    ).fetchdf()
+    assert got["ntile_4"].tolist() == want["t"].tolist()
+
+
+def test_cumulative_vs_duckdb(ray_session, sf_dir, db):
+    from featureextraction_jl_ray.stages.window import with_cumulative
+
+    ds = with_cumulative(
+        events_ds(ray_session, sf_dir).select_columns(KEY + ["value"]),
+        "user_id",
+        "ts",
+        "value",
+        aggs=("count", "sum", "mean", "min", "max"),
+        tiebreak_cols=("event_id",),
+        num_buckets=16,
+    )
+    want = db.execute(
+        """
+        SELECT event_id, user_id, ts, value,
+          COUNT(*) OVER w AS cum_value_count,
+          SUM(value) OVER w AS cum_value_sum,
+          AVG(value) OVER w AS cum_value_mean,
+          MIN(value) OVER w AS cum_value_min,
+          MAX(value) OVER w AS cum_value_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    ).fetchdf()
+    cmp(ds, want, ["cum_value_count", "cum_value_sum", "cum_value_mean",
+                   "cum_value_min", "cum_value_max"])
