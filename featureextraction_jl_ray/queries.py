@@ -1522,6 +1522,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_hash_split_events(sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment keyed on
+    event_id via the fmix32 hash — reproducible across runs/resumes and
+    consistent per key across datasets.  The oracle SQL reproduces the
+    ENGINE's hash bit-for-bit (UBIGINT xor/shift/multiply mod 2³² CTE
+    from stages/split.py::sql_hash_cte), so the assignment itself is
+    gate-verified, not just its proportions."""
+    from .stages.split import hash_split
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return hash_split(ds, "event_id")
+
+
+def _hash_split_sql() -> str:
+    from .stages.split import split_thresholds, sql_hash_cte
+
+    bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    case = "CASE "
+    for label, hi in bounds[:-1]:
+        case += f"WHEN h < {hi} THEN '{label}' "
+    case += f"ELSE '{bounds[-1][0]}' END"
+    cte = sql_hash_cte("events", "event_id", "event_id")
+    return f"WITH {cte} SELECT event_id, {case} AS split FROM __hx"
+
+
+SQL_HASH_SPLIT_EVENTS = _hash_split_sql()
+
+
 def q_lineitem_corr(sf_dir):
     """Pairwise Pearson correlations of four lineitem measures from ONE
     streaming moments pass (mean + full scatter tree-merged; the same
@@ -1700,6 +1728,7 @@ QUERIES = {
     "kpca_transform": q_kpca_transform,
     "images_phash_verify": q_images_phash_verify,
     "image_resize_stats": q_image_resize_stats,
+    "hash_split_events": q_hash_split_events,
     "rank_events": q_rank_events,
     "cumulative_user_value": q_cumulative_user_value,
     "lineitem_corr": q_lineitem_corr,
@@ -1709,6 +1738,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "hash_split_events": SQL_HASH_SPLIT_EVENTS,
     "rank_events": SQL_RANK_EVENTS,
     "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
     "lineitem_corr": SQL_LINEITEM_CORR,

@@ -1,0 +1,136 @@
+"""Deterministic hash-based dataset splitting / sampling — the
+train/val/test assignment and row-sampling primitives a training-data
+pipeline needs.
+
+Why hash, not random: assignment must be (a) reproducible across runs,
+processes and resumes with no RNG state, (b) stable under repartitioning
+and input reordering, and (c) consistent for the same key across
+DIFFERENT datasets (a user's events land in the same split everywhere).
+A keyed hash gives all three; `ds.random_sample` gives none.
+
+The integer-key hash is a murmur3-style 32-bit finalizer (fmix32 —
+public-domain constants) over the two's-complement uint64 key, chosen
+deliberately because every step is expressible in portable SQL integer
+arithmetic (UBIGINT xor/shift/multiply mod 2³²) — the driver's DuckDB
+oracle reproduces the ENGINE's assignment bit-for-bit, so the split is
+gate-verified, not just statistically plausible.  String keys hash via
+the engine-wide SipHash (`functions.hashing.stable_hash_array`) and are
+pytest-verified instead.
+
+Scale shape: stateless vectorized ``map_batches``, zero exchange, O(1)
+state per task.  Split labels are dictionary-encodable strings; filters
+push down to a boolean mask per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash_array
+
+__all__ = ["hash_u32", "split_thresholds", "hash_split", "hash_sample",
+           "sql_hash_cte"]
+
+_M32 = np.uint64(0xFFFFFFFF)
+_DEFAULT_SEED = 0x9E3779B9  # nonzero: kills the x=0 / x=-1 fixpoint of the fold
+
+
+def hash_u32(keys, *, seed: int = _DEFAULT_SEED) -> np.ndarray:
+    """Vectorized keyed hash of a key array → uint64 values in [0, 2³²).
+
+    Integer keys: fmix32 finalizer over (uint64(key) XOR seed), folded
+    hi^lo to 32 bits — bit-reproducible in SQL (see module docstring).
+    Other dtypes: SipHash via :func:`stable_hash_array`, folded to 32
+    bits (not SQL-expressible; pytest-verified).
+    """
+    arr = np.asarray(keys)
+    if arr.dtype.kind in "iu":
+        x = arr.astype(np.int64).view(np.uint64) ^ np.uint64(seed)
+    else:
+        x = stable_hash_array(arr, seed=seed)
+    h = (x ^ (x >> np.uint64(32))) & _M32
+    h = h ^ (h >> np.uint64(16))
+    with np.errstate(over="ignore"):
+        h = (h * np.uint64(0x85EBCA6B)) & _M32
+        h = h ^ (h >> np.uint64(13))
+        h = (h * np.uint64(0xC2B2AE35)) & _M32
+    return h ^ (h >> np.uint64(16))
+
+
+def split_thresholds(fractions: dict) -> list[tuple[str, int]]:
+    """(label, exclusive-upper-bound) integer thresholds on [0, 2³²)
+    from {label: fraction} (insertion order; fractions must sum to 1).
+    Integer thresholds make the assignment exact — no float comparison
+    at apply time, and the SQL oracle uses the same literals."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    for label, f in fractions.items():
+        acc += f
+        out.append((label, min(int(acc * 2**32), 2**32)))
+    out[-1] = (out[-1][0], 2**32)  # fp-acc safety: last bound is exact
+    return out
+
+
+def hash_split(ds, key_col: str, fractions: dict | None = None, *,
+               seed: int = _DEFAULT_SEED, out_col: str = "split"):
+    """Append a deterministic split label per row keyed on ``key_col``.
+
+    ``fractions``: ordered {label: fraction} summing to 1 (default
+    80/10/10 train/val/test).  All rows sharing a key share a label, so
+    group-level leakage across splits is impossible by construction.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bounds = split_thresholds(fractions)
+    labels = [b[0] for b in bounds]
+    uppers = np.array([b[1] for b in bounds], dtype=np.uint64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = hash_u32(batch.column(key_col).to_numpy(zero_copy_only=False), seed=seed)
+        idx = np.searchsorted(uppers, h, side="right")
+        lab = np.array(labels, dtype=object)[idx]
+        return batch.append_column(out_col, pa.array(lab, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_sample(ds, key_col: str, fraction: float, *,
+                seed: int = _DEFAULT_SEED):
+    """Keep rows whose key hashes below fraction·2³² — a deterministic,
+    repartition-stable Bernoulli sample by KEY (all rows of a kept key
+    are kept; sample the row id to sample rows)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    bound = np.uint64(min(int(fraction * 2**32), 2**32 - 1)) if fraction < 1.0 else None
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if bound is None:
+            return batch
+        h = hash_u32(batch.column(key_col).to_numpy(zero_copy_only=False), seed=seed)
+        return batch.filter(pa.array(h < bound))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_hash_cte(source: str, key_col: str, carry_cols: str, *,
+                 seed: int = _DEFAULT_SEED, out: str = "h") -> str:
+    """DuckDB CTE chain computing exactly :func:`hash_u32` of integer
+    ``key_col`` from ``source`` (table or subquery), carrying
+    ``carry_cols`` through; exposes the hash as ``{out}`` in a relation
+    named ``__hx``.  Kept next to the numpy implementation so the two
+    mixes cannot drift apart silently; oracle queries embed this text."""
+    s = np.uint64(seed)
+    return f"""
+__h0 AS (
+  SELECT {carry_cols},
+         xor(CAST((CAST({key_col} AS HUGEINT) + 18446744073709551616)
+                  % 18446744073709551616 AS UBIGINT), {s}) AS __x
+  FROM {source}
+),
+__h1 AS (SELECT {carry_cols}, xor(__x, __x >> 32) % 4294967296 AS __h FROM __h0),
+__h2 AS (SELECT {carry_cols}, (xor(__h, __h >> 16) * 2246822507) % 4294967296 AS __h FROM __h1),
+__h3 AS (SELECT {carry_cols}, (xor(__h, __h >> 13) * 3266489909) % 4294967296 AS __h FROM __h2),
+__hx AS (SELECT {carry_cols}, xor(__h, __h >> 16) AS {out} FROM __h3)
+"""

@@ -1,0 +1,89 @@
+"""Deterministic hash split/sample: SQL-mix drift guard, determinism,
+proportions, key-consistency."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from featureextraction_jl_ray.stages.split import (
+    hash_sample,
+    hash_split,
+    hash_u32,
+    split_thresholds,
+    sql_hash_cte,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def test_hash_u32_matches_duckdb_cte():
+    """The numpy fmix32 and the SQL CTE must agree bit-for-bit — this is
+    the drift guard behind the oracled split query."""
+    keys = np.array(
+        [0, 1, 2, -1, -999, 12345, 2**62, -(2**62), 999999999999], dtype=np.int64
+    )
+    got = hash_u32(keys)
+    cte = sql_hash_cte("t", "k", "k")
+    want = duckdb.sql(
+        f"WITH t(k) AS (SELECT unnest({keys.tolist()}::BIGINT[])), {cte} "
+        "SELECT k, h FROM __hx"
+    ).fetchall()
+    assert all(int(h) == int(g) for (_, h), g in zip(want, got))
+
+
+def test_split_thresholds_and_validation():
+    b = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert [x[0] for x in b] == ["train", "val", "test"]
+    assert b[-1][1] == 2**32
+    assert b[0][1] == int(0.8 * 2**32)
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(EVENTS, columns=["event_id", "user_id"])
+    out1 = hash_split(ds, "event_id").to_pandas().sort_values("event_id")
+    out2 = hash_split(ds, "event_id").to_pandas().sort_values("event_id")
+    assert (out1["split"].to_numpy() == out2["split"].to_numpy()).all()
+    frac = out1["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.05
+    assert abs(frac["test"] - 0.1) < 0.05
+
+
+def test_split_key_consistency_across_datasets(ray_session):
+    """Same key ⇒ same split label in any table (the group-leakage
+    guarantee)."""
+    import ray.data as rd
+
+    a = rd.from_arrow(pa.table({"uid": pa.array([7, 8, 9], type=pa.int64())}))
+    b = rd.from_arrow(
+        pa.table({"uid": pa.array([9, 9, 8, 7, 100], type=pa.int64())})
+    )
+    la = {r["uid"]: r["split"] for r in hash_split(a, "uid").take_all()}
+    lb = {r["uid"]: r["split"] for r in hash_split(b, "uid").take_all()}
+    for k in la:
+        assert lb[k] == la[k]
+
+
+def test_hash_sample_subset_and_string_keys(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(EVENTS, columns=["event_id"])
+    n = ds.count()
+    kept = hash_sample(ds, "event_id", 0.25)
+    k = kept.count()
+    assert abs(k / n - 0.25) < 0.07
+    # sample at fraction f is a strict subset of the sample at f' > f
+    bigger = set(r["event_id"] for r in hash_sample(ds, "event_id", 0.5).take_all())
+    assert set(r["event_id"] for r in kept.take_all()) <= bigger
+    # string keys route through SipHash and still split deterministically
+    sds = rd.from_arrow(pa.table({"k": [f"doc_{i}" for i in range(1000)]}))
+    s1 = hash_split(sds, "k").to_pandas()
+    assert set(s1["split"]) == {"train", "val", "test"}
+    assert abs((s1["split"] == "train").mean() - 0.8) < 0.06
