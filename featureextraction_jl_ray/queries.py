@@ -1550,6 +1550,49 @@ def _hash_split_sql() -> str:
 SQL_HASH_SPLIT_EVENTS = _hash_split_sql()
 
 
+def q_tfidf_docs(sf_dir):
+    """Hashed TF-IDF vectors over the documents table: mergeable
+    (df[dim], n_docs) partials fit the idf in one streaming pass, then a
+    stateless vectorized transform (pandas C findall → explode → one
+    SipHash call → np.add.at scatter) emits l2-normalized
+    list<float32> vectors ready for the cosine-kNN/PCA stages.
+    SipHash bucket assignment isn't SQL-expressible → rows-only; the
+    math is pytest-oracled against a per-document reference
+    (tests/test_vectorize.py)."""
+    from .stages.vectorize import tfidf_vectorize
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return tfidf_vectorize(ds, dim=256, drop_text=True)
+
+
+def q_target_encode_events(sf_dir):
+    """Target (per-category mean of value) + frequency encoding of
+    event_type: one partial-aggregated exchange fits the category map
+    (bounded by cardinality), broadcast once and Arrow-hash-probed per
+    batch — no second exchange over the fact rows.  Mean on the 1e-6
+    grid; frequency exact."""
+    from .stages.encode import target_encode
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    out = target_encode(ds, "event_type", "value", freq_col="event_type_freq")
+    out = out.select_columns(
+        ["event_id", "event_type", "event_type_te", "event_type_freq"]
+    )
+    return _round_cols(out, {"event_type_te": 6})
+
+
+SQL_TARGET_ENCODE_EVENTS = """
+SELECT e.event_id, e.event_type,
+       ROUND(a.m, 6) AS event_type_te,
+       a.n AS event_type_freq
+FROM events e
+JOIN (SELECT event_type, avg(value) m, count(*) n
+      FROM events GROUP BY event_type) a USING (event_type)
+"""
+
+
 def q_lineitem_corr(sf_dir):
     """Pairwise Pearson correlations of four lineitem measures from ONE
     streaming moments pass (mean + full scatter tree-merged; the same
@@ -1731,6 +1774,8 @@ QUERIES = {
     "hash_split_events": q_hash_split_events,
     "rank_events": q_rank_events,
     "cumulative_user_value": q_cumulative_user_value,
+    "tfidf_docs": q_tfidf_docs,
+    "target_encode_events": q_target_encode_events,
     "lineitem_corr": q_lineitem_corr,
     "scale_standard": q_scale_standard,
     "minmax_bin_events": q_minmax_bin_events,
@@ -1741,6 +1786,7 @@ ORACLE_SQL = {
     "hash_split_events": SQL_HASH_SPLIT_EVENTS,
     "rank_events": SQL_RANK_EVENTS,
     "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
+    "target_encode_events": SQL_TARGET_ENCODE_EVENTS,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "scale_standard": SQL_SCALE_STANDARD,
     "minmax_bin_events": SQL_MINMAX_BIN_EVENTS,

@@ -1,0 +1,106 @@
+"""Category encoders — target (mean) encoding and frequency encoding,
+the workhorse categorical features of tabular ML.
+
+Shape: FIT = one partial-aggregated ``grouped_aggregate`` exchange
+producing one row per category (bounded by the category cardinality —
+that is what "categorical" means; a key with corpus-scale cardinality
+belongs in :mod:`.split`-style hashing, not here).  APPLY = the fitted
+map broadcast once via ``ray.put`` and hash-probed per batch by the
+Arrow-native :func:`.joins.broadcast_join` — zero additional exchange
+over the big side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .groupagg import grouped_aggregate
+from .joins import broadcast_join
+
+__all__ = ["fit_target_encoding", "target_encode", "frequency_encode"]
+
+
+def _collect_small(ds) -> pa.Table:
+    return pa.concat_tables(
+        list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+
+
+def fit_target_encoding(ds, key_col: str, target_col: str, *,
+                        smoothing: float = 0.0,
+                        num_buckets: int = 64) -> pa.Table:
+    """Per-category encoding table ``(key, __te, __freq)``.
+
+    ``__te`` = (Σ target + m·prior) / (n + m) with m = ``smoothing`` and
+    prior = the GLOBAL target mean (computed exactly from the same
+    partials) — m = 0 is the plain per-category mean; m > 0 shrinks rare
+    categories toward the prior (standard leave-prior smoothing).
+    """
+    stats = _collect_small(
+        grouped_aggregate(
+            ds,
+            key_col,
+            {"__s": (target_col, "sum"), "__n": (target_col, "count")},
+            num_buckets=num_buckets,
+        )
+    )
+    s = stats.column("__s").to_numpy(zero_copy_only=False).astype(np.float64)
+    n = stats.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+    if smoothing:
+        prior = s.sum() / n.sum()
+        te = (s + smoothing * prior) / (n + smoothing)
+    else:
+        te = s / n
+    return pa.table(
+        {
+            key_col: stats.column(key_col),
+            "__te": pa.array(te, type=pa.float64()),
+            "__freq": pa.array(n.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def target_encode(ds, key_col: str, target_col: str, *,
+                  smoothing: float = 0.0, out_col: str | None = None,
+                  freq_col: str | None = None, enc: pa.Table | None = None,
+                  num_buckets: int = 64):
+    """Append the per-category target mean (and optionally frequency).
+
+    Pass a pre-fitted ``enc`` table to apply a TRAIN-fitted encoding to
+    val/test — fitting on the same rows you transform leaks the target;
+    the two-argument form is provided for stats pipelines, the
+    train/apply split for modeling ones.  Unseen categories get null
+    (left join) — impute downstream with the prior if needed.
+    """
+    out_col = out_col or f"{key_col}_te"
+    if enc is None:
+        enc = fit_target_encoding(ds, key_col, target_col,
+                                  smoothing=smoothing, num_buckets=num_buckets)
+    keep = [key_col, "__te"] + (["__freq"] if freq_col else [])
+    joined = broadcast_join(ds, enc.select(keep), on=key_col, how="left")
+    rename = {"__te": out_col, **({"__freq": freq_col} if freq_col else {})}
+    return joined.map_batches(
+        lambda b: b.rename_columns([rename.get(c, c) for c in b.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def frequency_encode(ds, key_col: str, *, out_col: str | None = None,
+                     num_buckets: int = 64):
+    """Append the per-category row count — the frequency feature."""
+    out_col = out_col or f"{key_col}_freq"
+    counts = _collect_small(
+        grouped_aggregate(
+            ds, key_col, {"__freq": (key_col, "count")}, num_buckets=num_buckets
+        )
+    )
+    joined = broadcast_join(ds, counts, on=key_col, how="left")
+    return joined.map_batches(
+        lambda b: b.rename_columns(
+            [out_col if c == "__freq" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

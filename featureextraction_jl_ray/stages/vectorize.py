@@ -1,0 +1,153 @@
+"""Text vectorization — hashed bag-of-words (the "hashing trick") and
+TF-IDF over it, producing the fixed-width ``list<float32>`` vectors the
+engine's similarity / PCA / kNN stages consume.
+
+Why hashing, not a vocabulary: a 100-TB corpus's vocabulary is
+unbounded and building it is an extra all-to-all; hashing token →
+bucket (mod ``dim``) needs no fitted state for plain TF, keeps every
+task stateless, and bounds the feature width by construction (standard
+feature-hashing construction, e.g. Weinberger et al. 2009 [P]).
+
+IDF is the one fitted quantity: document frequency per bucket is a
+mergeable ``dim``-wide integer partial — one streaming ``map_batches``
+pass + batch-size fan-in merge, same shape as the moments fit; the
+fitted idf vector (``dim`` floats) rides the transform's task closure.
+
+Per-batch work is vectorized end-to-end: pandas C regex ``findall`` →
+``explode`` to a flat token array → ONE ``stable_hash_array`` call →
+``np.add.at`` scatter into the (n, dim) matrix.  No Python loop over
+rows or tokens.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash_array
+from ..functions.veccol import numpy_to_fixed_list_column
+
+__all__ = ["HashingVectorizer", "hashed_bow", "fit_idf", "tfidf_vectorize"]
+
+_TOKEN = r"[a-zà-ÿ]+|\d+"  # lowercased word pieces + numbers
+
+
+def _doc_token_buckets(texts: pd.Series, pattern, dim: int, seed: int):
+    """(doc_idx int64[], bucket int64[]) for every token occurrence."""
+    toks = texts.str.lower().str.findall(pattern)
+    flat = toks.explode()
+    flat = flat[flat.notna()]
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    doc_idx = flat.index.to_numpy(dtype=np.int64)
+    h = stable_hash_array(flat.to_numpy(dtype=object), seed=seed)
+    return doc_idx, (h % np.uint64(dim)).astype(np.int64)
+
+
+class HashingVectorizer:
+    """Stage: text column → hashed term-frequency ``list<float32>``.
+
+    ``idf=None`` gives plain TF; pass the vector from :func:`fit_idf`
+    for TF-IDF.  ``norm='l2'`` unit-normalizes non-empty rows (cosine
+    kNN then reduces to a dot product); ``norm=None`` keeps raw counts.
+    """
+
+    def __init__(self, text_col: str = "text", *, dim: int = 256,
+                 out_col: str = "tfv", norm: str | None = "l2",
+                 idf: np.ndarray | None = None, seed: int = 7,
+                 token_pattern: str = _TOKEN, drop_text: bool = False):
+        if norm not in (None, "l2"):
+            raise ValueError("norm must be None or 'l2'")
+        self._text_col, self._dim, self._out = text_col, int(dim), out_col
+        self._norm, self._seed, self._drop = norm, seed, drop_text
+        self._pat = re.compile(token_pattern)
+        if idf is not None and len(idf) != dim:
+            raise ValueError(f"idf has {len(idf)} entries, dim is {dim}")
+        self._idf = None if idf is None else np.asarray(idf, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        texts = batch.column(self._text_col).to_pandas().reset_index(drop=True)
+        doc_idx, buckets = _doc_token_buckets(texts, self._pat, self._dim, self._seed)
+        M = np.zeros((n, self._dim), dtype=np.float64)
+        np.add.at(M, (doc_idx, buckets), 1.0)
+        if self._idf is not None:
+            M *= self._idf
+        if self._norm == "l2":
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            np.divide(M, nrm, out=M, where=nrm > 0)
+        out = batch.append_column(
+            self._out, numpy_to_fixed_list_column(M.astype(np.float32), pa.float32())
+        )
+        return out.drop_columns([self._text_col]) if self._drop else out
+
+
+def hashed_bow(ds, text_col: str = "text", *, dim: int = 256,
+               out_col: str = "tfv", norm: str | None = "l2",
+               idf: np.ndarray | None = None, seed: int = 7,
+               drop_text: bool = False, batch_size: int | None = 1024):
+    """ds → + hashed (TF or TF-IDF) vector column; stateless tasks."""
+    stage = HashingVectorizer(text_col, dim=dim, out_col=out_col, norm=norm,
+                              idf=idf, seed=seed, drop_text=drop_text)
+    return ds.map_batches(lambda b: stage(b), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+def fit_idf(ds, text_col: str = "text", *, dim: int = 256, seed: int = 7,
+            token_pattern: str = _TOKEN, fan_in: int = 64,
+            batch_size: int | None = None) -> np.ndarray:
+    """Smoothed idf vector: ln((1 + N)/(1 + df)) + 1 per hash bucket
+    (the standard smooth-idf convention), from one streaming pass of
+    mergeable (df[dim], n_docs) partials."""
+    pat = re.compile(token_pattern)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas().reset_index(drop=True)
+        doc_idx, buckets = _doc_token_buckets(texts, pat, dim, seed)
+        # df counts DOCUMENTS containing the bucket, not occurrences
+        uniq = np.unique(doc_idx * np.int64(dim) + buckets)
+        df = np.bincount((uniq % dim).astype(np.int64), minlength=dim)
+        return pa.table(
+            {
+                "df": pa.array([df.astype(np.int64).tolist()],
+                               type=pa.list_(pa.int64())),
+                "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        dfs = np.asarray(batch.column("df").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "df": pa.array([dfs.sum(axis=0).tolist()], type=pa.list_(pa.int64())),
+                "n_docs": pa.array(
+                    [int(sum(batch.column("n_docs").to_pylist()))], type=pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    merged = partials.map_batches(merge, batch_format="pyarrow", batch_size=fan_in)
+    final = merge(
+        pa.concat_tables(
+            list(merged.iter_batches(batch_size=None, batch_format="pyarrow"))
+        )
+    )
+    df = np.asarray(final.column("df").to_pylist()[0], dtype=np.float64)
+    n = float(final.column("n_docs").to_pylist()[0])
+    return np.log((1.0 + n) / (1.0 + df)) + 1.0
+
+
+def tfidf_vectorize(ds, text_col: str = "text", *, dim: int = 256,
+                    out_col: str = "tfv", seed: int = 7,
+                    drop_text: bool = False, batch_size: int | None = 1024):
+    """fit_idf + hashed_bow in one call (fit pass + transform pass)."""
+    idf = fit_idf(ds, text_col, dim=dim, seed=seed)
+    return hashed_bow(ds, text_col, dim=dim, out_col=out_col, norm="l2",
+                      idf=idf, seed=seed, drop_text=drop_text,
+                      batch_size=batch_size)

@@ -1,0 +1,90 @@
+"""Hashed BoW / TF-IDF vs a direct per-document reference."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from featureextraction_jl_ray.functions.hashing import stable_hash_array
+from featureextraction_jl_ray.stages.vectorize import (
+    HashingVectorizer,
+    fit_idf,
+    hashed_bow,
+    tfidf_vectorize,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+_PAT = re.compile(r"[a-zà-ÿ]+|\d+")
+
+
+def _ref_tf(text: str, dim: int, seed: int = 7) -> np.ndarray:
+    v = np.zeros(dim)
+    toks = _PAT.findall((text or "").lower())
+    if toks:
+        h = stable_hash_array(np.array(toks, dtype=object), seed=seed)
+        for b in (h % np.uint64(dim)).astype(int):
+            v[b] += 1.0
+    return v
+
+
+def test_hashing_vectorizer_matches_reference():
+    texts = pd.read_parquet(DOCS)["text"].head(50).tolist() + ["", "42 42 foo"]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = HashingVectorizer(dim=64, norm=None)(tbl)
+    got = np.asarray(out.column("tfv").to_pylist(), dtype=np.float64)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(got[i], _ref_tf(t, 64))
+
+
+def test_l2_norm_and_empty_text():
+    tbl = pa.table({"text": ["hello hello world", ""]})
+    out = HashingVectorizer(dim=32)(tbl)
+    v = np.asarray(out.column("tfv").to_pylist(), dtype=np.float64)
+    assert abs(np.linalg.norm(v[0]) - 1.0) < 1e-6
+    assert np.linalg.norm(v[1]) == 0.0  # empty doc → zero vector, no NaN
+
+
+def test_fit_idf_and_tfidf_vs_reference(ray_session):
+    import ray.data as rd
+
+    df = pd.read_parquet(DOCS, columns=["doc_id", "text"]).head(200)
+    ds = rd.from_pandas(df)
+    dim = 64
+    idf = fit_idf(ds, dim=dim, batch_size=37)
+    # reference df: number of docs whose token-bucket set contains b
+    dfc = np.zeros(dim)
+    for t in df["text"]:
+        v = _ref_tf(t, dim)
+        dfc += v > 0
+    want_idf = np.log((1 + len(df)) / (1 + dfc)) + 1
+    np.testing.assert_allclose(idf, want_idf, rtol=1e-12)
+
+    out = tfidf_vectorize(ds, dim=dim).to_pandas().set_index("doc_id")
+    for did, t in df.set_index("doc_id")["text"].head(10).items():
+        tf = _ref_tf(t, dim)
+        w = tf * want_idf
+        n = np.linalg.norm(w)
+        if n > 0:
+            w = w / n
+        np.testing.assert_allclose(
+            np.asarray(out.loc[did, "tfv"], dtype=np.float64), w, atol=1e-6
+        )
+
+
+def test_tfidf_feeds_knn(ray_session):
+    """The vector column plugs straight into the cosine kNN stage."""
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.similarity import knn_cosine
+
+    df = pd.read_parquet(DOCS, columns=["doc_id", "text"]).head(100)
+    ds = tfidf_vectorize(rd.from_pandas(df), dim=64, drop_text=True)
+    q = np.asarray(ds.take(1)[0]["tfv"], dtype=np.float32)[None, :]
+    rows = knn_cosine(ds, q, vector_col="tfv", id_col="doc_id", k=3)
+    assert len(rows) == 3
+    # the query vector's own document is its nearest neighbor
+    assert rows.sort_values("score", ascending=False).iloc[0]["score"] > 0.999
