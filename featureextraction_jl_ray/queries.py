@@ -1550,6 +1550,34 @@ def _hash_split_sql() -> str:
 SQL_HASH_SPLIT_EVENTS = _hash_split_sql()
 
 
+def q_scale_robust(sf_dir):
+    """Robust (median/IQR) scaling of the events value column: exact
+    global quantiles (quantile_cont convention; sketch path exists for
+    corpus scale) → stateless vectorized transform.  1e-6 grid — the
+    engine's np.quantile and DuckDB's quantile_cont agree to float
+    ulps."""
+    from .stages.scale import fit_quantiles, robust_scale
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    q = fit_quantiles(ds, "value")
+    out = robust_scale(ds, ["value"], {"value": q})
+    out = out.select_columns(["event_id", "value_rs"])
+    return _round_cols(out, {"value_rs": 6})
+
+
+SQL_SCALE_ROBUST = """
+SELECT event_id,
+       ROUND((value - a.med) / (a.q3 - a.q1), 6) AS value_rs
+FROM events CROSS JOIN (
+  SELECT quantile_cont(value, 0.5) med,
+         quantile_cont(value, 0.25) q1,
+         quantile_cont(value, 0.75) q3
+  FROM events
+) a
+"""
+
+
 def q_tfidf_docs(sf_dir):
     """Hashed TF-IDF vectors over the documents table: mergeable
     (df[dim], n_docs) partials fit the idf in one streaming pass, then a
@@ -1774,6 +1802,7 @@ QUERIES = {
     "hash_split_events": q_hash_split_events,
     "rank_events": q_rank_events,
     "cumulative_user_value": q_cumulative_user_value,
+    "scale_robust": q_scale_robust,
     "tfidf_docs": q_tfidf_docs,
     "target_encode_events": q_target_encode_events,
     "lineitem_corr": q_lineitem_corr,
@@ -1786,6 +1815,7 @@ ORACLE_SQL = {
     "hash_split_events": SQL_HASH_SPLIT_EVENTS,
     "rank_events": SQL_RANK_EVENTS,
     "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
+    "scale_robust": SQL_SCALE_ROBUST,
     "target_encode_events": SQL_TARGET_ENCODE_EVENTS,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "scale_standard": SQL_SCALE_STANDARD,

@@ -28,9 +28,11 @@ from ..state.moments import Moments
 __all__ = [
     "fit_numeric_moments",
     "fit_min_max",
+    "fit_quantiles",
     "corr_table",
     "standard_scale",
     "min_max_scale",
+    "robust_scale",
     "equal_width_bin",
     "one_hot_encode",
 ]
@@ -228,6 +230,62 @@ def one_hot_encode(ds, col: str, *, categories=None, prefix: str | None = None,
             batch = batch.append_column(name, flag)
         if drop_input:
             batch = batch.drop_columns([col])
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fit_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75), *,
+                  method: str = "exact", sketch_size: int = 4096) -> dict:
+    """Global quantiles of one numeric column → {q: value}.
+
+    ``method='exact'``: funnels the (single, column-pruned) column into
+    ONE group — exact linear-interpolation quantiles (quantile_cont
+    convention, matching the SQL oracle) but bounded by one task's
+    memory; the model-fit / gate-scale path, same contract as
+    :func:`..stages.groupagg.grouped_quantile` and flagged the same way.
+    ``method='sketch'``: the mergeable KMV bottom-k sketch (±ε rank
+    error, exchange bounded at sketch_size rows/batch) — the 100-TB
+    path.
+    """
+    from .groupagg import grouped_quantile, grouped_quantile_sketch
+
+    keyed = ds.select_columns([col]).map_batches(
+        lambda b: b.append_column(
+            "__k", pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if method == "exact":
+        out = grouped_quantile(keyed, "__k", col, qs, num_buckets=1)
+    elif method == "sketch":
+        out = grouped_quantile_sketch(keyed, "__k", col, qs, num_buckets=1,
+                                      sketch_size=sketch_size)
+    else:
+        raise ValueError("method must be 'exact' or 'sketch'")
+    rows = out.take_all()
+    assert len(rows) == 1
+    return {q: float(rows[0][f"q{int(q * 100)}"]) for q in qs}
+
+
+def robust_scale(ds, cols, quants: dict, *, suffix: str = "_rs"):
+    """Append ``col<suffix>`` = (x − median) / (q75 − q25) per column —
+    outlier-resistant scaling.  ``quants``: {col: {0.25: v, 0.5: v,
+    0.75: v}} from :func:`fit_quantiles` (any method)."""
+    cols = list(cols)
+    params = []
+    for c in cols:
+        qd = quants[c]
+        params.append((float(qd[0.5]), float(qd[0.75]) - float(qd[0.25])))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for i, c in enumerate(cols):
+            med, iqr = params[i]
+            x = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            batch = batch.append_column(
+                c + suffix, pa.array((x - med) / iqr, type=pa.float64())
+            )
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -117,3 +117,31 @@ def test_one_hot_pinned_vocab_unknown_is_zero(ray_session):
         [("c_a", 0), ("c_b", 0)],
         [("c_a", 0), ("c_b", 0)],
     ]
+
+
+def test_fit_quantiles_and_robust_scale(events_ds):
+    from featureextraction_jl_ray.stages.scale import fit_quantiles, robust_scale
+
+    v = _values()
+    q = fit_quantiles(events_ds, "value")
+    want = {p: np.quantile(v, p) for p in (0.25, 0.5, 0.75)}
+    for p in want:
+        assert abs(q[p] - want[p]) < 1e-9
+    # DuckDB quantile_cont convention check (the oracle contract)
+    dq = duckdb.sql(
+        f"SELECT quantile_cont(value, 0.25), quantile_cont(value, 0.5), "
+        f"quantile_cont(value, 0.75) FROM '{EVENTS}'"
+    ).fetchone()
+    assert all(abs(q[p] - d) < 1e-9 for p, d in zip((0.25, 0.5, 0.75), dq))
+
+    out = robust_scale(events_ds, ["value"], {"value": q}).take_all()
+    med, iqr = want[0.5], want[0.75] - want[0.25]
+    for r in out[:50]:
+        assert abs(r["value_rs"] - (r["value"] - med) / iqr) < 1e-12
+
+    # sketch path: approximate but close at this size
+    qs = fit_quantiles(events_ds, "value", method="sketch", sketch_size=512)
+    for p in want:
+        assert abs(qs[p] - want[p]) < np.std(v) * 0.2
+    with pytest.raises(ValueError):
+        fit_quantiles(events_ds, "value", method="nope")
