@@ -1578,6 +1578,61 @@ FROM events CROSS JOIN (
 """
 
 
+def q_feature_prep(sf_dir):
+    """Composed tabular pipeline, oracled END-TO-END: deterministic
+    80/10/10 split keyed on user_id (group-consistent), then target
+    encoding + z-scaling + one-hot vocabulary ALL FITTED ON THE TRAIN
+    SPLIT ONLY and applied to every row.  The single chained SQL oracle
+    (hash CTE → split CASE → train-only aggregates → left-join apply)
+    verifies the stage interactions — a leak of val/test rows into any
+    fit changes the output and fails the gate."""
+    from .pipelines.tabular import run_feature_prep
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    out, _ = run_feature_prep(ds)
+    out = out.select_columns(
+        ["event_id", "split", "value_z", "event_type_te",
+         "event_type_click", "event_type_error", "event_type_purchase",
+         "event_type_signup", "event_type_view"]
+    )
+    return _round_cols(out, {"value_z": 6, "event_type_te": 6})
+
+
+def _feature_prep_sql() -> str:
+    from .stages.split import split_thresholds, sql_hash_cte
+
+    bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    case = "CASE "
+    for label, hi in bounds[:-1]:
+        case += f"WHEN h < {hi} THEN '{label}' "
+    case += f"ELSE '{bounds[-1][0]}' END"
+    cte = sql_hash_cte("events", "user_id",
+                       "event_id, event_type, value")
+    onehots = ",\n       ".join(
+        f"CAST(CASE WHEN l.event_type = '{c}' THEN 1 ELSE 0 END AS BIGINT)"
+        f" AS event_type_{c}"
+        for c in ("click", "error", "purchase", "signup", "view")
+    )
+    return f"""
+WITH {cte},
+labeled AS (SELECT event_id, event_type, value, {case} AS split FROM __hx),
+train AS (SELECT * FROM labeled WHERE split = 'train'),
+te AS (SELECT event_type, avg(value) m FROM train GROUP BY event_type),
+mom AS (SELECT avg(value) mu, stddev_samp(value) sd FROM train)
+SELECT l.event_id, l.split,
+       ROUND((l.value - mom.mu) / mom.sd, 6) AS value_z,
+       ROUND(te.m, 6) AS event_type_te,
+       {onehots}
+FROM labeled l LEFT JOIN te USING (event_type) CROSS JOIN mom
+"""
+
+
+SQL_FEATURE_PREP = _feature_prep_sql()
+
+
 def q_tfidf_docs(sf_dir):
     """Hashed TF-IDF vectors over the documents table: mergeable
     (df[dim], n_docs) partials fit the idf in one streaming pass, then a
@@ -1802,6 +1857,7 @@ QUERIES = {
     "hash_split_events": q_hash_split_events,
     "rank_events": q_rank_events,
     "cumulative_user_value": q_cumulative_user_value,
+    "feature_prep": q_feature_prep,
     "scale_robust": q_scale_robust,
     "tfidf_docs": q_tfidf_docs,
     "target_encode_events": q_target_encode_events,
@@ -1815,6 +1871,7 @@ ORACLE_SQL = {
     "hash_split_events": SQL_HASH_SPLIT_EVENTS,
     "rank_events": SQL_RANK_EVENTS,
     "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
+    "feature_prep": SQL_FEATURE_PREP,
     "scale_robust": SQL_SCALE_ROBUST,
     "target_encode_events": SQL_TARGET_ENCODE_EVENTS,
     "lineitem_corr": SQL_LINEITEM_CORR,
