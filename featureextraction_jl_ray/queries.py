@@ -1578,6 +1578,44 @@ FROM events CROSS JOIN (
 """
 
 
+def q_datetime_features(sf_dir):
+    """Calendar parts (pure Arrow kernels, exact ints, bit-exact vs
+    date_part) + per-user seconds-since-previous-event (window op inside
+    the shared bucketed scan; integer-microsecond diff / 1e6 — the same
+    arithmetic as SQL epoch(ts − lag(ts)))."""
+    from .stages.datetime import with_datetime_features, with_time_since_prev
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    ds = with_datetime_features(ds, "ts",
+                                parts=("year", "month", "day", "hour", "isodow"),
+                                weekend_col="is_weekend")
+    out = with_time_since_prev(ds, "user_id", "ts",
+                               tiebreak_cols=("event_id",), num_buckets=16)
+    out = out.select_columns(
+        ["event_id", "ts_year", "ts_month", "ts_day", "ts_hour", "ts_isodow",
+         "is_weekend", "secs_since_prev"]
+    )
+    # DuckDB's epoch(interval) decomposes sec + micros/1e6 (one extra
+    # addition vs the engine's single micros/1e6 division) — ~1e-11
+    # relative ulps; both sides pin to the exact microsecond grid.
+    return _round_cols(out, {"secs_since_prev": 6})
+
+
+SQL_DATETIME_FEATURES = """
+SELECT event_id,
+  date_part('year', ts) AS ts_year,
+  date_part('month', ts) AS ts_month,
+  date_part('day', ts) AS ts_day,
+  date_part('hour', ts) AS ts_hour,
+  date_part('isodow', ts) AS ts_isodow,
+  date_part('isodow', ts) >= 6 AS is_weekend,
+  ROUND(epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6)
+    AS secs_since_prev
+FROM events
+"""
+
+
 def q_feature_prep(sf_dir):
     """Composed tabular pipeline, oracled END-TO-END: deterministic
     80/10/10 split keyed on user_id (group-consistent), then target
@@ -1857,6 +1895,7 @@ QUERIES = {
     "hash_split_events": q_hash_split_events,
     "rank_events": q_rank_events,
     "cumulative_user_value": q_cumulative_user_value,
+    "datetime_features": q_datetime_features,
     "feature_prep": q_feature_prep,
     "scale_robust": q_scale_robust,
     "tfidf_docs": q_tfidf_docs,
@@ -1871,6 +1910,7 @@ ORACLE_SQL = {
     "hash_split_events": SQL_HASH_SPLIT_EVENTS,
     "rank_events": SQL_RANK_EVENTS,
     "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
+    "datetime_features": SQL_DATETIME_FEATURES,
     "feature_prep": SQL_FEATURE_PREP,
     "scale_robust": SQL_SCALE_ROBUST,
     "target_encode_events": SQL_TARGET_ENCODE_EVENTS,

@@ -481,3 +481,47 @@ def test_cumulative_vs_duckdb(ray_session, sf_dir, db):
     ).fetchdf()
     cmp(ds, want, ["cum_value_count", "cum_value_sum", "cum_value_mean",
                    "cum_value_min", "cum_value_max"])
+
+
+def test_datetime_features_vs_duckdb(ray_session, sf_dir, db):
+    from featureextraction_jl_ray.stages.datetime import (
+        with_datetime_features,
+        with_time_since_prev,
+    )
+
+    ds = events_ds(ray_session, sf_dir).select_columns(KEY)
+    ds = with_datetime_features(ds, "ts", parts=("year", "month", "day",
+                                                 "hour", "minute", "second",
+                                                 "isodow", "doy", "week"),
+                                weekend_col="is_weekend")
+    ds = with_time_since_prev(ds, "user_id", "ts",
+                              tiebreak_cols=("event_id",), num_buckets=16)
+    want = db.execute(
+        """
+        SELECT event_id, user_id, ts,
+          date_part('year', ts) AS ts_year,
+          date_part('month', ts) AS ts_month,
+          date_part('day', ts) AS ts_day,
+          date_part('hour', ts) AS ts_hour,
+          date_part('minute', ts) AS ts_minute,
+          date_part('second', ts) AS ts_second,
+          date_part('isodow', ts) AS ts_isodow,
+          date_part('doy', ts) AS ts_doy,
+          date_part('week', ts) AS ts_week,
+          date_part('isodow', ts) >= 6 AS is_weekend,
+          epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+            AS secs_since_prev
+        FROM events
+        """
+    ).fetchdf()
+    cmp(ds, want, ["ts_year", "ts_month", "ts_day", "ts_hour", "ts_minute",
+                   "ts_second", "ts_isodow", "ts_doy", "ts_week",
+                   "is_weekend", "secs_since_prev"])
+
+
+def test_datetime_features_validates_parts(ray_session, sf_dir):
+    from featureextraction_jl_ray.stages.datetime import with_datetime_features
+
+    with pytest.raises(ValueError):
+        with_datetime_features(events_ds(ray_session, sf_dir), "ts",
+                               parts=("century",))
