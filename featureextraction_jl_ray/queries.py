@@ -1578,6 +1578,43 @@ FROM events CROSS JOIN (
 """
 
 
+def q_first_last_touch(sf_dir):
+    """First/last-touch attribution per user: the event_type at each
+    user's earliest and latest event plus the first value — MERGEABLE
+    (order, value) pair partials, so the exchange stays one pair per
+    key per batch like every other grouped aggregate.  Ties on ts
+    resolve lexicographically to the smallest value, which the oracle
+    mirrors with FIRST_VALUE(... ORDER BY ts [DESC], v).  Exact — no
+    rounding grid."""
+    from .stages.groupagg import grouped_aggregate
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return grouped_aggregate(
+        ds,
+        "user_id",
+        {
+            "first_type": ("event_type", "argmin", "ts"),
+            "last_type": ("event_type", "argmax", "ts"),
+            "first_value": ("value", "argmin", "ts"),
+            "n": ("event_id", "count"),
+        },
+        num_buckets=8,
+    )
+
+
+SQL_FIRST_LAST_TOUCH = """
+SELECT DISTINCT user_id,
+  FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS first_type,
+  FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts DESC, event_type) AS last_type,
+  FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, value) AS first_value,
+  COUNT(*) OVER (PARTITION BY user_id) AS n
+FROM events
+"""
+
+
 def q_datetime_features(sf_dir):
     """Calendar parts (pure Arrow kernels, exact ints, bit-exact vs
     date_part) + per-user seconds-since-previous-event (window op inside
@@ -1895,6 +1932,7 @@ QUERIES = {
     "hash_split_events": q_hash_split_events,
     "rank_events": q_rank_events,
     "cumulative_user_value": q_cumulative_user_value,
+    "first_last_touch": q_first_last_touch,
     "datetime_features": q_datetime_features,
     "feature_prep": q_feature_prep,
     "scale_robust": q_scale_robust,
@@ -1910,6 +1948,7 @@ ORACLE_SQL = {
     "hash_split_events": SQL_HASH_SPLIT_EVENTS,
     "rank_events": SQL_RANK_EVENTS,
     "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
+    "first_last_touch": SQL_FIRST_LAST_TOUCH,
     "datetime_features": SQL_DATETIME_FEATURES,
     "feature_prep": SQL_FEATURE_PREP,
     "scale_robust": SQL_SCALE_ROBUST,

@@ -33,15 +33,33 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
     (Σx, Σx², n) partials — the sum-of-squares form loses precision when
     |mean| ≫ stddev; pin outputs to a rounding grid when hash-comparing).
     Example: {"sum_qty": ("l_quantity", "sum"), "n": ("l_orderkey", "count")}
+
+    3-tuple form {out_name: (value_col, "argmin"|"argmax", order_col)}
+    gives the value at the key's min/max ``order_col`` (first/last-touch
+    features) — a MERGEABLE (order, value) pair partial, so it shuffles
+    one pair per key per batch like every other agg here.  Ties on
+    order resolve to the smallest value (lexicographic (order, value)
+    min / (−order, value) min), which an SQL oracle mirrors with
+    ``FIRST_VALUE(v) OVER (ORDER BY o [DESC], v)``.
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    for name, (col, fn) in aggs.items():
-        if fn not in _PARTIALIZABLE:
-            raise ValueError(f"unsupported agg {fn!r} for {name}")
+    arg_aggs: dict[str, tuple[str, str, str]] = {}
+    plain: dict[str, tuple[str, str]] = {}
+    for name, spec in aggs.items():
+        if len(spec) == 3:
+            vcol, fn, ocol = spec
+            if fn not in ("argmin", "argmax"):
+                raise ValueError(f"3-tuple agg must be argmin/argmax, got {fn!r}")
+            arg_aggs[name] = (vcol, ocol, "min" if fn == "argmin" else "max")
+        else:
+            col, fn = spec
+            if fn not in _PARTIALIZABLE:
+                raise ValueError(f"unsupported agg {fn!r} for {name}")
+            plain[name] = (col, fn)
 
     # mean = Σx/n, var = (Σx² − (Σx)²/n)/(n−1) composed from partials
     partial_cols: dict[str, tuple[str, str]] = {}
-    for name, (col, fn) in aggs.items():
+    for name, (col, fn) in plain.items():
         if fn == "mean":
             partial_cols[f"__s_{name}"] = (col, "sum")
             partial_cols[f"__c_{name}"] = (col, "count")
@@ -51,6 +69,15 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
             partial_cols[f"__c_{name}"] = (col, "count")
         else:
             partial_cols[name] = (col, fn)
+
+    def _arg_select(df: pd.DataFrame, out: pd.DataFrame, name: str,
+                    ocol: str, vcol: str, kind: str):
+        """Lexicographic (order, value) extremum per key → __o_/value cols."""
+        srt = df.sort_values([ocol, vcol], ascending=[kind == "min", True],
+                             kind="mergesort")
+        fo = srt.groupby(key_cols, sort=False, dropna=False)[[ocol, vcol]].first()
+        out[f"__o_{name}"] = fo[ocol]
+        out[name] = fo[vcol]
 
     def partial(batch: pa.Table) -> pa.Table:
         df = arrow_to_pandas_safe(batch)
@@ -62,6 +89,8 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
                 out[name] = sq.groupby(key_cols, sort=False, dropna=False)["__sq"].sum()
             else:
                 out[name] = getattr(g[col], fn)()
+        for name, (vcol, ocol, kind) in arg_aggs.items():
+            _arg_select(df, out, name, ocol, vcol, kind)
         out = out.reset_index()
         b = bucket_of_multi(
             [out[c].to_numpy() for c in key_cols], num_buckets, seed=29
@@ -78,8 +107,12 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
         out = pd.DataFrame(index=g.size().index)
         for name, (_, fn) in partial_cols.items():
             out[name] = getattr(g[name], _MERGE[fn])()
+        for name, (_, __, kind) in arg_aggs.items():
+            # merge = same lexicographic extremum over the partial pairs
+            _arg_select(df, out, name, f"__o_{name}", name, kind)
         out = out.reset_index()
-        for name, (col, fn) in aggs.items():
+        out = out.drop(columns=[f"__o_{n}" for n in arg_aggs])
+        for name, (col, fn) in plain.items():
             if fn == "mean":
                 out[name] = out[f"__s_{name}"] / out[f"__c_{name}"]
                 out = out.drop(columns=[f"__s_{name}", f"__c_{name}"])

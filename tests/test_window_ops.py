@@ -525,3 +525,57 @@ def test_datetime_features_validates_parts(ray_session, sf_dir):
     with pytest.raises(ValueError):
         with_datetime_features(events_ds(ray_session, sf_dir), "ts",
                                parts=("century",))
+
+
+def test_grouped_argmin_argmax_vs_duckdb(ray_session, sf_dir, db):
+    from featureextraction_jl_ray.stages.groupagg import grouped_aggregate
+
+    ds = events_ds(ray_session, sf_dir).select_columns(
+        ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    got = grouped_aggregate(
+        ds, "user_id",
+        {
+            "first_type": ("event_type", "argmin", "ts"),
+            "last_type": ("event_type", "argmax", "ts"),
+            "first_value": ("value", "argmin", "ts"),
+        },
+        num_buckets=8,
+    ).to_pandas().sort_values("user_id", ignore_index=True)
+    want = db.execute(
+        """
+        SELECT DISTINCT user_id,
+          FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS first_type,
+          FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts DESC, event_type) AS last_type,
+          FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, value) AS first_value
+        FROM events ORDER BY user_id
+        """
+    ).fetchdf()
+    for c in ["first_type", "last_type", "first_value"]:
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_grouped_argminmax_tie_resolution(ray_session):
+    """Equal order values resolve to the SMALLEST value — pinned on a
+    crafted all-ties frame so the contract can't silently drift."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.groupagg import grouped_aggregate
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "o": [1, 1, 1, 5, 5],
+            "v": ["zebra", "apple", "mango", "y", "x"],
+        }
+    )
+    out = {r["k"]: r for r in grouped_aggregate(
+        rd.from_arrow(tbl), "k",
+        {"fv": ("v", "argmin", "o"), "lv": ("v", "argmax", "o")},
+        num_buckets=4,
+    ).take_all()}
+    assert out["a"]["fv"] == "apple" and out["a"]["lv"] == "apple"
+    assert out["b"]["fv"] == "x" and out["b"]["lv"] == "x"
+    with pytest.raises(ValueError):
+        grouped_aggregate(rd.from_arrow(tbl), "k", {"bad": ("v", "argmid", "o")})
