@@ -582,6 +582,46 @@ FROM (SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_
 """
 
 
+def q_session_stats(sf_dir):
+    """Per-(user, session) aggregates fused INTO the sessionize scan:
+    one bucketed exchange produces session_id AND the per-session event
+    count, start/end timestamps, duration and value sum — the two-pass
+    alternative (sessionize → keyed shuffle → aggregate) pays a second
+    all-to-all for nothing.  Session value sums pin to the cent grid."""
+    from .stages.window import with_session_stats
+
+    out = with_session_stats(_events(sf_dir), "user_id", "ts", gap="30min",
+                             value_col="value", num_buckets=32,
+                             tiebreak_cols=("event_id",))
+    out = out.select_columns(
+        ["user_id", "session_id", "n_events", "t_start", "t_end",
+         "duration_secs", "sum_value"]
+    )
+    return _round_cols(out, {"sum_value": 2})
+
+
+SQL_SESSION_STATS = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_id
+  FROM (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS t_start,
+       max(ts) AS t_end,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS DOUBLE) / 1e6
+         AS duration_secs,
+       ROUND(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_rolling(sf_dir):
     from .stages.window import with_rolling
 
@@ -1897,6 +1937,7 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "lag_lead": q_lag_lead,
     "sessionize": q_sessionize,
+    "session_stats": q_session_stats,
     "rolling": q_rolling,
     "backfill": q_backfill,
     "dedup_events": q_dedup_events,
@@ -1977,6 +2018,7 @@ ORACLE_SQL = {
     "asof_forward": SQL_ASOF_FORWARD,
     "lag_lead": SQL_LAG_LEAD,
     "sessionize": SQL_SESSIONIZE,
+    "session_stats": SQL_SESSION_STATS,
     "rolling": SQL_ROLLING,
     "backfill": SQL_BACKFILL,
     "dedup_events": SQL_DEDUP_EVENTS,

@@ -32,6 +32,7 @@ __all__ = [
     "with_windows",
     "with_ranks",
     "with_cumulative",
+    "with_session_stats",
 ]
 
 _AGG_NAMES = ("count", "sum", "mean", "min", "max")
@@ -391,6 +392,48 @@ def with_cumulative(
         if "max" in aggs:
             df[f"{prefix}max"] = g[value_col].cummax()
         return df
+
+    return sorted_scan(
+        ds, entity_col, ts_col, fn,
+        num_buckets=num_buckets, tiebreak_cols=tiebreak_cols,
+    )
+
+
+def with_session_stats(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    *,
+    gap: str | pd.Timedelta = "30min",
+    value_col: str | None = None,
+    session_col: str = "session_id",
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Sessionize AND aggregate per session in the SAME bucketed scan:
+    one row per (entity, session) with event count, start/end ts,
+    duration in seconds (microsecond-exact) and, when ``value_col`` is
+    given, the session's value sum.  Sessions never cross entities and
+    entities never cross buckets, so the fused group-by is exact with
+    zero additional exchange — the two-pass alternative (sessionize →
+    keyed shuffle → aggregate) pays a second all-to-all for nothing."""
+    gap_us = int(pd.Timedelta(gap).value // 1000)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sessionize_frame(df, entity_col, ts_col, gap_us, session_col)
+        g = df.groupby([entity_col, session_col], sort=False)
+        out = pd.DataFrame(index=g.size().index)
+        out["n_events"] = g.size()
+        out["t_start"] = g[ts_col].min()
+        out["t_end"] = g[ts_col].max()
+        dur = (
+            out["t_end"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            - out["t_start"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        out["duration_secs"] = dur / 1e6
+        if value_col is not None:
+            out[f"sum_{value_col}"] = g[value_col].sum()
+        return out.reset_index()
 
     return sorted_scan(
         ds, entity_col, ts_col, fn,

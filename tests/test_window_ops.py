@@ -97,6 +97,45 @@ def test_sessionize_vs_duckdb(ray_session, sf_dir, db):
     cmp(ds, want, ["session_id"])
 
 
+def test_session_stats_vs_duckdb(ray_session, sf_dir, db):
+    from featureextraction_jl_ray.stages.window import with_session_stats
+
+    ds = with_session_stats(
+        events_ds(ray_session, sf_dir),
+        "user_id",
+        "ts",
+        gap="30min",
+        value_col="value",
+        num_buckets=16,
+        tiebreak_cols=("event_id",),
+    )
+    want = db.execute(
+        """
+        WITH s AS (
+          SELECT user_id, ts, value,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+          FROM (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               min(ts) AS t_start, max(ts) AS t_end,
+               CAST(date_diff('microsecond', min(ts), max(ts)) AS DOUBLE) / 1e6
+                 AS duration_secs,
+               sum(value) AS sum_value
+        FROM s GROUP BY user_id, session_id
+        """
+    ).fetchdf()
+    key = ["user_id", "session_id"]
+    cmp(ds, want,
+        ["n_events", "t_start", "t_end", "duration_secs", "sum_value"],
+        sort_key=key)
+
+
 def test_rolling_vs_duckdb(ray_session, sf_dir, db):
     ds = with_rolling(
         events_ds(ray_session, sf_dir),
