@@ -650,6 +650,34 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_rolling_forward(sf_dir):
+    """FORWARD rolling window [ts, ts + 1h] per user — the LABEL-side
+    counterpart of ``rolling`` ("value sum over the next hour"): same
+    single-pass monotonic-deque kernel run over the time-reversed axis.
+    ties="peers" = the SQL RANGE-frame semantics of the oracle."""
+    from .stages.window import with_forward_rolling
+
+    ds = with_forward_rolling(_events(sf_dir), "user_id", "ts", "value",
+                              window="1h", aggs=("count", "sum", "max"),
+                              num_buckets=32, tiebreak_cols=("event_id",),
+                              ties="peers")
+    ds = ds.select_columns(
+        ["event_id", "user_id", "ts", "fwd_value_count", "fwd_value_sum",
+         "fwd_value_max"]
+    )
+    return _round_cols(ds, {"fwd_value_sum": 2})
+
+
+SQL_ROLLING_FORWARD = """
+SELECT event_id, user_id, ts,
+       count(value) OVER w AS fwd_value_count,
+       ROUND(sum(value) OVER w, 2) AS fwd_value_sum,
+       max(value)   OVER w AS fwd_value_max
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN CURRENT ROW AND INTERVAL 1 HOUR FOLLOWING)
+"""
+
+
 def q_backfill(sf_dir):
     from .stages.window import with_backfill
 
@@ -1939,6 +1967,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "rolling": q_rolling,
+    "rolling_forward": q_rolling_forward,
     "backfill": q_backfill,
     "dedup_events": q_dedup_events,
     "dedup_documents": q_dedup_documents,
@@ -2020,6 +2049,7 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
     "rolling": SQL_ROLLING,
+    "rolling_forward": SQL_ROLLING_FORWARD,
     "backfill": SQL_BACKFILL,
     "dedup_events": SQL_DEDUP_EVENTS,
     "dedup_documents": SQL_DEDUP_DOCUMENTS,

@@ -29,6 +29,7 @@ __all__ = [
     "with_backfill",
     "with_sessionize",
     "with_rolling",
+    "with_forward_rolling",
     "with_windows",
     "with_ranks",
     "with_cumulative",
@@ -71,8 +72,14 @@ def _rolling_frame(
     aggs: tuple[str, ...],
     prefix: str,
     ties: str = "row",
+    direction: str = "trailing",
 ) -> pd.DataFrame:
     """Trailing event-time window [ts − window, ts] per entity.
+
+    ``direction="forward"`` flips the frame to [ts, ts + window] — the
+    LABEL window (future outcome per event).  Implemented by running the
+    same single-pass trailing kernel over the time-reversed, negated
+    axis, so both directions share one C-implemented rolling path.
 
     ``ties``: "row" (default) = STREAMING semantics — row i's window
     holds rows 0..i of its entity (the reference's monotonic-deque
@@ -107,22 +114,36 @@ def _rolling_frame(
     vals = df[value_col]
     if isinstance(vals.dtype, pd.api.extensions.ExtensionDtype):
         vals = vals.astype("float64")
+    if direction not in ("trailing", "forward"):
+        raise ValueError(f"direction must be 'trailing' or 'forward', got {direction!r}")
+    v_axis = vals.to_numpy()
+    if direction == "forward":
+        # adj is globally non-decreasing (entity-major sort), so −adj
+        # reversed is too; a trailing window on that axis is exactly the
+        # forward window [adj, adj + w] in original order
+        adj_axis, v_axis = -adj[::-1], v_axis[::-1]
+    else:
+        adj_axis = adj
     tmp = pd.DataFrame(
-        {"__adj": adj.view("datetime64[us]"), "__v": vals.to_numpy()}
+        {"__adj": adj_axis.view("datetime64[us]"), "__v": v_axis}
     )
     if ties not in ("row", "peers"):
         raise ValueError(f"ties must be 'row' or 'peers', got {ties!r}")
     r = tmp.rolling(window=pd.Timedelta(window), on="__adj", closed="both")["__v"]
     for agg in aggs:
         out = getattr(r, agg)().to_numpy()
+        if direction == "forward":
+            out = out[::-1]
         if agg == "count":
             out = out.astype(np.int64)
         df[f"{prefix}{agg}"] = out
     if ties == "peers" and len(df):
-        # the LAST row of an equal-(entity, ts) group has the full peer
-        # set in its row-ordered window; broadcast it across the group
+        # the row of an equal-(entity, ts) group whose row-ordered window
+        # holds the full peer set is the LAST one for trailing frames and
+        # the FIRST one for forward frames; broadcast it across the group
+        pick = "last" if direction == "trailing" else "first"
         cols = [f"{prefix}{a}" for a in aggs]
-        df[cols] = df.groupby([entity_col, ts_col], sort=False)[cols].transform("last")
+        df[cols] = df.groupby([entity_col, ts_col], sort=False)[cols].transform(pick)
     return df
 
 
@@ -220,6 +241,34 @@ def with_rolling(
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         return _rolling_frame(df, entity_col, ts_col, value_col, window, aggs,
                               prefix, ties=ties)
+
+    return sorted_scan(
+        ds, entity_col, ts_col, fn, num_buckets=num_buckets, tiebreak_cols=tiebreak_cols
+    )
+
+
+def with_forward_rolling(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window: str | pd.Timedelta = "1h",
+    aggs: tuple[str, ...] = ("count", "sum"),
+    prefix: str | None = None,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+    ties: str = "row",
+):
+    """FORWARD rolling aggregates over [ts, ts + window] per entity — the
+    LABEL window (e.g. "purchases in the next hour").  Forward-looking by
+    construction: legitimate ONLY for label/target columns, never for
+    features (same contract as ``lead`` — see the module leakage note)."""
+    prefix = prefix if prefix is not None else f"fwd_{value_col}_"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return _rolling_frame(df, entity_col, ts_col, value_col, window, aggs,
+                              prefix, ties=ties, direction="forward")
 
     return sorted_scan(
         ds, entity_col, ts_col, fn, num_buckets=num_buckets, tiebreak_cols=tiebreak_cols

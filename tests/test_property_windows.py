@@ -122,3 +122,34 @@ def test_rolling_row_mode_is_streaming_prefix(df):
         sel = prev[(prev.eid == e) & (prev.ts >= t - w) & (prev.ts <= t)]
         assert got.roll_count.iloc[i] == len(sel)
         assert abs(got.roll_sum.iloc[i] - sel.v.sum()) < 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(event_frames())
+def test_forward_rolling_matches_duckdb(df):
+    """FORWARD label window [ts, ts+5s] vs DuckDB's CURRENT ROW …
+    FOLLOWING RANGE frame on tie-heavy timestamps (peers mode — the
+    frame includes equal-ts peers BEFORE the current row too)."""
+    from featureextraction_jl_ray.stages.window import _rolling_frame
+
+    got = _rolling_frame(df.copy(), "eid", "ts", "v", "5s",
+                         ("count", "sum", "max"), "fwd_",
+                         ties="peers", direction="forward")
+    got = got.sort_values("rid", ignore_index=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT rid,
+               count(v) OVER w AS fwd_count,
+               sum(v)   OVER w AS fwd_sum,
+               max(v)   OVER w AS fwd_max
+        FROM t WINDOW w AS (PARTITION BY eid ORDER BY ts
+                            RANGE BETWEEN CURRENT ROW
+                            AND INTERVAL 5 SECOND FOLLOWING)
+        ORDER BY rid
+    """).fetchdf()
+    for c in ("fwd_count", "fwd_sum", "fwd_max"):
+        g = got[c].to_numpy(dtype=float)
+        w = want[c].to_numpy(dtype=float)
+        both_nan = np.isnan(g) & np.isnan(w)
+        assert ((g == w) | both_nan).all(), c

@@ -162,6 +162,34 @@ def test_rolling_vs_duckdb(ray_session, sf_dir, db):
     cmp(ds, want, ["roll_value_count", "roll_value_sum", "roll_value_mean", "roll_value_max"])
 
 
+def test_forward_rolling_vs_duckdb(ray_session, sf_dir, db):
+    from featureextraction_jl_ray.stages.window import with_forward_rolling
+
+    ds = with_forward_rolling(
+        events_ds(ray_session, sf_dir),
+        "user_id",
+        "ts",
+        "value",
+        window="1h",
+        aggs=("count", "sum", "max"),
+        num_buckets=16,
+        tiebreak_cols=("event_id",),
+        ties="peers",
+    )
+    want = db.execute(
+        """
+        SELECT *,
+          count(value) OVER w AS fwd_value_count,
+          sum(value)   OVER w AS fwd_value_sum,
+          max(value)   OVER w AS fwd_value_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN CURRENT ROW AND INTERVAL 1 HOUR FOLLOWING)
+        """
+    ).fetchdf()
+    cmp(ds, want, ["fwd_value_count", "fwd_value_sum", "fwd_value_max"])
+
+
 def test_backfill_vs_duckdb(ray_session, sf_dir, db):
     # derive a sparse column: value only on 'click' rows, then ffill
     import pyarrow as pa
