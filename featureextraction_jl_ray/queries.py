@@ -211,6 +211,36 @@ SELECT event_type, user_id, n, rank FROM (
 """
 
 
+def q_pivot_user_type(sf_dir):
+    """Wide per-user pivot aggregate: event count + value sum per
+    event_type as COLUMNS (the classic tabular feature block).  The
+    pivot happens batch-side (one-hot partials), so the exchange ships
+    one wide partial row per user per batch and the category column
+    never shuffles.  Money sums pin to the cent grid."""
+    from .stages.groupagg import pivot_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "value"])
+    out = pivot_aggregate(ds, "user_id", "event_type", "value",
+                          aggs=("count", "sum"), prefix="et", num_buckets=16)
+    cats = ("click", "error", "purchase", "signup", "view")
+    return _round_cols(out, {f"et_{c}_sum": 2 for c in cats})
+
+
+def _pivot_sql() -> str:
+    cats = ("click", "error", "purchase", "signup", "view")
+    cols = ",\n       ".join(
+        f"count(*) FILTER (event_type = '{c}') AS et_{c}_n,\n       "
+        f"ROUND(sum(CASE WHEN event_type = '{c}' THEN value ELSE 0 END), 2)"
+        f" AS et_{c}_sum"
+        for c in cats
+    )
+    return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id"
+
+
+SQL_PIVOT_USER_TYPE = _pivot_sql()
+
+
 def q_range_join(sf_dir):
     """Interval join (the operator Ray Data lacks): each event matched to
     every per-user purchase window [purchase_ts − 30min, purchase_ts +
@@ -1951,6 +1981,7 @@ QUERIES = {
     "event_quantiles": q_event_quantiles,
     "event_quantiles_sketch": q_event_quantiles_sketch,
     "heavy_hitters": q_heavy_hitters,
+    "pivot_user_type": q_pivot_user_type,
     "filter_project": q_filter_project,
     "hash_join_agg": q_hash_join_agg,
     "broadcast_join_agg": q_broadcast_join_agg,
@@ -2033,6 +2064,7 @@ ORACLE_SQL = {
     "count_distinct_users_hll": SQL_COUNT_DISTINCT_USERS,
     "event_quantiles": SQL_EVENT_QUANTILES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "pivot_user_type": SQL_PIVOT_USER_TYPE,
     "filter_project": SQL_FILTER_PROJECT,
     "hash_join_agg": SQL_JOIN_AGG,
     "broadcast_join_agg": SQL_JOIN_AGG,

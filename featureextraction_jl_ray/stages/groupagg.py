@@ -20,7 +20,8 @@ _BUCKET = "__fx_gbucket"
 
 __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
            "grouped_quantile", "grouped_quantile_sketch",
-           "grouped_count_distinct_hll", "grouped_heavy_hitters"]
+           "grouped_count_distinct_hll", "grouped_heavy_hitters",
+           "pivot_aggregate"]
 
 _PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
 
@@ -484,3 +485,66 @@ def grouped_heavy_hitters(ds, key_cols, col: str, *, k: int = 10,
         .groupby(_BUCKET)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def pivot_aggregate(ds, key_cols, pivot_col: str, value_col: str, *,
+                    aggs: tuple[str, ...] = ("count", "sum"),
+                    categories=None, prefix: str | None = None,
+                    num_buckets: int = 64):
+    """Wide per-key aggregate (pivot): one column per (category × agg)
+    of ``value_col``, grouped by ``key_cols``.
+
+    Scale shape: the pivot happens BATCH-SIDE — each batch appends the
+    category-indicator partials (vectorized one-hot multiply), then the
+    ordinary partial-aggregated exchange sums them, so the shuffle
+    carries ONE wide partial row per key per batch regardless of the
+    category fan-out, and the category column itself never shuffles.
+    Vocabulary from a distributed distinct pass when not pinned (tiny by
+    definition of "categorical"); pass ``categories`` to fix the output
+    schema across datasets (the train/serve contract).
+
+    ``aggs`` ⊆ {"count", "sum"}: count = rows of that category per key
+    (int64), sum = Σ value over them (value nulls contribute 0).  Column
+    names: ``{prefix}_{category}_n`` / ``{prefix}_{category}_sum``.
+    """
+    import pyarrow.compute as pc
+
+    from .scale import _sanitize
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for a in aggs:
+        if a not in ("count", "sum"):
+            raise ValueError(f"pivot agg must be count/sum, got {a!r}")
+    if categories is None:
+        categories = sorted(ds.unique(pivot_col))
+    categories = list(categories)
+    prefix = prefix if prefix is not None else pivot_col
+
+    names: dict[str, tuple[str, str]] = {}
+
+    def widen(t: pa.Table) -> pa.Table:
+        piv = t.column(pivot_col)
+        val = pc.cast(pc.fill_null(t.column(value_col), 0.0), pa.float64())
+        cols, arrs = [], []
+        for cat in categories:
+            flag = pc.fill_null(pc.equal(piv, pa.scalar(cat)), False)
+            if "count" in aggs:
+                cols.append(f"{prefix}_{_sanitize(cat)}_n")
+                arrs.append(pc.cast(flag, pa.int64()))
+            if "sum" in aggs:
+                cols.append(f"{prefix}_{_sanitize(cat)}_sum")
+                arrs.append(pc.if_else(flag, val, pa.scalar(0.0)))
+        out = t.select(key_cols)
+        for c, a in zip(cols, arrs):
+            out = out.append_column(c, a)
+        return out
+
+    for cat in categories:
+        s = _sanitize(cat)
+        if "count" in aggs:
+            names[f"{prefix}_{s}_n"] = (f"{prefix}_{s}_n", "sum")
+        if "sum" in aggs:
+            names[f"{prefix}_{s}_sum"] = (f"{prefix}_{s}_sum", "sum")
+
+    wide = ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(wide, key_cols, names, num_buckets=num_buckets)

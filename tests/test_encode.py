@@ -75,3 +75,50 @@ def test_frequency_encode(events_ds):
     ]
     for k in counts.index:
         assert got[k] == counts[k]
+
+
+def test_pivot_aggregate_vs_duckdb(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.groupagg import pivot_aggregate
+
+    ds = rd.read_parquet(EVENTS, columns=["user_id", "event_type", "value"])
+    out = pivot_aggregate(ds, "user_id", "event_type", "value",
+                          aggs=("count", "sum"), prefix="et",
+                          num_buckets=8).to_pandas()
+    cats = sorted(duckdb.sql(
+        f"SELECT DISTINCT event_type FROM '{EVENTS}'").fetchdf()["event_type"])
+    sel = ",\n".join(
+        f"count(*) FILTER (event_type = '{c}') AS et_{c}_n,"
+        f"sum(CASE WHEN event_type = '{c}' THEN value ELSE 0 END) AS et_{c}_sum"
+        for c in cats
+    )
+    want = duckdb.sql(
+        f"SELECT user_id, {sel} FROM '{EVENTS}' GROUP BY user_id ORDER BY user_id"
+    ).fetchdf()
+    out = out.sort_values("user_id", ignore_index=True)
+    assert len(out) == len(want)
+    for c in cats:
+        np.testing.assert_array_equal(out[f"et_{c}_n"], want[f"et_{c}_n"])
+        np.testing.assert_allclose(out[f"et_{c}_sum"], want[f"et_{c}_sum"],
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_pivot_aggregate_pinned_vocab_unknown_zero(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.groupagg import pivot_aggregate
+
+    t = pa.table({"k": [1, 1, 2], "cat": ["a", "zz", "a"],
+                  "v": [1.0, 5.0, 2.0]})
+    out = pivot_aggregate(rd.from_arrow(t), "k", "cat", "v",
+                          aggs=("count", "sum"), categories=["a", "b"],
+                          prefix="p", num_buckets=2).to_pandas()
+    out = out.sort_values("k", ignore_index=True)
+    # unknown category 'zz' contributes to NO pinned column; 'b' is all-zero
+    assert list(out.columns) == ["k", "p_a_n", "p_a_sum", "p_b_n", "p_b_sum"]
+    np.testing.assert_array_equal(out["p_a_n"], [1, 1])
+    np.testing.assert_allclose(out["p_a_sum"], [1.0, 2.0])
+    np.testing.assert_array_equal(out["p_b_n"], [0, 0])
+    np.testing.assert_allclose(out["p_b_sum"], [0.0, 0.0])
