@@ -708,6 +708,36 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_decayed_user_value(sf_dir):
+    """Trailing exponentially-decayed value sum per user at each event
+    (τ = 1h e-folding) — recency-weighted activity, leakage-safe (only
+    rows with ts' ≤ ts contribute).  One bucketed exchange; the scan
+    recurrence is vectorized via entity-grid chunking (no per-row or
+    per-entity Python loop).  Oracled by a per-user prefix self-join;
+    the engine factorizes exp(−Δ/τ) into chunk-relative products, so
+    values differ from the oracle's direct exp in trailing ulps — both
+    sides pin to the 1e-6 grid."""
+    from .stages.window import with_decayed_sum
+
+    ds = with_decayed_sum(_events(sf_dir), "user_id", "ts", "value",
+                          tau="1h", num_buckets=32,
+                          tiebreak_cols=("event_id",))
+    ds = ds.select_columns(["event_id", "user_id", "ts", "decayed_value"])
+    return _round_cols(ds, {"decayed_value": 6})
+
+
+SQL_DECAYED_USER_VALUE = """
+SELECT a.event_id, a.user_id, a.ts,
+       ROUND(sum(b.value * exp(-CAST(date_diff('microsecond', b.ts, a.ts)
+                                     AS DOUBLE) / 3600000000.0)), 6)
+         AS decayed_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
+GROUP BY a.event_id, a.user_id, a.ts
+"""
+
+
 def q_backfill(sf_dir):
     from .stages.window import with_backfill
 
@@ -1999,6 +2029,7 @@ QUERIES = {
     "session_stats": q_session_stats,
     "rolling": q_rolling,
     "rolling_forward": q_rolling_forward,
+    "decayed_user_value": q_decayed_user_value,
     "backfill": q_backfill,
     "dedup_events": q_dedup_events,
     "dedup_documents": q_dedup_documents,
@@ -2082,6 +2113,7 @@ ORACLE_SQL = {
     "session_stats": SQL_SESSION_STATS,
     "rolling": SQL_ROLLING,
     "rolling_forward": SQL_ROLLING_FORWARD,
+    "decayed_user_value": SQL_DECAYED_USER_VALUE,
     "backfill": SQL_BACKFILL,
     "dedup_events": SQL_DEDUP_EVENTS,
     "dedup_documents": SQL_DEDUP_DOCUMENTS,

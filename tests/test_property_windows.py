@@ -153,3 +153,54 @@ def test_forward_rolling_matches_duckdb(df):
         w = want[c].to_numpy(dtype=float)
         both_nan = np.isnan(g) & np.isnan(w)
         assert ((g == w) | both_nan).all(), c
+
+
+@settings(max_examples=60, deadline=None)
+@given(event_frames())
+def test_decayed_sum_matches_bruteforce(df):
+    """Trailing exp-decayed sum vs a direct O(n²) reference (row-order
+    prefix within each entity, current row included)."""
+    from featureextraction_jl_ray.stages.window import _decayed_sum_frame
+
+    tau_us = 7e6  # 7 s
+    got = _decayed_sum_frame(df.copy(), "eid", "ts", "v", tau_us, "dec")
+    ts = df.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+    for i in range(len(df)):
+        sel = (df.eid.to_numpy()[: i + 1] == df.eid.iloc[i])
+        dt = (ts[i] - ts[: i + 1][sel]) / tau_us
+        want = float(np.sum(df.v.to_numpy()[: i + 1][sel] * np.exp(-dt)))
+        assert abs(got.dec.iloc[i] - want) <= 1e-9 * max(1.0, abs(want)), i
+
+
+def test_decayed_sum_crosses_chunks():
+    """Spans ≫ chunk_exponent·τ exercise the inter-chunk carry matrix."""
+    from featureextraction_jl_ray.stages.window import _decayed_sum_frame
+
+    tau_us = 1e6  # 1 s, chunk_exponent=5 → 5 s chunks
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta([0, 1, 7, 12, 33], unit="s")
+    df = pd.DataFrame({"eid": np.zeros(5, np.int64), "ts": ts,
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    got = _decayed_sum_frame(df.copy(), "eid", "ts", "v", tau_us, "dec",
+                             chunk_exponent=5.0)
+    t = ts.astype("int64").to_numpy() / 1e9  # plain seconds
+    for i in range(5):
+        want = sum(df.v[j] * np.exp(-(t[i] - t[j])) for j in range(i + 1))
+        np.testing.assert_allclose(got.dec.iloc[i], want, rtol=1e-12)
+
+
+def test_decayed_sum_no_cross_segment_absorption():
+    """A neighboring entity whose in-chunk exponents reach e^E must not
+    absorb the next entity's small values (regression: global-cumsum
+    segment offsets lose them to float64 absorption)."""
+    from featureextraction_jl_ray.stages.window import _decayed_sum_frame
+
+    tau_us = 1e6
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        [0, 150, 0, 1], unit="s")  # entity 0 spans 150τ; entity 1 tiny
+    df = pd.DataFrame({"eid": np.array([0, 0, 1, 1], np.int64), "ts": ts,
+                       "v": [1.0, 2.0, 3.0, 4.0]})
+    df = df.sort_values(["eid", "ts"], ignore_index=True)
+    got = _decayed_sum_frame(df.copy(), "eid", "ts", "v", tau_us, "dec")
+    np.testing.assert_allclose(got.dec.to_numpy(),
+                               [1.0, 2.0 + np.exp(-150.0), 3.0,
+                                4.0 + 3.0 * np.exp(-1.0)], rtol=1e-12)
