@@ -389,6 +389,28 @@ WHERE EXISTS (SELECT 1 FROM customer
 """
 
 
+def q_bloom_semi_join(sf_dir):
+    """Semi-join via bloom prefilter + exact verify — the key-set-too-
+    big-to-broadcast path: a 16-bit/key bitmap (OR-reduced from streamed
+    key blocks) drops ~all non-matching fact rows BEFORE the shuffle,
+    then the ~|match| survivors exact-verify through a hash-partitioned
+    join against the distinct keys.  Output exact ⇒ same oracle as
+    ``semi_join``."""
+    import pyarrow.dataset as pads
+
+    from .stages.joins import bloom_semi_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    building = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    )
+    return bloom_semi_join(orders, building, on="o_custkey",
+                           right_on="c_custkey", num_partitions=8)
+
+
 def q_anti_join(sf_dir):
     from .stages.joins import anti_join
 
@@ -2017,6 +2039,7 @@ QUERIES = {
     "broadcast_join_agg": q_broadcast_join_agg,
     "range_join": q_range_join,
     "semi_join": q_semi_join,
+    "bloom_semi_join": q_bloom_semi_join,
     "anti_join": q_anti_join,
     "topk_orders": q_topk_orders,
     "distinct_types": q_distinct_types,
@@ -2101,6 +2124,7 @@ ORACLE_SQL = {
     "broadcast_join_agg": SQL_JOIN_AGG,
     "range_join": SQL_RANGE_JOIN,
     "semi_join": SQL_SEMI_JOIN,
+    "bloom_semi_join": SQL_SEMI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
     "topk_orders": SQL_TOPK_ORDERS,
     "distinct_types": SQL_DISTINCT_TYPES,

@@ -20,7 +20,7 @@ import ray
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 
 __all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join",
-           "range_join"]
+           "range_join", "build_bloom", "bloom_semi_join", "BloomFilter"]
 
 
 def _small_side_to_pandas(small) -> pd.DataFrame:
@@ -272,3 +272,105 @@ def range_join(
         return pandas_to_arrow(m.loc[keep].reset_index(drop=True))
 
     return unioned.groupby(_BUCKET).map_groups(match, batch_format="pyarrow")
+
+
+class BloomFilter:
+    """Immutable bloom filter over a key column: ``m`` bits, ``k``
+    double-hashed probes (h1 + j·h2 mod m) from the repo's stable
+    SipHash (`functions/hashing.py`) — deterministic across processes."""
+
+    def __init__(self, bits: np.ndarray, num_hashes: int):
+        self.bits = bits  # uint8 bitmap, len = m/8
+        self.k = int(num_hashes)
+        self.m = int(len(bits)) * 8
+
+    def _positions(self, values) -> np.ndarray:
+        from ..functions.hashing import stable_hash_array
+
+        h1 = stable_hash_array(values, seed=0xB100F)
+        h2 = stable_hash_array(values, seed=0xB200F) | np.uint64(1)
+        j = np.arange(self.k, dtype=np.uint64)
+        return (h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(self.m)
+
+    def add(self, values) -> None:
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3,
+                         np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def contains(self, values) -> np.ndarray:
+        """Vectorized membership test → bool mask (false positives only)."""
+        pos = self._positions(values)
+        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=1)
+
+
+def build_bloom(keys, col: str, *, bits_per_key: int = 16,
+                num_hashes: int | None = None) -> BloomFilter:
+    """Build a bloom filter of ``keys[col]`` with a MERGEABLE per-block
+    bitmap OR-reduce (``Dataset.aggregate``), so the key side streams —
+    only m/8-byte bitmaps travel the reduce tree.  FP rate ≈
+    0.6185^bits_per_key (~4e-4 at 16 bits).  The bitmap must fit one
+    worker heap (2 GB per 10⁹ keys at 16 bits); shard the filter by key
+    hash beyond that."""
+    if isinstance(keys, (pd.DataFrame, pa.Table)):
+        df = _small_side_to_pandas(keys)
+        n = max(len(df), 1)
+    else:
+        n = max(keys.count(), 1)
+    k = num_hashes if num_hashes is not None else max(int(round(0.693 * bits_per_key)), 1)
+    m = ((n * bits_per_key + 63) // 64) * 64  # byte/word aligned
+    if isinstance(keys, (pd.DataFrame, pa.Table)):
+        bf = BloomFilter(np.zeros(m // 8, dtype=np.uint8), k)
+        bf.add(df[col].to_numpy())
+        return bf
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(acc: np.ndarray, block) -> np.ndarray:
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        bf = BloomFilter(acc, k)
+        bf.add(tbl.column(col).to_numpy(zero_copy_only=False))
+        return bf.bits
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(m // 8, dtype=np.uint8),
+        accumulate_block=acc_block,
+        merge=np.bitwise_or,
+        name="bloom",
+    )
+    bits = keys.aggregate(agg)["bloom"]
+    return BloomFilter(bits, k)
+
+
+def bloom_semi_join(big, keys, *, on: str, right_on: str | None = None,
+                    bits_per_key: int = 16, verify: bool = True,
+                    num_partitions: int = 16):
+    """Semi-join for key sets too big to broadcast exactly: a bloom
+    bitmap of the key side ships once (bits_per_key bits/key vs 64+ for
+    the exact set) and prefilters the big side BEFORE any shuffle; the
+    surviving ~|match| + FP·|big| rows then exact-verify through a
+    hash-partitioned inner join against the DISTINCT keys.  Output is
+    EXACT (the bloom only bounds the shuffle volume).  ``verify=False``
+    skips the join and returns the approximate prefilter (FP rate
+    ≈0.6185^bits_per_key) — the cheap path when downstream tolerates it."""
+    right_on = on if right_on is None else right_on
+    bf = build_bloom(keys, right_on, bits_per_key=bits_per_key)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        vals = batch.column(on).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bf.contains(vals)))
+
+    survivors = big.map_batches(prefilter, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    if not verify:
+        return survivors
+    if isinstance(keys, (pd.DataFrame, pa.Table)):
+        df = _small_side_to_pandas(keys)[[right_on]].drop_duplicates()
+        df = df.rename(columns={right_on: on})
+        return semi_join(survivors, df, on=on)
+    distinct = keys.groupby(right_on).count().select_columns([right_on])
+    left_cols = list(big.schema().names)
+    joined = survivors.join(distinct, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=(on,), right_on=(right_on,))
+    return joined.select_columns(left_cols)

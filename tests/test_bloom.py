@@ -1,0 +1,59 @@
+"""Bloom filter + bloom-prefiltered semi-join: no false negatives ever,
+FP rate near theory, and the verified join equals the exact semi-join."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from featureextraction_jl_ray.stages.joins import (
+    BloomFilter,
+    bloom_semi_join,
+    build_bloom,
+    semi_join,
+)
+
+ORDERS = "/root/testdata/sf0.01/orders.parquet"
+CUSTOMER = "/root/testdata/sf0.01/customer.parquet"
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    rng = np.random.default_rng(7)
+    keys = rng.choice(10_000_000, size=20_000, replace=False).astype(np.int64)
+    bf = build_bloom(pd.DataFrame({"k": keys}), "k", bits_per_key=16)
+    assert bf.contains(keys).all()  # never a false negative
+    probe = rng.choice(10_000_000, size=50_000, replace=False).astype(np.int64)
+    fresh = probe[~np.isin(probe, keys)]
+    fp = bf.contains(fresh).mean()
+    assert fp < 5e-3, fp  # theory ≈ 0.6185^16 ≈ 4.6e-4
+
+
+def test_bloom_string_keys():
+    keys = np.array([f"doc-{i}" for i in range(1000)], dtype=object)
+    bf = build_bloom(pd.DataFrame({"k": keys}), "k", bits_per_key=16)
+    assert bf.contains(keys).all()
+    other = np.array([f"other-{i}" for i in range(1000)], dtype=object)
+    assert bf.contains(other).mean() < 0.01
+
+
+def test_bloom_semi_join_exact_vs_unverified(ray_session):
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    orders = rd.read_parquet(ORDERS, columns=["o_orderkey", "o_custkey"])
+    keys = rd.read_parquet(CUSTOMER, columns=["c_custkey"],
+                           filter=pads.field("c_mktsegment") == "BUILDING")
+    want = duckdb.sql(f"""
+        SELECT o_orderkey FROM '{ORDERS}'
+        WHERE EXISTS (SELECT 1 FROM '{CUSTOMER}' c
+                      WHERE c.c_custkey = o_custkey
+                        AND c.c_mktsegment = 'BUILDING')""").fetchdf()
+    got = bloom_semi_join(orders, keys, on="o_custkey", right_on="c_custkey",
+                          num_partitions=4).to_pandas()
+    assert set(got.o_orderkey) == set(want.o_orderkey)
+    # unverified prefilter: a SUPERSET containing every true match
+    pre = bloom_semi_join(orders, keys, on="o_custkey", right_on="c_custkey",
+                          verify=False).to_pandas()
+    assert set(want.o_orderkey) <= set(pre.o_orderkey)
+    assert len(pre) >= len(want)
