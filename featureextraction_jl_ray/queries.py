@@ -613,6 +613,42 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_event_transitions(sf_dir):
+    """First-order Markov transition counts: per (previous event_type →
+    event_type) pair across users — the sequence-feature block (a
+    composition: one bucketed lag exchange + one partial-aggregated
+    count exchange).  First events (no predecessor) are excluded."""
+    from .stages.groupagg import grouped_aggregate
+    from .stages.window import with_lag
+
+    ds = _events(sf_dir).select_columns(
+        ["event_id", "user_id", "ts", "event_type"]
+    )
+    ds = with_lag(ds, "user_id", "ts", ["event_type"], k=1,
+                  num_buckets=32, tiebreak_cols=("event_id",))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("lag1_event_type")))
+        return pa.table({"prev_type": t.column("lag1_event_type"),
+                         "event_type": t.column("event_type"),
+                         "event_id": t.column("event_id")})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(ds, ["prev_type", "event_type"],
+                             {"n": ("event_id", "count")}, num_buckets=8)
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT prev_type, event_type, count(event_id) AS n FROM (
+  SELECT event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
 def q_sessionize(sf_dir):
     from .stages.window import with_sessionize
 
@@ -2048,6 +2084,7 @@ QUERIES = {
     "asof_tolerance": q_asof_tolerance,
     "asof_forward": q_asof_forward,
     "lag_lead": q_lag_lead,
+    "event_transitions": q_event_transitions,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "rolling": q_rolling,
@@ -2133,6 +2170,7 @@ ORACLE_SQL = {
     "asof_tolerance": SQL_ASOF_TOLERANCE,
     "asof_forward": SQL_ASOF_FORWARD,
     "lag_lead": SQL_LAG_LEAD,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
     "rolling": SQL_ROLLING,
