@@ -2043,6 +2043,27 @@ FROM events
 """
 
 
+def q_image_patch_pca(sf_dir):
+    """The classic FeatureExtraction use case composed end-to-end over
+    the image table: resize → grayscale 8×8 PATCH explosion → streaming
+    PCA fit over the patch population → whitened per-patch components.
+    Binary pixels + eigensolve aren't SQL-expressible → rows-only; the
+    resize/patchify/PCA kernels each carry their own pytest oracle, and
+    the whitened-covariance≈I invariant is asserted in pytest."""
+    from .stages.codec import patchify_images, resize_images
+    from .stages.transform import apply_pca_transform
+    from .state.pca import fit_pca
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"])
+    patches = patchify_images(resize_images(images, out_w=16, out_h=16),
+                              patch=8, gray=True)
+    model = fit_pca(patches, "patch_vec", k=4)
+    out = apply_pca_transform(patches, model, "patch_vec", out_col="z",
+                              mode="pca_whiten", drop_input=True)
+    return out.select_columns(["image_id", "patch_y", "patch_x", "z"])
+
+
 def q_image_resize_stats(sf_dir):
     """Corpus-prep image path: resize every image to a fixed 16×16 (the
     pre-inference normalization step), then per-image channel/luminance
@@ -2121,6 +2142,7 @@ QUERIES = {
     "kpca_transform": q_kpca_transform,
     "images_phash_verify": q_images_phash_verify,
     "image_resize_stats": q_image_resize_stats,
+    "image_patch_pca": q_image_patch_pca,
     "hash_split_events": q_hash_split_events,
     "rank_events": q_rank_events,
     "cumulative_user_value": q_cumulative_user_value,

@@ -32,6 +32,9 @@ __all__ = [
     "resize_images",
     "ImageStats",
     "with_image_stats",
+    "AugmentImages",
+    "augment_images",
+    "patchify_images",
 ]
 
 try:  # pragma: no cover - PIL absent in this container
@@ -370,3 +373,142 @@ def with_image_stats(ds, *, dark: float = 32.0, bright: float = 224.0,
         ImageStats, fn_constructor_args=(dark, bright, low_contrast, drop_bytes),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
+
+
+class AugmentImages:
+    """Deterministic augmentation stage: horizontal/vertical flip and/or
+    crop.  ``crop=(cw, ch)`` center-crops; ``crop_mode="hash"`` instead
+    derives the crop origin from the stable hash of ``image_id`` — the
+    reproducible stand-in for random crops (identical across runs and
+    resumes, no RNG state to ship).  All ops are numpy views/slices —
+    no per-image Python loop; mixed dims go per-(w, h) group."""
+
+    def __init__(self, *, hflip: bool = False, vflip: bool = False,
+                 crop: tuple[int, int] | None = None,
+                 crop_mode: str = "center"):
+        if crop_mode not in ("center", "hash"):
+            raise ValueError(f"crop_mode must be center/hash, got {crop_mode!r}")
+        self._hf, self._vf, self._crop, self._mode = hflip, vflip, crop, crop_mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import stable_hash_array
+
+        n = batch.num_rows
+        if self._crop is not None:
+            cw, ch = self._crop
+        else:
+            cw = ch = None
+        out: list[np.ndarray | None] = [None] * n
+        ids = (batch.column("image_id").to_numpy(zero_copy_only=False)
+               if "image_id" in batch.column_names else np.arange(n))
+
+        def per_group(pix, idx):
+            g = pix
+            if self._hf:
+                g = g[:, :, ::-1]
+            if self._vf:
+                g = g[:, ::-1]
+            if cw is not None:
+                h, w = g.shape[1], g.shape[2]
+                if cw > w or ch > h:
+                    raise ValueError(f"crop {self._crop} exceeds image ({w}x{h})")
+                if self._mode == "center":
+                    x0 = np.full(len(idx), (w - cw) // 2, dtype=np.int64)
+                    y0 = np.full(len(idx), (h - ch) // 2, dtype=np.int64)
+                else:
+                    hx = stable_hash_array(ids[idx], seed=0xC401)
+                    hy = stable_hash_array(ids[idx], seed=0xC402)
+                    x0 = (hx % np.uint64(w - cw + 1)).astype(np.int64)
+                    y0 = (hy % np.uint64(h - ch + 1)).astype(np.int64)
+                rows = y0[:, None] + np.arange(ch)[None, :]
+                cols = x0[:, None] + np.arange(cw)[None, :]
+                g = g[np.arange(len(idx))[:, None, None],
+                      rows[:, :, None], cols[:, None, :]]
+            for j, i in enumerate(idx):
+                out[i] = np.ascontiguousarray(g[j])
+
+        _map_dim_groups(batch, per_group)
+        ow = np.array([o.shape[1] for o in out], dtype=np.int32)
+        oh = np.array([o.shape[0] for o in out], dtype=np.int32)
+        payload = [o.tobytes() for o in out]
+        batch = batch.set_column(batch.schema.get_field_index("bytes"),
+                                 "bytes", pa.array(payload, type=pa.binary()))
+        batch = batch.set_column(batch.schema.get_field_index("w"), "w",
+                                 pa.array(ow))
+        return batch.set_column(batch.schema.get_field_index("h"), "h",
+                                pa.array(oh))
+
+
+def augment_images(ds, *, hflip: bool = False, vflip: bool = False,
+                   crop: tuple[int, int] | None = None,
+                   crop_mode: str = "center", batch_size: int | None = 512):
+    """Images ds → same schema, deterministically augmented (stateless
+    tasks; pure slicing needs no actor state)."""
+    stage = AugmentImages(hflip=hflip, vflip=vflip, crop=crop,
+                          crop_mode=crop_mode)
+    return ds.map_batches(lambda b: stage(b), batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+def patchify_images(ds, *, patch: int = 8, stride: int | None = None,
+                    gray: bool = True, batch_size: int | None = 256):
+    """Explode each image into flattened patch vectors — the classic
+    FeatureExtraction-style prep for PCA/whitening over image patches:
+    one output row per (image, patch) with ``patch_vec`` a
+    fixed_size_list<float32> of length patch² (grayscale) or 3·patch²
+    (rgb), plus the patch grid coordinates.
+
+    Images stream through stateless tasks; each batch's output is
+    (rows_per_image × batch) rows, so keep ``batch_size`` modest — the
+    fan-out is the point (downstream PCA fits on a bounded sample)."""
+    stride = patch if stride is None else stride
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_all = batch.column("image_id").to_numpy(zero_copy_only=False)
+        chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+
+        def per_group(pix, idx):
+            n, h, w, _ = pix.shape
+            if h < patch or w < patch:
+                return
+            p = pix.astype(np.float32)
+            if gray:
+                p = (p[..., 0] * 0.299 + p[..., 1] * 0.587 + p[..., 2] * 0.114)
+                p = p[..., None]
+            ny = (h - patch) // stride + 1
+            nx = (w - patch) // stride + 1
+            ys = (np.arange(ny) * stride)[:, None] + np.arange(patch)[None, :]
+            xs = (np.arange(nx) * stride)[:, None] + np.arange(patch)[None, :]
+            # (n, ny, nx, patch, patch, c) gather, then flatten per patch
+            g = p[:, ys][:, :, :, xs]          # (n, ny, patch, nx, patch, c)
+            g = g.transpose(0, 1, 3, 2, 4, 5)  # (n, ny, nx, patch, patch, c)
+            vecs = g.reshape(n * ny * nx, -1)
+            pid = np.repeat(ids_all[idx], ny * nx)
+            py = np.tile(np.repeat(np.arange(ny, dtype=np.int32), nx), n)
+            px = np.tile(np.tile(np.arange(nx, dtype=np.int32), ny), n)
+            chunks.append((pid, py, px, vecs))
+
+        _map_dim_groups(batch, per_group)
+        if not chunks:
+            dim = patch * patch * (1 if gray else 3)
+            return pa.table({
+                "image_id": pa.array([], type=pa.int64()),
+                "patch_y": pa.array([], type=pa.int32()),
+                "patch_x": pa.array([], type=pa.int32()),
+                "patch_vec": pa.array([], type=pa.list_(pa.float32(), dim)),
+            })
+        pid = np.concatenate([c[0] for c in chunks])
+        py = np.concatenate([c[1] for c in chunks])
+        px = np.concatenate([c[2] for c in chunks])
+        vecs = np.concatenate([c[3] for c in chunks])
+        dim = vecs.shape[1]
+        flat = pa.array(vecs.reshape(-1).astype(np.float32))
+        return pa.table({
+            "image_id": pa.array(pid),
+            "patch_y": pa.array(py),
+            "patch_x": pa.array(px),
+            "patch_vec": pa.FixedSizeListArray.from_arrays(flat, dim),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

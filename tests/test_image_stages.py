@@ -143,3 +143,67 @@ def test_stage_classes_direct_no_ray():
     st = ImageStats(drop_bytes=False)(tbl)
     assert "bytes" in st.column_names
     assert st.num_rows == 2
+
+
+def test_augment_flip_and_center_crop_exact():
+    from featureextraction_jl_ray.stages.codec import AugmentImages
+
+    pix, tbl = _img_table([(10, 8), (12, 6), (10, 8)], seed=11)
+    out = AugmentImages(hflip=True, crop=(6, 4))(tbl)
+    dec = [np.frombuffer(b.as_py(), np.uint8).reshape(h.as_py(), w.as_py(), 3)
+           for b, w, h in zip(out.column("bytes"), out.column("w"), out.column("h"))]
+    for i, p in enumerate(pix):
+        h, w, _ = p.shape
+        want = p[:, ::-1]
+        x0, y0 = (w - 6) // 2, (h - 4) // 2
+        want = want[y0:y0 + 4, x0:x0 + 6]
+        np.testing.assert_array_equal(dec[i], want)
+
+
+def test_augment_hash_crop_deterministic_and_in_bounds():
+    from featureextraction_jl_ray.stages.codec import AugmentImages
+
+    _, tbl = _img_table([(16, 16)] * 8, seed=3)
+    a = AugmentImages(crop=(8, 8), crop_mode="hash")(tbl)
+    b = AugmentImages(crop=(8, 8), crop_mode="hash")(tbl)
+    assert a.column("bytes").to_pylist() == b.column("bytes").to_pylist()
+    assert a.column("w").to_pylist() == [8] * 8
+    # hash crops actually vary across image_ids
+    assert len(set(a.column("bytes").to_pylist())) > 1
+
+
+def test_patchify_matches_reshape_reference(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.codec import patchify_images
+
+    pix, tbl = _img_table([(8, 8), (8, 8)], seed=5)
+    tbl = tbl.set_column(0, "image_id", pa.array([0, 1], type=pa.int64()))
+    out = patchify_images(rd.from_arrow(tbl), patch=4, gray=True).to_pandas()
+    assert len(out) == 2 * 4  # 2 images × (2×2) patch grid
+    out = out.sort_values(["image_id", "patch_y", "patch_x"], ignore_index=True)
+    for i, p in enumerate(pix):
+        lum = (p[..., 0] * 0.299 + p[..., 1] * 0.587 + p[..., 2] * 0.114)
+        lum = lum.astype(np.float32)
+        for py in range(2):
+            for px in range(2):
+                want = lum[py * 4:(py + 1) * 4, px * 4:(px + 1) * 4].reshape(-1)
+                got = out[(out.image_id == i) & (out.patch_y == py)
+                          & (out.patch_x == px)].patch_vec.iloc[0]
+                np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                                           rtol=1e-6)
+
+
+def test_patch_pca_whitened_covariance(ray_session):
+    """Composed resize→patchify→PCA-whiten over the synthetic image
+    table: whitened patch components have identity covariance."""
+    import ray.data as rd
+
+    from featureextraction_jl_ray.queries import QUERIES
+
+    out = QUERIES["image_patch_pca"]("/root/testdata/sf0.001").to_pandas()
+    assert set(out.columns) == {"image_id", "patch_y", "patch_x", "z"}
+    assert len(out) > 0 and len(out) % 4 == 0  # 4 patches per 16×16 image
+    Z = np.stack(out.z.to_numpy())
+    C = np.cov(Z.T)
+    np.testing.assert_allclose(C, np.eye(Z.shape[1]), atol=1e-6)
