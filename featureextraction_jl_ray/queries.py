@@ -85,6 +85,41 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_rollup_lineitem(sf_dir):
+    """ROLLUP over (l_returnflag, l_linestatus): subtotals at every
+    prefix level + grand total, dropped keys NULL.  The finest level is
+    the one distributed exchange; coarser levels re-aggregate its
+    bounded result.  Money sums pin to the cent grid."""
+    from .stages.groupagg import rollup_aggregate
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = rollup_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_price": ("l_extendedprice", "sum"),
+            "n": ("l_quantity", "count"),
+        },
+        num_buckets=8,
+    )
+    out["sum_price"] = np.round(out["sum_price"].to_numpy(dtype=float), 2)
+    return out
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       ROUND(sum(l_extendedprice), 2) AS sum_price,
+       count(l_quantity) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_agg_events_var(sf_dir):
     """Sample variance / stddev per event_type via (Σx, Σx², n) partials
     — the partializable spread aggregates a feature pipeline needs.
@@ -312,6 +347,35 @@ def q_filter_project(sf_dir):
 SQL_FILTER_PROJECT = """
 SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue
 FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def q_melt_lineitem(sf_dir):
+    """Unpivot four lineitem measures to long (row × measure) form —
+    embarrassingly parallel per batch, zero exchange.  Bounded to
+    l_orderkey < 2000 so the gate compares ~4× a row subset, not 4× the
+    table."""
+    import pyarrow.dataset as pads
+
+    from .stages.reshape import melt
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+        filter=pads.field("l_orderkey") < 2000,
+    )
+    return melt(ds, ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                var_name="measure", value_name="val")
+
+
+SQL_MELT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, measure, val
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_tax
+      FROM lineitem WHERE l_orderkey < 2000)
+UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
 """
 
 
@@ -2084,6 +2148,7 @@ def q_image_resize_stats(sf_dir):
 
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
+    "rollup_lineitem": q_rollup_lineitem,
     "agg_events_var": q_agg_events_var,
     "count_distinct_users": q_count_distinct_users,
     "count_distinct_users_hll": q_count_distinct_users_hll,
@@ -2091,6 +2156,7 @@ QUERIES = {
     "event_quantiles_sketch": q_event_quantiles_sketch,
     "heavy_hitters": q_heavy_hitters,
     "pivot_user_type": q_pivot_user_type,
+    "melt_lineitem": q_melt_lineitem,
     "filter_project": q_filter_project,
     "hash_join_agg": q_hash_join_agg,
     "broadcast_join_agg": q_broadcast_join_agg,
@@ -2172,12 +2238,14 @@ ORACLE_SQL = {
     "minmax_bin_events": SQL_MINMAX_BIN_EVENTS,
     "onehot_events": SQL_ONEHOT_EVENTS,
     "agg_lineitem": SQL_AGG_LINEITEM,
+    "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "agg_events_var": SQL_AGG_EVENTS_VAR,
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "count_distinct_users_hll": SQL_COUNT_DISTINCT_USERS,
     "event_quantiles": SQL_EVENT_QUANTILES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "pivot_user_type": SQL_PIVOT_USER_TYPE,
+    "melt_lineitem": SQL_MELT_LINEITEM,
     "filter_project": SQL_FILTER_PROJECT,
     "hash_join_agg": SQL_JOIN_AGG,
     "broadcast_join_agg": SQL_JOIN_AGG,

@@ -21,7 +21,7 @@ _BUCKET = "__fx_gbucket"
 __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
            "grouped_quantile", "grouped_quantile_sketch",
            "grouped_count_distinct_hll", "grouped_heavy_hitters",
-           "pivot_aggregate"]
+           "pivot_aggregate", "rollup_aggregate"]
 
 _PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
 
@@ -548,3 +548,46 @@ def pivot_aggregate(ds, key_cols, pivot_col: str, value_col: str, *,
 
     wide = ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_aggregate(wide, key_cols, names, num_buckets=num_buckets)
+
+
+def rollup_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *,
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """ROLLUP grouping sets: aggregates at every key-prefix level
+    ((k1..kn), (k1..kn−1), …, ()) with dropped keys as NULL.
+
+    Scale shape: the FINEST level runs the ordinary partial-aggregated
+    distributed exchange ONCE; every coarser level re-aggregates the
+    finest RESULT (bounded by key cardinality — driver-side pandas is
+    legitimate there, same bound as any grouped-aggregate output).
+    Only re-aggregatable fns (sum/count/min/max) are allowed — count
+    partials merge by sum, like the distributed combiner itself.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    remerge = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for name, (col, fn) in aggs.items():
+        if fn not in remerge:
+            raise ValueError(
+                f"rollup agg {name!r}: {fn!r} is not re-aggregatable; "
+                "use sum/count/min/max (derive mean = sum/count downstream)")
+    finest = grouped_aggregate(ds, key_cols, aggs, num_buckets=num_buckets)
+    df = finest.to_pandas()
+    levels = [df]
+    cur = df
+    for lvl in range(len(key_cols) - 1, -1, -1):
+        keep = key_cols[:lvl]
+        merged = {name: (name, remerge[fn]) for name, (_, fn) in aggs.items()}
+        if keep:
+            g = cur.groupby(keep, sort=False, dropna=False)
+            up = pd.DataFrame(index=g.size().index)
+            for name, (src, fn) in merged.items():
+                up[name] = getattr(g[src], fn)()
+            up = up.reset_index()
+        else:
+            up = pd.DataFrame({name: [getattr(cur[src], fn)()]
+                               for name, (src, fn) in merged.items()})
+        for c in key_cols[lvl:]:
+            up[c] = pd.Series([None] * len(up), dtype=df[c].dtype
+                              if df[c].dtype == object else object)
+        levels.append(up[list(df.columns)])
+        cur = up
+    return pd.concat(levels, ignore_index=True)

@@ -646,3 +646,31 @@ def test_grouped_argminmax_tie_resolution(ray_session):
     assert out["b"]["fv"] == "x" and out["b"]["lv"] == "x"
     with pytest.raises(ValueError):
         grouped_aggregate(rd.from_arrow(tbl), "k", {"bad": ("v", "argmid", "o")})
+
+
+def test_rollup_aggregate_levels(ray_session, sf_dir, db):
+    """All three ROLLUP levels (finest / per-flag / grand total) match
+    DuckDB, including min/max re-aggregation at coarser levels."""
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.groupagg import rollup_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "value"])
+    got = rollup_aggregate(
+        ds, ["event_type"],
+        {"n": ("value", "count"), "vmin": ("value", "min"),
+         "vmax": ("value", "max")}, num_buckets=4)
+    want = db.execute("""
+        SELECT event_type, count(value) AS n, min(value) AS vmin,
+               max(value) AS vmax
+        FROM events GROUP BY ROLLUP(event_type)
+    """).fetchdf()
+    key = got.event_type.fillna("__total__")
+    wkey = want.event_type.fillna("__total__")
+    got = got.assign(k=key).sort_values("k", ignore_index=True)
+    want = want.assign(k=wkey).sort_values("k", ignore_index=True)
+    assert len(got) == len(want)
+    np.testing.assert_array_equal(got.n.to_numpy(int), want.n.to_numpy(int))
+    np.testing.assert_allclose(got.vmin, want.vmin, rtol=1e-12)
+    np.testing.assert_allclose(got.vmax, want.vmax, rtol=1e-12)
