@@ -1187,6 +1187,25 @@ def q_knn_ivf(sf_dir):
     return out
 
 
+def q_knn_quantized(sf_dir):
+    """Top-k cosine over the int8-QUANTIZED corpus (4× smaller vectors
+    through the object store — the ANN memory lever).  Approximate only
+    through int8 rounding, so not SQL-oracled → rows-only; round-trip
+    error bound and recall@10 ≥ 0.9 vs exact are pytest-asserted."""
+    from .stages.similarity import (
+        fit_scalar_quantizer,
+        knn_cosine_quantized,
+        quantize_embeddings,
+    )
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    qz = fit_scalar_quantizer(ds, "embedding")
+    qds = quantize_embeddings(ds, qz, vector_col="embedding")
+    out = knn_cosine_quantized(qds, _query_vecs(sf_dir), qz,
+                               vector_col="qvec", id_col="vec_id", k=10)
+    return out[["query_id", "vec_id", "score"]]
+
+
 def q_embedding_near_dup(sf_dir):
     from .stages.similarity import embedding_near_dup_pairs
 
@@ -2192,6 +2211,7 @@ QUERIES = {
     "kernel_center": q_kernel_center,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
+    "knn_quantized": q_knn_quantized,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_dedup": q_embedding_dedup,
     "minhash_near_dup": q_minhash_near_dup,

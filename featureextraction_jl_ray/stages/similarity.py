@@ -33,6 +33,10 @@ __all__ = [
     "embedding_near_dup_pairs",
     "embedding_dedup",
     "kmeans_fit",
+    "ScalarQuantizer",
+    "fit_scalar_quantizer",
+    "quantize_embeddings",
+    "knn_cosine_quantized",
 ]
 
 
@@ -440,3 +444,95 @@ def embedding_dedup(
         num_buckets=num_buckets,
     ).to_pandas()
     return collapse_pairs(ds, pairs_pd, id_col, max_pairs=max_pairs), pairs_pd
+
+
+class ScalarQuantizer:
+    """Per-dimension symmetric int8 quantizer for embedding columns:
+    q = round(x / scale_d) clamped to [−127, 127], scale_d = absmax_d/127.
+    4× smaller vectors through the object store / on disk — the standard
+    ANN memory lever; cosine over dequantized vectors loses <1% recall
+    at typical embedding distributions (pytest asserts recall)."""
+
+    def __init__(self, scale: np.ndarray):
+        self.scale = np.asarray(scale, dtype=np.float32)
+        self.scale[self.scale == 0] = 1.0
+
+    def quantize(self, X: np.ndarray) -> np.ndarray:
+        q = np.rint(np.asarray(X, dtype=np.float32) / self.scale)
+        return np.clip(q, -127, 127).astype(np.int8)
+
+    def dequantize(self, Q: np.ndarray) -> np.ndarray:
+        return Q.astype(np.float32) * self.scale
+
+
+def fit_scalar_quantizer(ds, vector_col: str) -> ScalarQuantizer:
+    """Per-dim absmax via a mergeable block max-reduce (one streaming
+    pass; only p-float partials travel the reduce tree)."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc(acc_v, block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        X = list_column_to_numpy(tbl, vector_col)
+        m = np.abs(X).max(axis=0) if len(X) else None
+        if m is None:
+            return acc_v
+        return m if acc_v is None else np.maximum(acc_v, m)
+
+    agg = AggregateFn(
+        init=lambda _: None,
+        accumulate_block=acc,
+        merge=lambda a, b: b if a is None else (a if b is None else np.maximum(a, b)),
+        name="absmax",
+    )
+    absmax = ds.aggregate(agg)["absmax"]
+    if absmax is None:
+        raise ValueError("fit_scalar_quantizer: empty dataset")
+    return ScalarQuantizer(absmax / 127.0)
+
+
+def quantize_embeddings(ds, quantizer: ScalarQuantizer, *, vector_col: str,
+                        out_col: str = "qvec", drop_input: bool = True):
+    """Replace ``vector_col`` with an int8 fixed_size_list column (4×
+    smaller through every downstream exchange)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        X = list_column_to_numpy(t, vector_col)
+        Q = quantizer.quantize(X)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(Q.reshape(-1)), Q.shape[1] if Q.ndim == 2 else 0)
+        t = t.append_column(out_col, arr)
+        if drop_input:
+            t = t.drop_columns([vector_col])
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _QuantScore:
+    """Per-batch dequantize → normalize → GEMM → local top-k (same
+    contract as _BruteForceScore, int8 input)."""
+
+    def __init__(self, Q, quantizer: ScalarQuantizer, vector_col: str,
+                 id_col: str, k: int):
+        self._inner = _BruteForceScore(Q, vector_col, id_col, k)
+        self._qz = quantizer
+        self._vector_col = vector_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        Qi = list_column_to_numpy(batch, self._vector_col, dtype=np.int8)
+        X = self._qz.dequantize(Qi)
+        flat = pa.array(X.reshape(-1).astype(np.float32))
+        deq = pa.FixedSizeListArray.from_arrays(flat, X.shape[1])
+        i = batch.schema.get_field_index(self._vector_col)
+        return self._inner(batch.set_column(i, self._vector_col, deq))
+
+
+def knn_cosine_quantized(ds, queries: np.ndarray, quantizer: ScalarQuantizer,
+                         *, vector_col: str = "qvec", id_col: str,
+                         k: int = 10) -> pd.DataFrame:
+    """Exact top-k over the QUANTIZED corpus (approximate vs the float
+    corpus only through the int8 rounding): stateless tasks, queries stay
+    float."""
+    fn = _QuantScore(np.atleast_2d(queries), quantizer, vector_col, id_col, k)
+    partials = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return _merge_topk(partials, id_col, k)

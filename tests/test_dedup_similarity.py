@@ -505,3 +505,34 @@ def test_grouped_heavy_hitters_mg_guarantee(ray_session):
     # reported counts never exceed true counts (MG only under-counts)
     for _, r in got.iterrows():
         assert r.n <= true_counts.get(r.v, 0) or r.n <= bound
+
+
+def test_scalar_quantizer_roundtrip_and_recall(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.similarity import (
+        fit_scalar_quantizer,
+        knn_cosine,
+        knn_cosine_quantized,
+        quantize_embeddings,
+    )
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qz = fit_scalar_quantizer(ds, "embedding")
+    df = ds.to_pandas()
+    X = np.stack(df.embedding.to_numpy()).astype(np.float32)
+    # per-dim round-trip error ≤ scale/2 (+ float eps)
+    err = np.abs(qz.dequantize(qz.quantize(X)) - X)
+    assert (err <= qz.scale / 2 + 1e-6).all()
+    # recall@10 of quantized kNN vs exact ≥ 0.9 (usually ≈1.0)
+    queries = X[:4].astype(np.float64)
+    exact = knn_cosine(ds, queries, vector_col="embedding", id_col="vec_id", k=10)
+    qds = quantize_embeddings(ds, qz, vector_col="embedding")
+    approx = knn_cosine_quantized(qds, queries, qz, vector_col="qvec",
+                                  id_col="vec_id", k=10)
+    recs = []
+    for qi in range(4):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        recs.append(len(e & a) / len(e))
+    assert np.mean(recs) >= 0.9, recs
