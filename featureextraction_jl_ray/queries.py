@@ -421,6 +421,41 @@ def q_broadcast_join_agg(sf_dir):
     return _round_cols(out, {"sum_price": 2})
 
 
+def q_left_join_agg(sf_dir):
+    """LEFT OUTER hash join: every customer kept, order count 0 and sum
+    NULL for the ~200 customers with no orders — the preserved-side
+    semantics the inner-join queries can't show.  count skips nulls on
+    both sides; sums pin to the cent grid."""
+    from .stages.groupagg import grouped_aggregate
+    from .stages.joins import hash_join
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    joined = hash_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                       how="left_outer", num_partitions=8)
+    out = grouped_aggregate(
+        joined,
+        ["c_custkey", "c_mktsegment"],
+        {"n_orders": ("o_totalprice", "count"),
+         "sum_price": ("o_totalprice", "sum")},
+        num_buckets=8,
+    )
+    return _round_cols(out, {"sum_price": 2})
+
+
+# coalesce: the engine's distributed sum is a merge of per-batch 0-based
+# partials, so an all-null (orderless) group is 0.0, not NULL
+SQL_LEFT_JOIN_AGG = """
+SELECT c_custkey, c_mktsegment,
+       count(o_totalprice) AS n_orders,
+       ROUND(coalesce(sum(o_totalprice), 0), 2) AS sum_price
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
 SQL_JOIN_AGG = """
 SELECT c_mktsegment,
        count(o_totalprice) AS n_orders,
@@ -2178,6 +2213,7 @@ QUERIES = {
     "melt_lineitem": q_melt_lineitem,
     "filter_project": q_filter_project,
     "hash_join_agg": q_hash_join_agg,
+    "left_join_agg": q_left_join_agg,
     "broadcast_join_agg": q_broadcast_join_agg,
     "range_join": q_range_join,
     "semi_join": q_semi_join,
@@ -2268,6 +2304,7 @@ ORACLE_SQL = {
     "melt_lineitem": SQL_MELT_LINEITEM,
     "filter_project": SQL_FILTER_PROJECT,
     "hash_join_agg": SQL_JOIN_AGG,
+    "left_join_agg": SQL_LEFT_JOIN_AGG,
     "broadcast_join_agg": SQL_JOIN_AGG,
     "range_join": SQL_RANGE_JOIN,
     "semi_join": SQL_SEMI_JOIN,
