@@ -1031,6 +1031,53 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def q_doc_repetition(sf_dir):
+    """Gopher-style repetition quality signals: word-dup ratio and
+    top-bigram fraction per document (the filters that catch template /
+    boilerplate spam at corpus scale).  One explode + two C groupbys per
+    batch; 1e-6 grid both sides."""
+    from .stages.text import with_repetition_stats
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = with_repetition_stats(ds).select_columns(
+        ["doc_id", "word_dup_ratio", "top_bigram_frac"])
+    return _round_cols(out, {"word_dup_ratio": 6, "top_bigram_frac": 6})
+
+
+SQL_DOC_REPETITION = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(ws) AS w FROM words
+),
+counts AS (
+  SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS nd
+  FROM flat GROUP BY doc_id
+),
+bigrams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM words
+  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(ws), 1))) AS i) t
+),
+bmax AS (
+  SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  ROUND(CASE WHEN coalesce(c.nw, 0) = 0 THEN 0
+             ELSE 1.0 - CAST(c.nd AS DOUBLE) / c.nw END, 6) AS word_dup_ratio,
+  ROUND(CASE WHEN coalesce(c.nw, 0) < 2 THEN 0
+             ELSE CAST(coalesce(b.mx, 0) AS DOUBLE) / (c.nw - 1) END, 6)
+    AS top_bigram_frac
+FROM documents d
+LEFT JOIN counts c USING (doc_id)
+LEFT JOIN bmax b USING (doc_id)
+"""
+
+
 def q_doc_ratios(sf_dir):
     from .stages.text import with_quality
 
@@ -2238,6 +2285,7 @@ QUERIES = {
     "topn_per_customer": q_topn_per_customer,
     "doc_stats": q_doc_stats,
     "doc_ratios": q_doc_ratios,
+    "doc_repetition": q_doc_repetition,
     "explode_tokens": q_explode_tokens,
     "embed_stats": q_embed_stats,
     # rows-only (non-SQL-expressible; math covered by pytest oracles)
@@ -2329,6 +2377,7 @@ ORACLE_SQL = {
     "topn_per_customer": SQL_TOPN_PER_CUSTOMER,
     "doc_stats": SQL_DOC_STATS,
     "doc_ratios": SQL_DOC_RATIOS,
+    "doc_repetition": SQL_DOC_REPETITION,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "embed_stats": SQL_EMBED_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,

@@ -27,6 +27,8 @@ __all__ = [
     "with_quality",
     "with_langid",
     "with_fingerprint",
+    "RepetitionStats",
+    "with_repetition_stats",
 ]
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -202,3 +204,59 @@ with_token_stats = _actor_stage(TokenStats)
 with_quality = _actor_stage(QualityScore)
 with_langid = _actor_stage(LangId)
 with_fingerprint = _actor_stage(Fingerprint)
+
+
+class RepetitionStats:
+    """Gopher-style repetition quality signals per document (word level —
+    the corpus has no line structure): ``word_dup_ratio`` = 1 −
+    distinct/total words, ``top_bigram_frac`` = count of the most
+    frequent word 2-gram / (n_words − 1) (0 when < 2 words).  Fully
+    vectorized: one explode + two C groupbys per batch — no per-row
+    Python."""
+
+    def __init__(self, text_col: str = "text"):
+        self._text_col = text_col
+        self._word = re.compile(r"\w+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._text_col).to_pandas()
+        words = texts.str.lower().str.findall(self._word)
+        n_words = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        ex = words.explode().dropna()
+        row = ex.index.to_numpy(dtype=np.int64)
+        w = ex.to_numpy()
+        n = len(texts)
+        distinct = (
+            pd.DataFrame({"r": row, "w": w})
+            .groupby("r", sort=False)["w"].nunique()
+            .reindex(range(n), fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+        dup_ratio = 1.0 - distinct / np.maximum(n_words, 1)
+        dup_ratio[n_words == 0] = 0.0
+        # bigrams: consecutive pairs within the same row
+        same = np.zeros(len(row), dtype=bool)
+        if len(row) > 1:
+            same[:-1] = row[1:] == row[:-1]
+        big_row = row[:-1][same[:-1]] if len(row) else row[:0]
+        big = (
+            pd.DataFrame({
+                "r": big_row,
+                "b": pd.Series(w[:-1][same[:-1]]).str.cat(
+                    pd.Series(w[1:][same[:-1]]), sep=" ") if len(row) > 1
+                else pd.Series([], dtype=object),
+            })
+            .groupby(["r", "b"], sort=False).size()
+            .groupby(level=0).max()
+            .reindex(range(n), fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+        top_frac = big / np.maximum(n_words - 1, 1)
+        top_frac[n_words < 2] = 0.0
+        out = batch.append_column("word_dup_ratio",
+                                  pa.array(dup_ratio, type=pa.float64()))
+        return out.append_column("top_bigram_frac",
+                                 pa.array(top_frac, type=pa.float64()))
+
+
+with_repetition_stats = _actor_stage(RepetitionStats)

@@ -88,3 +88,26 @@ def test_tfidf_feeds_knn(ray_session):
     assert len(rows) == 3
     # the query vector's own document is its nearest neighbor
     assert rows.sort_values("score", ascending=False).iloc[0]["score"] > 0.999
+
+
+def test_repetition_stats_reference():
+    """RepetitionStats vs hand-computed values on crafted docs."""
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.text import RepetitionStats
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a a a a",          # 4 words, 1 distinct; bigram 'a a' ×3 / 3
+            "x y x y",          # dup 1-2/4; bigram 'x y' ×2 / 3
+            "unique words only ok",  # no repetition
+            "solo",             # 1 word → both zero
+        ],
+    })
+    out = RepetitionStats()(t).to_pandas()
+    import numpy as np
+    np.testing.assert_allclose(out.word_dup_ratio,
+                               [0.75, 0.5, 0.0, 0.0], rtol=1e-12)
+    np.testing.assert_allclose(out.top_bigram_frac,
+                               [1.0, 2 / 3, 1 / 3, 0.0], rtol=1e-12)
