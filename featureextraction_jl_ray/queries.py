@@ -120,6 +120,41 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_cube_events(sf_dir):
+    """CUBE over (event_type, user-id parity): all four grouping sets
+    from one distributed exchange + bounded re-aggregation."""
+    from .stages.groupagg import cube_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id", "value"])
+
+    def parity(t: pa.Table) -> pa.Table:
+        par = pc.if_else(
+            pc.equal(pc.bit_wise_and(t.column("user_id"), pa.scalar(1)),
+                     pa.scalar(1)),
+            pa.scalar("odd"), pa.scalar("even"))
+        return pa.table({"event_type": t.column("event_type"),
+                         "user_parity": par, "value": t.column("value")})
+
+    ds = ds.map_batches(parity, batch_format="pyarrow", zero_copy_batch=True)
+    out = cube_aggregate(
+        ds, ["event_type", "user_parity"],
+        {"n": ("value", "count"), "sum_value": ("value", "sum")},
+        num_buckets=8)
+    out["sum_value"] = np.round(out["sum_value"].to_numpy(dtype=float), 2)
+    return out
+
+
+SQL_CUBE_EVENTS = """
+SELECT event_type,
+       CASE WHEN user_id % 2 = 1 THEN 'odd' ELSE 'even' END AS user_parity,
+       count(value) AS n,
+       ROUND(sum(value), 2) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, user_parity)
+"""
+
+
 def q_agg_events_var(sf_dir):
     """Sample variance / stddev per event_type via (Σx, Σx², n) partials
     — the partializable spread aggregates a feature pipeline needs.
@@ -2250,6 +2285,7 @@ def q_image_resize_stats(sf_dir):
 QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "rollup_lineitem": q_rollup_lineitem,
+    "cube_events": q_cube_events,
     "agg_events_var": q_agg_events_var,
     "count_distinct_users": q_count_distinct_users,
     "count_distinct_users_hll": q_count_distinct_users_hll,
@@ -2343,6 +2379,7 @@ ORACLE_SQL = {
     "onehot_events": SQL_ONEHOT_EVENTS,
     "agg_lineitem": SQL_AGG_LINEITEM,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
+    "cube_events": SQL_CUBE_EVENTS,
     "agg_events_var": SQL_AGG_EVENTS_VAR,
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "count_distinct_users_hll": SQL_COUNT_DISTINCT_USERS,

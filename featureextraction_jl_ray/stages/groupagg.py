@@ -21,7 +21,7 @@ _BUCKET = "__fx_gbucket"
 __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
            "grouped_quantile", "grouped_quantile_sketch",
            "grouped_count_distinct_hll", "grouped_heavy_hitters",
-           "pivot_aggregate", "rollup_aggregate"]
+           "pivot_aggregate", "rollup_aggregate", "cube_aggregate"]
 
 _PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
 
@@ -590,4 +590,42 @@ def rollup_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *,
                               if df[c].dtype == object else object)
         levels.append(up[list(df.columns)])
         cur = up
+    return pd.concat(levels, ignore_index=True)
+
+
+def cube_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *,
+                   num_buckets: int = 64) -> pd.DataFrame:
+    """CUBE grouping sets: aggregates at EVERY subset of ``key_cols``
+    (2^k levels), dropped keys NULL — same scale shape as
+    :func:`rollup_aggregate` (one distributed exchange at the finest
+    level, every other subset re-aggregates its bounded result)."""
+    from itertools import combinations
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    remerge = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for name, (col, fn) in aggs.items():
+        if fn not in remerge:
+            raise ValueError(
+                f"cube agg {name!r}: {fn!r} is not re-aggregatable; "
+                "use sum/count/min/max")
+    finest = grouped_aggregate(ds, key_cols, aggs, num_buckets=num_buckets)
+    df = finest.to_pandas()
+    levels = [df]
+    merged = {name: (name, remerge[fn]) for name, (_, fn) in aggs.items()}
+    subsets = [list(c) for r in range(len(key_cols) - 1, -1, -1)
+               for c in combinations(key_cols, r)]
+    for keep in subsets:
+        if keep:
+            g = df.groupby(keep, sort=False, dropna=False)
+            up = pd.DataFrame(index=g.size().index)
+            for name, (src, fn) in merged.items():
+                up[name] = getattr(g[src], fn)()
+            up = up.reset_index()
+        else:
+            up = pd.DataFrame({name: [getattr(df[src], fn)()]
+                               for name, (src, fn) in merged.items()})
+        for c in key_cols:
+            if c not in keep:
+                up[c] = pd.Series([None] * len(up), dtype=object)
+        levels.append(up[list(df.columns)])
     return pd.concat(levels, ignore_index=True)
