@@ -747,6 +747,38 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_tumbling_user_hour(sf_dir):
+    """Tumbling (time-grid) window aggregate: per (user, hour bucket)
+    event count + value sum — the fixed-grid counterpart of the sliding
+    rolling window, expressed as a plain partial-aggregated groupby on
+    the truncated timestamp (floor_temporal is vectorized Arrow; no
+    bucketed scan needed).  Cent-grid sums."""
+    from .stages.groupagg import grouped_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t.column("ts"), unit="hour")
+        return pa.table({"user_id": t.column("user_id"), "hour": hour,
+                         "value": t.column("value")})
+
+    ds = ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_aggregate(
+        ds, ["user_id", "hour"],
+        {"n": ("value", "count"), "sum_value": ("value", "sum")},
+        num_buckets=16)
+    return _round_cols(out, {"sum_value": 2})
+
+
+SQL_TUMBLING_USER_HOUR = """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       count(value) AS n,
+       ROUND(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
 def q_event_transitions(sf_dir):
     """First-order Markov transition counts: per (previous event_type →
     event_type) pair across users — the sequence-feature block (a
@@ -2310,6 +2342,7 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "lag_lead": q_lag_lead,
     "event_transitions": q_event_transitions,
+    "tumbling_user_hour": q_tumbling_user_hour,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "rolling": q_rolling,
@@ -2403,6 +2436,7 @@ ORACLE_SQL = {
     "asof_forward": SQL_ASOF_FORWARD,
     "lag_lead": SQL_LAG_LEAD,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "tumbling_user_hour": SQL_TUMBLING_USER_HOUR,
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
     "rolling": SQL_ROLLING,

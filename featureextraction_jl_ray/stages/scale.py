@@ -35,6 +35,7 @@ __all__ = [
     "robust_scale",
     "equal_width_bin",
     "one_hot_encode",
+    "assemble_vector",
 ]
 
 
@@ -287,5 +288,40 @@ def robust_scale(ds, cols, quants: dict, *, suffix: str = "_rs"):
                 c + suffix, pa.array((x - med) / iqr, type=pa.float64())
             )
         return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assemble_vector(ds, cols, *, out_col: str = "features",
+                    drop_inputs: bool = False, value_type=None,
+                    fill_null: float | None = None):
+    """Gather scalar feature columns into ONE fixed_size_list vector
+    column (the assembler step feeding PCA / whitening / kNN): per
+    batch a zero-exchange numpy column stack.  ``fill_null`` imputes
+    nulls (required if any source column is nullable — vectors must be
+    dense); without it a null raises loudly."""
+    import numpy as np
+
+    from ..functions.veccol import numpy_to_fixed_list_column
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    vt = value_type if value_type is not None else pa.float64()
+
+    def fn(t: pa.Table) -> pa.Table:
+        mats = []
+        for c in cols:
+            col = t.column(c)
+            if col.null_count:
+                if fill_null is None:
+                    raise ValueError(
+                        f"assemble_vector: column {c!r} has nulls; pass "
+                        "fill_null= to impute (vectors must be dense)")
+                col = pc.fill_null(col, fill_null)
+            mats.append(pc.cast(col, vt).to_numpy(zero_copy_only=False))
+        mat = np.column_stack(mats) if mats else np.empty((t.num_rows, 0))
+        t = t.append_column(out_col, numpy_to_fixed_list_column(mat, vt))
+        if drop_inputs:
+            t = t.drop_columns(cols)
+        return t
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -145,3 +145,44 @@ def test_fit_quantiles_and_robust_scale(events_ds):
         assert abs(qs[p] - want[p]) < np.std(v) * 0.2
     with pytest.raises(ValueError):
         fit_quantiles(events_ds, "value", method="nope")
+
+
+def test_assemble_vector_feeds_pca(ray_session):
+    """Scalar columns → fixed_size_list vector → the PCA kernel accepts
+    it (the assembler is the bridge from tabular prep to the
+    FeatureExtraction kernels)."""
+    import numpy as np
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.scale import assemble_vector
+    from featureextraction_jl_ray.state.pca import fit_pca
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount", "l_tax"])
+    out = assemble_vector(ds, ["l_quantity", "l_extendedprice",
+                               "l_discount", "l_tax"], out_col="features")
+    df = out.to_pandas()
+    X = np.stack(df.features.to_numpy())
+    assert X.shape[1] == 4
+    ref = df[["l_quantity", "l_extendedprice", "l_discount", "l_tax"]].to_numpy()
+    np.testing.assert_array_equal(X, ref)
+    model = fit_pca(out, "features", k=2)
+    assert model.components.shape == (4, 2)
+
+
+def test_assemble_vector_null_handling(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.scale import assemble_vector
+
+    t = pa.table({"a": [1.0, None, 3.0], "b": [4.0, 5.0, 6.0]})
+    with pytest.raises(Exception, match="nulls"):
+        assemble_vector(rd.from_arrow(t), ["a", "b"]).to_pandas()
+    got = assemble_vector(rd.from_arrow(t), ["a", "b"],
+                          fill_null=0.0).to_pandas()
+    np.testing.assert_array_equal(np.stack(got.features.to_numpy()),
+                                  [[1, 4], [0, 5], [3, 6]])
