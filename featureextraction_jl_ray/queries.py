@@ -1047,6 +1047,40 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
 # Text analysis (SQL-expressible parts)
 # ---------------------------------------------------------------------------
 
+def q_weighted_sample(sf_dir):
+    """Deterministic A-Res weighted sample: 3 events per user, inclusion
+    probability ∝ value, no RNG state (priorities from the pinned fmix32
+    hash) — repartition/resume-stable.  ORACLED: the SQL computes the
+    IDENTICAL priority via the shared hash CTE, so the exact sampled
+    rows match, not just the proportions."""
+    from .stages.split import weighted_sample_by_key
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+    out = weighted_sample_by_key(ds, "user_id", "event_id", "value", k=3)
+    return out.select_columns(["event_id", "user_id", "value"])
+
+
+def _weighted_sample_sql() -> str:
+    from .stages.split import sql_hash_cte
+
+    cte = sql_hash_cte("events", "event_id", "event_id, user_id, value")
+    return f"""
+WITH {cte},
+pri AS (
+  SELECT event_id, user_id, value,
+         ln((h + 0.5) / 4294967296.0) / value AS p
+  FROM __hx WHERE value > 0
+)
+SELECT event_id, user_id, value FROM pri
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY p DESC, event_id) <= 3
+"""
+
+
+SQL_WEIGHTED_SAMPLE = _weighted_sample_sql()
+
+
 def q_doc_stats(sf_dir):
     from .stages.text import with_token_stats
 
@@ -2383,6 +2417,7 @@ QUERIES = {
     "image_resize_stats": q_image_resize_stats,
     "image_patch_pca": q_image_patch_pca,
     "hash_split_events": q_hash_split_events,
+    "weighted_sample": q_weighted_sample,
     "rank_events": q_rank_events,
     "cumulative_user_value": q_cumulative_user_value,
     "first_last_touch": q_first_last_touch,
@@ -2399,6 +2434,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "hash_split_events": SQL_HASH_SPLIT_EVENTS,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "rank_events": SQL_RANK_EVENTS,
     "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
     "first_last_touch": SQL_FIRST_LAST_TOUCH,

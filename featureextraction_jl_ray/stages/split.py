@@ -30,6 +30,7 @@ import pyarrow as pa
 from ..functions.hashing import stable_hash_array
 
 __all__ = ["hash_u32", "split_thresholds", "hash_split", "hash_sample",
+           "weighted_sample_by_key",
            "sql_hash_cte"]
 
 _M32 = np.uint64(0xFFFFFFFF)
@@ -134,3 +135,41 @@ __h2 AS (SELECT {carry_cols}, (xor(__h, __h >> 16) * 2246822507) % 4294967296 AS
 __h3 AS (SELECT {carry_cols}, (xor(__h, __h >> 13) * 3266489909) % 4294967296 AS __h FROM __h2),
 __hx AS (SELECT {carry_cols}, xor(__h, __h >> 16) AS {out} FROM __h3)
 """
+
+
+def weighted_sample_by_key(ds, key_col: str, id_col: str, weight_col: str,
+                           *, k: int, seed: int = _DEFAULT_SEED,
+                           keep_priority: bool = False):
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows
+    per key (Efraimidis–Spirakis A-Res): each row draws the
+    hash-derived uniform u = (fmix32(id)+0.5)/2³² and ranks by
+    priority = ln(u)/w (monotone in u^(1/w)); the per-key top-k by
+    priority is exactly an A-Res reservoir — MERGEABLE, so it reuses
+    the grouped-topn pair-bounded exchange.  P(row in sample) ∝ weight
+    in the k=1 case; deterministic across runs/resumes/repartitions
+    (no RNG state).  Rows with weight ≤ 0 are excluded (zero mass).
+    The identical priority is SQL-expressible via ``sql_hash_cte`` —
+    oracle queries embed it."""
+    from .groupagg import grouped_topn
+
+    def pri(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = w > 0
+        if not mask.all():
+            batch = batch.filter(pa.array(mask))
+            w = w[mask]
+        h = hash_u32(batch.column(id_col).to_numpy(zero_copy_only=False),
+                     seed=seed)
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        return batch.append_column("__pri", pa.array(np.log(u) / w))
+
+    with_pri = ds.map_batches(pri, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topn(with_pri, key_col, ["__pri", id_col], n=k,
+                       ascending=[False, True], num_buckets=32)
+    if keep_priority:
+        return out
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__pri"])
+
+    return out.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)

@@ -87,3 +87,47 @@ def test_hash_sample_subset_and_string_keys(ray_session):
     s1 = hash_split(sds, "k").to_pandas()
     assert set(s1["split"]) == {"train", "val", "test"}
     assert abs((s1["split"] == "train").mean() - 0.8) < 0.06
+
+
+def test_weighted_sample_inclusion_proportional_to_weight():
+    """A-Res k=1 property: P(row selected) = w/Σw.  Empirically over
+    many seeds using the same hash→uniform→priority formula the
+    operator applies (kernel-level; the operator itself is gate-oracled
+    row-exactly)."""
+    import numpy as np
+
+    from featureextraction_jl_ray.stages.split import hash_u32
+
+    ids = np.arange(4, dtype=np.int64)
+    w = np.array([1.0, 2.0, 3.0, 4.0])
+    wins = np.zeros(4)
+    n_seeds = 4000
+    for seed in range(n_seeds):
+        h = hash_u32(ids, seed=seed)
+        u = (h.astype(np.float64) + 0.5) / 2**32
+        pri = np.log(u) / w
+        wins[np.argmax(pri)] += 1
+    freq = wins / n_seeds
+    np.testing.assert_allclose(freq, w / w.sum(), atol=0.03)
+
+
+def test_weighted_sample_by_key_operator(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.split import weighted_sample_by_key
+
+    t = pa.table({
+        "k": pa.array([0] * 6 + [1] * 2, type=pa.int64()),
+        "id": pa.array(range(8), type=pa.int64()),
+        "w": pa.array([1.0, 2.0, 0.0, -1.0, 3.0, 4.0, 5.0, 6.0]),
+    })
+    a = weighted_sample_by_key(rd.from_arrow(t), "k", "id", "w", k=2).to_pandas()
+    b = weighted_sample_by_key(rd.from_arrow(t), "k", "id", "w", k=2).to_pandas()
+    a = a.sort_values("id", ignore_index=True)
+    b = b.sort_values("id", ignore_index=True)
+    assert a.equals(b)  # deterministic
+    assert (a.groupby("k").size() <= 2).all()
+    assert set(a[a.k == 1].id) == {6, 7}  # k ≥ group size keeps all
+    assert not set(a.id) & {2, 3}  # weight ≤ 0 excluded
