@@ -1047,6 +1047,44 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
 # Text analysis (SQL-expressible parts)
 # ---------------------------------------------------------------------------
 
+def q_profile_events(sf_dir):
+    """Column profile (`describe`) of the events table: counts, nulls,
+    EXACT distinct, numeric min/max/mean/std from ONE mergeable
+    streaming pass + per-column distinct exchanges.  1e-6 grid on
+    mean/std."""
+    from .stages.profile import profile_columns
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "event_type", "value"])
+    out = profile_columns(ds, ["event_id", "user_id", "event_type", "value"])
+    out = out.rename(columns={"column": "col"})
+    for c in ("mean", "std"):
+        out[c] = np.round(out[c].to_numpy(dtype=float), 6)
+    return out
+
+
+def _profile_sql() -> str:
+    def one(c, numeric):
+        if numeric:
+            stats = (f"CAST(min({c}) AS DOUBLE) AS vmin, "
+                     f"CAST(max({c}) AS DOUBLE) AS vmax, "
+                     f"ROUND(avg({c}), 6) AS mean, "
+                     f"ROUND(stddev_samp({c}), 6) AS std")
+        else:
+            stats = ("CAST(NULL AS DOUBLE) AS vmin, CAST(NULL AS DOUBLE) AS vmax, "
+                     "CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS std")
+        return (f"SELECT '{c}' AS col, count(*) AS n, "
+                f"count(*) FILTER ({c} IS NULL) AS n_null, "
+                f"count(DISTINCT {c}) AS n_distinct, {stats} FROM events")
+
+    return "\nUNION ALL\n".join([
+        one("event_id", True), one("user_id", True),
+        one("event_type", False), one("value", True)])
+
+
+SQL_PROFILE_EVENTS = _profile_sql()
+
+
 def q_weighted_sample(sf_dir):
     """Deterministic A-Res weighted sample: 3 events per user, inclusion
     probability ∝ value, no RNG state (priorities from the pinned fmix32
@@ -2418,6 +2456,7 @@ QUERIES = {
     "image_patch_pca": q_image_patch_pca,
     "hash_split_events": q_hash_split_events,
     "weighted_sample": q_weighted_sample,
+    "profile_events": q_profile_events,
     "rank_events": q_rank_events,
     "cumulative_user_value": q_cumulative_user_value,
     "first_last_touch": q_first_last_touch,
@@ -2435,6 +2474,7 @@ QUERIES = {
 ORACLE_SQL = {
     "hash_split_events": SQL_HASH_SPLIT_EVENTS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "profile_events": SQL_PROFILE_EVENTS,
     "rank_events": SQL_RANK_EVENTS,
     "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
     "first_last_touch": SQL_FIRST_LAST_TOUCH,

@@ -1,0 +1,115 @@
+"""Column profiling — the `describe` of this engine: one row per column
+with row/null counts, numeric min/max/mean/std (sample, ddof=1) and the
+EXACT distinct count.
+
+Scale shape: counts and moments come from ONE streaming mergeable pass
+(per-block partials, constant-size merge state — no exchange); distinct
+counts are inherently an exchange, so each profiled column runs a
+hash-collapsed distinct (distinct values only through the shuffle, not
+rows).  Profile a bounded column list (the default excludes binary /
+nested types); at corpus scale swap the exact distinct for the HLL
+sketch (``grouped_count_distinct_hll``) if ±2% suffices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["profile_columns"]
+
+_NUMERIC_KINDS = ("int", "uint", "float", "double", "decimal")
+
+
+def _is_numeric(t: pa.DataType) -> bool:
+    return (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_decimal(t))
+
+
+def _profilable(t: pa.DataType) -> bool:
+    return not (pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                or pa.types.is_nested(t))
+
+
+def profile_columns(ds, columns: list[str] | None = None) -> pd.DataFrame:
+    """One row per column: (column, n, n_null, n_distinct, vmin, vmax,
+    mean, std).  Non-numeric columns carry NULL numeric stats; distinct
+    excludes nulls (SQL count(DISTINCT) convention)."""
+    from ray.data.aggregate import AggregateFn
+
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    if columns is None:
+        columns = [c for c in schema.names if _profilable(types[c])]
+    numeric = [c for c in columns if _is_numeric(types[c])]
+
+    def acc(state, block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        out = dict(state) if state else {"__rows": 0}
+        out["__rows"] = out.get("__rows", 0) + tbl.num_rows
+        for c in columns:
+            col = tbl.column(c)
+            out[f"null:{c}"] = out.get(f"null:{c}", 0) + col.null_count
+            if c in numeric and tbl.num_rows > col.null_count:
+                x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+                x = x[~np.isnan(x)]
+                if len(x):
+                    out[f"sum:{c}"] = out.get(f"sum:{c}", 0.0) + float(x.sum())
+                    out[f"sq:{c}"] = out.get(f"sq:{c}", 0.0) + float((x * x).sum())
+                    out[f"cnt:{c}"] = out.get(f"cnt:{c}", 0) + len(x)
+                    out[f"min:{c}"] = min(out.get(f"min:{c}", np.inf), float(x.min()))
+                    out[f"max:{c}"] = max(out.get(f"max:{c}", -np.inf), float(x.max()))
+        return out
+
+    def merge(a, b):
+        if not a:
+            return b
+        if not b:
+            return a
+        out = dict(a)
+        for k, v in b.items():
+            if k.startswith("min:"):
+                out[k] = min(out.get(k, np.inf), v)
+            elif k.startswith("max:"):
+                out[k] = max(out.get(k, -np.inf), v)
+            else:
+                out[k] = out.get(k, 0) + v
+        return out
+
+    agg = AggregateFn(init=lambda _: {}, accumulate_block=acc, merge=merge,
+                      name="profile")
+    st = ds.aggregate(agg)["profile"]
+
+    distinct: dict[str, int] = {}
+    for c in columns:
+        dcol = (ds.select_columns([c])
+                .map_batches(lambda b, col=c: b.filter(pc.is_valid(b.column(col))),
+                             batch_format="pyarrow", zero_copy_batch=True)
+                .groupby(c).count())
+        distinct[c] = dcol.count()
+
+    rows = []
+    for c in columns:
+        n_valid = st.get(f"cnt:{c}", 0)
+        mean = st.get(f"sum:{c}", 0.0) / n_valid if n_valid else None
+        if n_valid > 1:
+            var = (st[f"sq:{c}"] - st[f"sum:{c}"] ** 2 / n_valid) / (n_valid - 1)
+            std = float(np.sqrt(max(var, 0.0)))
+        else:
+            std = None
+        rows.append({
+            "column": c,
+            "n": st["__rows"],
+            "n_null": st.get(f"null:{c}", 0),
+            "n_distinct": distinct[c],
+            "vmin": st.get(f"min:{c}"),
+            "vmax": st.get(f"max:{c}"),
+            "mean": mean,
+            "std": std,
+        })
+    out = pd.DataFrame(rows)
+    for c in ("vmin", "vmax", "mean", "std"):
+        out[c] = out[c].astype("float64")
+    return out
