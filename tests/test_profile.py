@@ -26,8 +26,8 @@ def test_profile_with_nulls_vs_duckdb(ray_session):
                avg(x) mean, stddev_samp(x) std FROM t""").fetchone()
     r = got.loc["x"]
     assert (r.n, r.n_null, r.n_distinct) == (w[0], w[1], w[2])
-    np.testing.assert_allclose(np.array([r.vmin, r.vmax, r.mean, r.std], dtype=float),
+    np.testing.assert_allclose(np.array([r["vmin"], r["vmax"], r["mean"], r["std"]], dtype=float),
                                np.array(w[3:], dtype=float), rtol=1e-9)
     rs = got.loc["s"]
     assert (rs.n, rs.n_null, rs.n_distinct) == (5, 1, 2)
-    assert np.isnan(float(rs.vmin)) and np.isnan(float(rs.mean))
+    assert np.isnan(float(rs["vmin"])) and np.isnan(float(rs["mean"]))
