@@ -80,7 +80,7 @@ def profile_columns(ds, columns: list[str] | None = None) -> pd.DataFrame:
 
     agg = AggregateFn(init=lambda _: {}, accumulate_block=acc, merge=merge,
                       name="profile")
-    st = ds.aggregate(agg)["profile"]
+    st = ds.aggregate(agg).get("profile") or {}
 
     distinct: dict[str, int] = {}
     for c in columns:
@@ -101,7 +101,7 @@ def profile_columns(ds, columns: list[str] | None = None) -> pd.DataFrame:
             std = None
         rows.append({
             "column": c,
-            "n": st["__rows"],
+            "n": st.get("__rows", 0),
             "n_null": st.get(f"null:{c}", 0),
             "n_distinct": distinct[c],
             "vmin": st.get(f"min:{c}"),

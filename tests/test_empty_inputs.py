@@ -102,3 +102,56 @@ def test_knn_empty_corpus(ray_session):
     # pandas-boundary result: columns MUST be pinned even on empty
     assert len(out) == 0
     assert list(out.columns) == ["query_id", "vec_id", "score"]
+
+
+def test_new_window_ops_empty(ray_session):
+    from featureextraction_jl_ray.stages.window import (
+        with_decayed_sum,
+        with_forward_rolling,
+        with_session_stats,
+    )
+
+    ds = _empty_events(ray_session)
+    assert with_session_stats(ds, "user_id", "ts", num_buckets=2
+                              ).to_pandas().shape[0] == 0
+    assert with_forward_rolling(ds, "user_id", "ts", "value", num_buckets=2
+                                ).to_pandas().shape[0] == 0
+    assert with_decayed_sum(ds, "user_id", "ts", "value", num_buckets=2
+                            ).to_pandas().shape[0] == 0
+
+
+def test_pivot_melt_empty(ray_session):
+    from featureextraction_jl_ray.stages.groupagg import pivot_aggregate
+    from featureextraction_jl_ray.stages.reshape import melt
+
+    ds = _empty_events(ray_session)
+    out = pivot_aggregate(ds, "user_id", "event_type", "value",
+                          categories=["click"], num_buckets=2).to_pandas()
+    assert len(out) == 0
+    out = melt(ds, "event_id", ["value"], var_name="m").to_pandas()
+    assert len(out) == 0
+
+
+def test_bloom_semi_join_empty_keys(ray_session):
+    import pytest
+
+    from featureextraction_jl_ray.stages.joins import bloom_semi_join, build_bloom
+
+    big = _empty_events(ray_session)
+    keys = pd.DataFrame({"event_id": pd.Series(dtype="int64")})
+    # empty big side → zero rows out, whatever the keys
+    out = bloom_semi_join(big, pd.DataFrame({"event_id": [1, 2]}),
+                          on="event_id").to_pandas()
+    assert len(out) == 0
+    # empty KEY side: the bloom is all-zeros → prefilter drops everything
+    bf = build_bloom(keys, "event_id")
+    assert not bf.contains(np.array([1, 2, 3])).any()
+
+
+def test_profile_empty(ray_session):
+    from featureextraction_jl_ray.stages.profile import profile_columns
+
+    out = profile_columns(_empty_events(ray_session),
+                          ["event_id", "event_type"])
+    assert list(out.column) == ["event_id", "event_type"]
+    assert (out.n == 0).all() and (out.n_distinct == 0).all()

@@ -40,3 +40,32 @@ def test_future_perturbation_changes_nothing(ray_session):
         cap.column("caption_state").to_pylist()
     after = _run(ray_session, perturbed)
     pd.testing.assert_frame_equal(base, after)
+
+
+def test_decayed_sum_is_leakage_free(ray_session):
+    """Perturbing a FUTURE event's value must not change any earlier
+    row's decayed sum for the same entity (strictly-backward contract)."""
+    import numpy as np
+
+    from featureextraction_jl_ray.stages.window import with_decayed_sum
+
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(range(10), unit="h")
+    base = pa.table({
+        "eid": pa.array([0] * 10, type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "v": pa.array([float(i + 1) for i in range(10)]),
+        "rid": pa.array(range(10), type=pa.int64()),
+    })
+    poisoned = base.set_column(
+        base.schema.get_field_index("v"), "v",
+        pa.array([float(i + 1) for i in range(9)] + [9999.0]))
+
+    def run(tbl):
+        ds = ray_session.data.from_arrow(tbl)
+        return (with_decayed_sum(ds, "eid", "ts", "v", tau="2h", num_buckets=2)
+                .to_pandas().sort_values("rid", ignore_index=True))
+
+    a, b = run(base), run(poisoned)
+    np.testing.assert_array_equal(a.decayed_v.to_numpy()[:9],
+                                  b.decayed_v.to_numpy()[:9])
+    assert a.decayed_v.iloc[9] != b.decayed_v.iloc[9]
