@@ -1604,6 +1604,28 @@ WHERE r.root = d.doc_id
 """
 
 
+def q_edit1_pairs(sf_dir):
+    """Edit-distance-≤1 join on the 32-char document prefix (FastSS
+    deletion-neighborhood blocking + vectorized cp/cs verify — no
+    Levenshtein DP, no O(n²) cross join).  Prefix truncation is part of
+    the stated semantics (FastSS is a short-key operator); the oracle
+    mirrors it with substr."""
+    from .stages.editdist import edit1_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return edit1_pairs(ds, text_col="text", id_col="doc_id", max_len=32)
+
+
+SQL_EDIT1_PAIRS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32))
+            AS BIGINT) AS dist
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) <= 1
+"""
+
+
 def q_simhash_docs(sf_dir):
     from .stages.minhash import with_simhash
 
@@ -2442,6 +2464,7 @@ QUERIES = {
     "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_dedup_docs": q_jaccard_dedup_docs,
+    "edit1_pairs": q_edit1_pairs,
     "simhash_docs": q_simhash_docs,
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
@@ -2535,6 +2558,7 @@ ORACLE_SQL = {
     "minhash_near_dup": SQL_NGRAM_JACCARD_PAIRS,
     "doc_langid": SQL_DOC_LANGID,
     "jaccard_dedup_docs": SQL_JACCARD_DEDUP_DOCS,
+    "edit1_pairs": SQL_EDIT1_PAIRS,
     "text_prep": SQL_TEXT_PREP,
     "kernel_center": SQL_KERNEL_CENTER,
     "knn_ivf": SQL_KNN_BRUTEFORCE,

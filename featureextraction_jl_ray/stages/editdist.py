@@ -1,0 +1,163 @@
+"""Edit-distance-≤1 similarity join (FastSS deletion-neighborhood
+blocking) — the typo/near-variant join for SHORT string keys (titles,
+codes, normalized prefixes).
+
+Shape: each string s emits blocking keys {s} ∪ D1(s) (all single-
+deletion variants, built VECTORIZED over deletion positions — L slice
+passes per batch, no per-row Python); strings sharing a key co-locate in
+one groupby exchange; candidate pairs dedup through a second tiny
+exchange and verify with the vectorized common-prefix/common-suffix
+identity (edit(u,v) ≤ 1 ⇔ cp+cs ≥ len−1 for equal lengths, cp+cs ≥
+min(len) for a length-1 gap) — no per-pair Python string scan, no
+Levenshtein DP.
+
+The deletion fan-out is rows × (max_len+1), so this is deliberately a
+short-key operator: ``max_len`` truncates (prefix-blocking semantics,
+stated in the oracle) and guards the blow-up.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+
+__all__ = ["edit1_pairs"]
+
+
+def _edit1_mask(sa, sb, max_len: int) -> np.ndarray:
+    """Vectorized edit-distance ≤ 1 test for two equal-length object
+    arrays of strings (each ≤ max_len chars)."""
+    A = np.asarray(sa, dtype=f"U{max_len}").reshape(-1, 1).view(np.uint32)
+    B = np.asarray(sb, dtype=f"U{max_len}").reshape(-1, 1).view(np.uint32)
+    la = (A != 0).sum(axis=1)
+    lb = (B != 0).sum(axis=1)
+    n, L = A.shape
+    pos = np.arange(L)[None, :]
+    # common prefix
+    neq = A != B
+    cp = np.where(neq.any(axis=1), neq.argmax(axis=1), L)
+    # common suffix via length-aligned gathers
+    ia = la[:, None] - 1 - pos
+    ib = lb[:, None] - 1 - pos
+    va = np.take_along_axis(A, np.clip(ia, 0, L - 1), axis=1)
+    vb = np.take_along_axis(B, np.clip(ib, 0, L - 1), axis=1)
+    eq = (va == vb) & (ia >= 0) & (ib >= 0)
+    sneq = ~eq
+    cs = np.where(sneq.any(axis=1), sneq.argmax(axis=1), L)
+    dl = np.abs(la - lb)
+    same = (dl == 0) & (cp + cs >= la - 1)
+    gap = (dl == 1) & (cp + cs >= np.minimum(la, lb))
+    return same | gap
+
+
+def edit1_pairs(ds, *, text_col: str, id_col: str, max_len: int = 32,
+                max_group: int = 10_000):
+    """All id pairs whose (truncated-to-``max_len``) ``text_col`` values
+    are within Levenshtein distance 1 (including exact duplicates at
+    distance 0).  Returns a Dataset of (id_a, id_b, dist) with
+    id_a < id_b."""
+
+    def explode_keys(t: pa.Table) -> pa.Table:
+        s = pc.utf8_slice_codeunits(
+            pc.cast(t.column(text_col), pa.string()), 0, max_len)
+        ids = t.column(id_col)
+        texts = s.to_pandas().fillna("")
+        parts = [pa.table({"key": pa.Array.from_pandas(texts),
+                           "id": ids, "s": pa.Array.from_pandas(texts)})]
+        for d in range(max_len):
+            has = texts.str.len() > d
+            if not has.any():
+                break
+            sub = texts[has]
+            var = sub.str.slice(0, d) + sub.str.slice(d + 1)
+            parts.append(pa.table({
+                "key": pa.Array.from_pandas(var),
+                "id": ids.take(pa.array(np.flatnonzero(has.to_numpy()))),
+                "s": pa.Array.from_pandas(sub),
+            }))
+        return pa.concat_tables(parts)
+
+    def group_pairs(t: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(t)
+        outs = []
+        for _, g in df.groupby("key", sort=False):
+            if len(g) > max_group:
+                raise ValueError(
+                    f"edit1_pairs: blocking key group of {len(g)} exceeds "
+                    f"max_group={max_group} (a degenerate hot key — raise "
+                    "max_group or pre-dedup exact duplicates first)")
+            if len(g) < 2:
+                continue
+            sub = g.drop_duplicates("id")
+            if len(sub) < 2:
+                continue
+            ids = sub["id"].to_numpy()
+            ss = sub["s"].to_numpy()
+            order = np.argsort(ids, kind="mergesort")
+            ids, ss = ids[order], ss[order]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju],
+                                      "s_a": ss[iu], "s_b": ss[ju]}))
+        if not outs:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "s_a": pa.array([], pa.string()),
+                             "s_b": pa.array([], pa.string())})
+        return pandas_to_arrow(pd.concat(outs, ignore_index=True))
+
+    def verify(t: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(t)
+        # one representative per (id_a, id_b): pairs repeat across keys
+        df = df.drop_duplicates(["id_a", "id_b"], ignore_index=True)
+        if not len(df):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        ok = _edit1_mask(df["s_a"].to_numpy(), df["s_b"].to_numpy(), max_len)
+        df = df[ok]
+        dist = (df["s_a"] != df["s_b"]).astype(np.int64)
+        out = df[["id_a", "id_b"]].copy()
+        out["dist"] = dist
+        return pandas_to_arrow(out.reset_index(drop=True))
+
+    def add_pair_bucket(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import bucket_of_multi
+
+        b = bucket_of_multi(
+            [t.column("id_a").to_numpy(zero_copy_only=False),
+             t.column("id_b").to_numpy(zero_copy_only=False)], 32, seed=31)
+        return t.append_column("__pb", pa.array(b))
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        return verify(t.drop_columns(["__pb"]))
+
+    def add_key_bucket(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import bucket_of
+
+        b = bucket_of(t.column("key").to_numpy(zero_copy_only=False), 32,
+                      seed=17)
+        return t.append_column("__kb", pa.array(b))
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        return group_pairs(t.drop_columns(["__kb"]))
+
+    keys = ds.map_batches(explode_keys, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    # co-locate by KEY-HASH BUCKET (one map_groups per bucket — the inner
+    # pandas groupby walks the keys; a map_groups per distinct key would
+    # pay task overhead × |keys|)
+    keys = keys.map_batches(add_key_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    cands = keys.groupby("__kb").map_groups(bucket_pairs,
+                                            batch_format="pyarrow")
+    # global pair dedup THEN verify, co-located by PAIR-HASH BUCKET (one
+    # map_groups per bucket, not per pair — a pair's duplicates all hash
+    # to the same bucket, so drop_duplicates inside the bucket is global)
+    bucketed = cands.map_batches(add_pair_bucket, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return bucketed.groupby("__pb").map_groups(verify_bucket,
+                                               batch_format="pyarrow")

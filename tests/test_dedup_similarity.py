@@ -536,3 +536,44 @@ def test_scalar_quantizer_roundtrip_and_recall(ray_session):
         a = set(approx[approx.query_id == qi].vec_id)
         recs.append(len(e & a) / len(e))
     assert np.mean(recs) >= 0.9, recs
+
+
+def test_edit1_pairs_planted_typos(ray_session):
+    """Planted substitution/deletion/insertion typos all surface at
+    distance 1; an edit-2 string does not; exact dups at distance 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.editdist import edit1_pairs
+
+    base = "the quick brown fox"
+    rows = {
+        0: base,
+        1: base,                        # exact dup → dist 0
+        2: "the quack brown fox",       # substitution → 1
+        3: "the quick brwn fox",        # deletion → 1
+        4: "the quick browns fox",      # insertion → 1
+        5: "the qvack brwn fox",        # 3 edits from base
+        6: "completely different words",
+    }
+    t = pa.table({"doc_id": pa.array(list(rows), type=pa.int64()),
+                  "text": pa.array(list(rows.values()))})
+    out = edit1_pairs(rd.from_arrow(t), text_col="text", id_col="doc_id",
+                      max_len=32).to_pandas()
+    got = {(a, b): d for a, b, d in
+           zip(out.id_a, out.id_b, out.dist)}
+    assert got[(0, 1)] == 0
+    for other in (2, 3, 4):
+        assert got[(0, other)] == 1 and got[(1, other)] == 1
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_edit1_mask_kernel_cases():
+    import numpy as np
+
+    from featureextraction_jl_ray.stages.editdist import _edit1_mask
+
+    a = np.array(["abc", "abc", "abc", "abc", "", "a", "abc"], dtype=object)
+    b = np.array(["abc", "abd", "ab", "abcd", "x", "", "xbd"], dtype=object)
+    want = [True, True, True, True, True, True, False]
+    np.testing.assert_array_equal(_edit1_mask(a, b, 8), want)
