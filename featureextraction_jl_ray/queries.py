@@ -725,6 +725,44 @@ SELECT event_id, user_id, ts, value, state_value FROM (
 """
 
 
+def q_resample_user_grid(sf_dir):
+    """Regular 6-hour grid snapshot per user: each grid point carries the
+    user's latest event value at-or-before it (backward as-of onto a
+    GENERATED time grid — the feature-store export shape).  Input
+    pre-aggregated to unique (user, ts) via max so snapshots are
+    deterministic; the oracle mirrors both steps."""
+    from .stages.asof import resample_entity_grid
+
+    right = _events(sf_dir).groupby(["user_id", "ts"]).max("value")
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "ts", "value"])
+
+    right = right.map_batches(rn, batch_format="pyarrow")
+    out = resample_entity_grid(right, "user_id", "ts", ["value"],
+                               freq="6h", grid_col="gts", num_buckets=32)
+    return out.select_columns(["user_id", "gts", "value"])
+
+
+SQL_RESAMPLE_USER_GRID = """
+WITH u AS (
+  SELECT user_id, ts, max(value) AS value FROM events GROUP BY user_id, ts
+),
+bounds AS (
+  SELECT user_id,
+         to_timestamp(floor(epoch(min(ts)) / 21600) * 21600)::TIMESTAMP AS t0,
+         max(ts) AS t1
+  FROM u GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS gts
+  FROM bounds
+)
+SELECT g.user_id, g.gts, e.value
+FROM grid g ASOF LEFT JOIN u e ON g.user_id = e.user_id AND e.ts <= g.gts
+"""
+
+
 # ---------------------------------------------------------------------------
 # W1–W4 window operators
 # ---------------------------------------------------------------------------
@@ -2434,6 +2472,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "asof_tolerance": q_asof_tolerance,
     "asof_forward": q_asof_forward,
+    "resample_user_grid": q_resample_user_grid,
     "lag_lead": q_lag_lead,
     "event_transitions": q_event_transitions,
     "tumbling_user_hour": q_tumbling_user_hour,
@@ -2533,6 +2572,7 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "asof_tolerance": SQL_ASOF_TOLERANCE,
     "asof_forward": SQL_ASOF_FORWARD,
+    "resample_user_grid": SQL_RESAMPLE_USER_GRID,
     "lag_lead": SQL_LAG_LEAD,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "tumbling_user_hour": SQL_TUMBLING_USER_HOUR,

@@ -34,7 +34,7 @@ from .partition import _BUCKET
 
 _SIDE = "__fx_side"
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "resample_entity_grid"]
 
 
 def asof_join(
@@ -205,3 +205,73 @@ def asof_join(
         return pandas_to_arrow(merged)
 
     return unioned.groupby(_BUCKET).map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def resample_entity_grid(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    value_cols,
+    *,
+    freq: str | pd.Timedelta = "1h",
+    grid_col: str | None = None,
+    num_buckets: int = 64,
+    max_grid_rows_per_entity: int = 1_000_000,
+):
+    """Regular-grid as-of snapshot series per entity: generate timestamps
+    from floor(min ts, freq) to max ts at ``freq`` pitch and attach each
+    grid point's latest-available values (backward as-of, leakage-safe)
+    — the feature-store EXPORT op (models want features on a regular
+    grid, events arrive on an irregular one).
+
+    One bucketed exchange (the sorted_scan); per bucket the grids are
+    built vectorized (per-entity repeat + arange) and joined with ONE
+    ``pd.merge_asof``.  Input rows must be unique per (entity, ts) for
+    deterministic snapshots — pre-aggregate duplicates upstream (the
+    driver query does groupby-max, mirrored in its oracle).  A loud
+    guard bounds grid fan-out when freq ≪ entity span."""
+    from .partition import sorted_scan
+
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    f_us = int(pd.Timedelta(freq).value // 1000)
+    out_ts = grid_col if grid_col is not None else ts_col
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                entity_col: pd.Series(dtype=df[entity_col].dtype),
+                out_ts: pd.Series(dtype="datetime64[us]"),
+                **{c: pd.Series(dtype="float64") for c in value_cols},
+            })
+        ts = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = df.groupby(entity_col, sort=False)[ts_col]
+        lo = g.min().to_numpy().astype("datetime64[us]").astype(np.int64)
+        hi = g.max().to_numpy().astype("datetime64[us]").astype(np.int64)
+        ents = g.min().index.to_numpy()
+        t0 = (lo // f_us) * f_us  # floor to the grid origin
+        counts = (hi - t0) // f_us + 1
+        if counts.max() > max_grid_rows_per_entity:
+            raise ValueError(
+                f"resample_entity_grid: an entity needs {counts.max()} grid "
+                f"rows at freq={freq} (span ≫ freq); raise "
+                "max_grid_rows_per_entity or coarsen freq")
+        total = int(counts.sum())
+        ent_rep = np.repeat(ents, counts)
+        starts = np.cumsum(counts) - counts
+        offs = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        gts = np.repeat(t0, counts) + offs * f_us
+        grid = pd.DataFrame({
+            # match the source entity dtype exactly — merge_asof(by=...)
+            # refuses int64 vs nullable-Int64 mixes
+            entity_col: pd.Series(ent_rep).astype(df[entity_col].dtype),
+            "__gts": gts.view("datetime64[us]"),
+        })
+        grid = grid.sort_values("__gts", kind="mergesort", ignore_index=True)
+        right = df[[entity_col, ts_col, *value_cols]].sort_values(
+            ts_col, kind="mergesort", ignore_index=True)
+        merged = pd.merge_asof(grid, right, left_on="__gts", right_on=ts_col,
+                               by=entity_col, direction="backward")
+        merged = merged.drop(columns=[ts_col]).rename(columns={"__gts": out_ts})
+        return merged
+
+    return sorted_scan(ds, entity_col, ts_col, fn, num_buckets=num_buckets)

@@ -674,3 +674,30 @@ def test_rollup_aggregate_levels(ray_session, sf_dir, db):
     np.testing.assert_array_equal(got.n.to_numpy(int), want.n.to_numpy(int))
     np.testing.assert_allclose(got.vmin, want.vmin, rtol=1e-12)
     np.testing.assert_allclose(got.vmax, want.vmax, rtol=1e-12)
+
+
+def test_resample_entity_grid_semantics(ray_session):
+    """Grid pitch, floor origin, backward ffill, and NULL before the
+    first event — on a hand-checkable frame."""
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.asof import resample_entity_grid
+
+    ts = pd.to_datetime(["2024-01-01 00:30", "2024-01-01 02:10",
+                         "2024-01-01 00:15"])
+    t = pa.table({"eid": pa.array([0, 0, 1], type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "v": pa.array([1.0, 2.0, 9.0])})
+    out = resample_entity_grid(ray_session.data.from_arrow(t), "eid", "ts",
+                               ["v"], freq="1h", grid_col="gts",
+                               num_buckets=2).to_pandas()
+    out = out.sort_values(["eid", "gts"], ignore_index=True)
+    e0 = out[out.eid == 0]
+    # grid: 00:00 (before first event → NULL), 01:00 (v=1), 02:00 (v=1),
+    # and stops at max ts 02:10 → last grid point 02:00
+    assert list(e0.gts) == list(pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00"]))
+    assert np.isnan(e0.v.iloc[0]) and list(e0.v.iloc[1:]) == [1.0, 1.0]
+    e1 = out[out.eid == 1]
+    assert list(e1.gts) == [pd.Timestamp("2024-01-01 00:00")]
+    assert np.isnan(e1.v.iloc[0])
