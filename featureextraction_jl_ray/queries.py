@@ -1303,6 +1303,32 @@ FROM embeddings
 """
 
 
+def q_explode_embedding(sf_dir):
+    """Generic list explode with ordinality over the embedding column
+    (bounded to vec_id < 20) — M7 beyond strings; exact float32 values
+    cast to double on both sides."""
+    from .stages.reshape import explode_list
+
+    ds = (_rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+          .filter(expr="vec_id < 20"))
+    out = explode_list(ds, "embedding", "vec_id", value_name="val",
+                       pos_name="pos")
+
+    def cast(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("val"), "val",
+                            pc.cast(t.column("val"), pa.float64()))
+
+    return out.map_batches(cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EXPLODE_EMBEDDING = """
+SELECT vec_id,
+       unnest(generate_series(1, len(embedding))) AS pos,
+       CAST(unnest(embedding) AS DOUBLE) AS val
+FROM embeddings WHERE vec_id < 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible entries (rows-only driver check; pytest covers math)
 # ---------------------------------------------------------------------------
@@ -2489,6 +2515,7 @@ QUERIES = {
     "doc_ratios": q_doc_ratios,
     "doc_repetition": q_doc_repetition,
     "explode_tokens": q_explode_tokens,
+    "explode_embedding": q_explode_embedding,
     "embed_stats": q_embed_stats,
     # rows-only (non-SQL-expressible; math covered by pytest oracles)
     "pca_eigvals": q_pca_eigvals,
@@ -2589,6 +2616,7 @@ ORACLE_SQL = {
     "doc_ratios": SQL_DOC_RATIOS,
     "doc_repetition": SQL_DOC_REPETITION,
     "explode_tokens": SQL_EXPLODE_TOKENS,
+    "explode_embedding": SQL_EXPLODE_EMBEDDING,
     "embed_stats": SQL_EMBED_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

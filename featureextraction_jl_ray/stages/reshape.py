@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["melt"]
+__all__ = ["melt", "explode_list"]
 
 
 def melt(ds, id_cols, value_cols, *, var_name: str = "variable",
@@ -33,5 +33,34 @@ def melt(ds, id_cols, value_cols, *, var_name: str = "variable",
             cols[value_name] = pc.cast(t.column(c), vt)
             parts.append(pa.table(cols))
         return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def explode_list(ds, list_col: str, id_cols, *, value_name: str = "value",
+                 pos_name: str = "pos"):
+    """Explode a list column to one row per element with its 1-based
+    ordinal — vectorized flatten (list offsets → repeated ids + aranges),
+    zero exchange, the generic form of the token explode."""
+    import numpy as np
+
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_per = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        n_per = np.nan_to_num(n_per.astype(np.float64)).astype(np.int64)
+        total = int(n_per.sum())
+        starts = np.cumsum(n_per) - n_per
+        ords = np.arange(total, dtype=np.int64) - np.repeat(starts, n_per) + 1
+        cols = {}
+        for c in id_cols:
+            vals = t.column(c).to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.repeat(vals, n_per))
+        cols[pos_name] = pa.array(ords)
+        cols[value_name] = pc.list_flatten(col)
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
