@@ -48,3 +48,32 @@ def test_mapping_roundtrip(tmp_path):
     bounds = {"value": (0.0, 99.5), "qty": (1.0, 50.0)}
     b2 = load_model(save_model(bounds, str(tmp_path / "bounds")))
     assert b2 == bounds
+
+
+def test_incremental_refit_via_persisted_moments(tmp_path, ray_session):
+    """The daily-refit ops story: moments fitted on partition 1,
+    persisted, merged with partition 2's moments later — the resulting
+    PCA matches a scratch fit on the union (allclose; merge order differs
+    from the tree merge so not bit-exact)."""
+    import ray.data as rd
+
+    from featureextraction_jl_ray.state.moments import fit_moments
+    from featureextraction_jl_ray.state.pca import PCAModel
+
+    full = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p1 = full.filter(expr="vec_id < 50")
+    p2 = full.filter(expr="vec_id >= 50")
+    m1 = fit_moments(p1, "embedding")
+    m1 = load_model(save_model(m1, str(tmp_path / "day1")))  # persisted between runs
+    m2 = fit_moments(p2, "embedding")
+    merged = m1.merge(m2)
+    scratch = fit_moments(full, "embedding")
+    assert merged.n == scratch.n
+    np.testing.assert_allclose(merged.mean, scratch.mean, rtol=1e-12)
+    np.testing.assert_allclose(merged.m2, scratch.m2, rtol=1e-9)
+    pa_inc = PCAModel.from_moments(merged)
+    pa_full = PCAModel.from_moments(scratch)
+    np.testing.assert_allclose(pa_inc.eigvals, pa_full.eigvals, rtol=1e-9)
+    X = np.random.default_rng(3).normal(size=(20, len(merged.mean)))
+    np.testing.assert_allclose(pa_inc.transform(X), pa_full.transform(X),
+                               rtol=1e-7, atol=1e-10)
