@@ -311,6 +311,30 @@ def _pivot_sql() -> str:
 SQL_PIVOT_USER_TYPE = _pivot_sql()
 
 
+def q_user_mode_type(sf_dir):
+    """Per-user MODE of event_type (the categorical per-entity feature):
+    the Misra–Gries heavy-hitters machinery at k=1 — exact at gate
+    cardinalities, bounded exchange always.  Ties break to the smaller
+    value, mirrored in the oracle's ORDER BY."""
+    from .stages.groupagg import grouped_heavy_hitters
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    out = grouped_heavy_hitters(ds, "user_id", "event_type", k=1,
+                                capacity=64, num_buckets=16)
+    return out.select_columns(["user_id", "event_type", "n"])
+
+
+SQL_USER_MODE_TYPE = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type
+) WHERE rk = 1
+"""
+
+
 def q_range_join(sf_dir):
     """Interval join (the operator Ray Data lacks): each event matched to
     every per-user purchase window [purchase_ts − 30min, purchase_ts +
@@ -2482,6 +2506,7 @@ QUERIES = {
     "event_quantiles": q_event_quantiles,
     "event_quantiles_sketch": q_event_quantiles_sketch,
     "heavy_hitters": q_heavy_hitters,
+    "user_mode_type": q_user_mode_type,
     "pivot_user_type": q_pivot_user_type,
     "melt_lineitem": q_melt_lineitem,
     "filter_project": q_filter_project,
@@ -2583,6 +2608,7 @@ ORACLE_SQL = {
     "count_distinct_users_hll": SQL_COUNT_DISTINCT_USERS,
     "event_quantiles": SQL_EVENT_QUANTILES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "user_mode_type": SQL_USER_MODE_TYPE,
     "pivot_user_type": SQL_PIVOT_USER_TYPE,
     "melt_lineitem": SQL_MELT_LINEITEM,
     "filter_project": SQL_FILTER_PROJECT,
