@@ -27,6 +27,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # headline synthetic image table size (cached in /tmp across runs)
 BENCH_ENTITIES = int(os.environ.get("FX_BENCH_ENTITIES", "60000"))
 BENCH_REPS = int(os.environ.get("FX_BENCH_REPS", "3"))
+# real image corpora are ≥256² — FX_BENCH_IMG raises the per-row compute
+# density for scaling runs (the synthetic default 32² underweights
+# compute relative to the single-host exchange)
+BENCH_IMG = int(os.environ.get("FX_BENCH_IMG", "32"))
+BENCH_GRID = int(os.environ.get("FX_BENCH_GRID", "8"))
 
 
 def _timed(fn):
@@ -76,7 +81,7 @@ def run_bench() -> dict:
     from featureextraction_jl_ray.synth import SynthConfig, write_synth_tables
 
     # ---- headline: flagship image pipeline ---------------------------------
-    cfg = SynthConfig(n_entities=BENCH_ENTITIES, img_size=32, seed=42,
+    cfg = SynthConfig(n_entities=BENCH_ENTITIES, img_size=BENCH_IMG, seed=42,
                       num_partitions=64)
     paths = write_synth_tables(cfg, "/tmp/fx_bench_cache")  # cached: untimed gen
     images = rd.read_parquet(paths["images"])
@@ -86,7 +91,7 @@ def run_bench() -> dict:
     # stateless decode+transform (no actor pool): the fused compute stage
     # follows the task scheduler and scales with num_cpus instead of a
     # pool cap (round-2 finding; see FlagshipConfig)
-    fcfg = FlagshipConfig(num_buckets=64, k=16)
+    fcfg = FlagshipConfig(num_buckets=64, k=16, grid=BENCH_GRID)
     # fit is model PREP (one bounded-sample aggregation), not part of the
     # metric's streaming job ("as-of join + windowed features +
     # whitened-PCA transform") — fit once, time the job, median of reps
@@ -124,11 +129,12 @@ def run_bench() -> dict:
         "knn_bruteforce",
         "minhash_near_dup",
     ]
-    for name in bench_queries:
-        fn = q.QUERIES[name]
-        t0 = time.time()
-        consume(fn(SF_DIR))
-        queries[name] = round(time.time() - t0, 3)
+    if not os.environ.get("FX_SKIP_QUERIES"):
+        for name in bench_queries:
+            fn = q.QUERIES[name]
+            t0 = time.time()
+            consume(fn(SF_DIR))
+            queries[name] = round(time.time() - t0, 3)
 
     map_stage_sec = None
     if os.environ.get("FX_MEASURE_MAP"):
@@ -142,7 +148,7 @@ def run_bench() -> dict:
             from featureextraction_jl_ray.stages.codec import with_pixel_features
 
             with_pixel_features(
-                rd.read_parquet(paths["images"]), grid=8, verify_phash=True,
+                rd.read_parquet(paths["images"]), grid=BENCH_GRID, verify_phash=True,
                 batch_size=4096,
             ).count()
             dt = time.time() - t0
@@ -167,7 +173,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FX_MEASURE_MAP="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FX_MEASURE_MAP="1",
+                   FX_SKIP_QUERIES="1")  # scaling legs time the headline job only
         cmd = [sys.executable, os.path.abspath(__file__)]
         if os.environ.get("FX_SCALE_TASKSET"):
             # ray.init(num_cpus=N) only caps Ray's TASK scheduler — numpy /
