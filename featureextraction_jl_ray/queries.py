@@ -2351,6 +2351,34 @@ JOIN (SELECT event_type, avg(value) m, count(*) n
 """
 
 
+def q_cross_lang_source(sf_dir):
+    """Categorical cross feature lang × source over documents: dense
+    cross_id = idx(lang)·|sources| + idx(source) from sorted distributed
+    vocabularies — exactly reproducible in SQL via DISTINCT +
+    row_number, so the per-row id itself is gate-verified."""
+    from .stages.encode import cross_encode
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "source"])
+    out = cross_encode(ds, "lang", "source", out_col="lang_x_source")
+    return out.select_columns(["doc_id", "lang", "source", "lang_x_source"])
+
+
+SQL_CROSS_LANG_SOURCE = """
+WITH va AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS ia
+  FROM (SELECT DISTINCT lang FROM documents)
+),
+vb AS (
+  SELECT source, row_number() OVER (ORDER BY source) - 1 AS ib
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.doc_id, d.lang, d.source,
+       va.ia * (SELECT count(*) FROM vb) + vb.ib AS lang_x_source
+FROM documents d JOIN va USING (lang) JOIN vb USING (source)
+"""
+
+
 def q_lineitem_corr(sf_dir):
     """Pairwise Pearson correlations of four lineitem measures from ONE
     streaming moments pass (mean + full scatter tree-merged; the same
@@ -2579,6 +2607,7 @@ QUERIES = {
     "scale_robust": q_scale_robust,
     "tfidf_docs": q_tfidf_docs,
     "target_encode_events": q_target_encode_events,
+    "cross_lang_source": q_cross_lang_source,
     "lineitem_corr": q_lineitem_corr,
     "scale_standard": q_scale_standard,
     "minmax_bin_events": q_minmax_bin_events,
@@ -2596,6 +2625,7 @@ ORACLE_SQL = {
     "feature_prep": SQL_FEATURE_PREP,
     "scale_robust": SQL_SCALE_ROBUST,
     "target_encode_events": SQL_TARGET_ENCODE_EVENTS,
+    "cross_lang_source": SQL_CROSS_LANG_SOURCE,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "scale_standard": SQL_SCALE_STANDARD,
     "minmax_bin_events": SQL_MINMAX_BIN_EVENTS,

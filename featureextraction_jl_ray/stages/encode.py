@@ -18,7 +18,7 @@ import pyarrow as pa
 from .groupagg import grouped_aggregate
 from .joins import broadcast_join
 
-__all__ = ["fit_target_encoding", "target_encode", "frequency_encode"]
+__all__ = ["fit_target_encoding", "target_encode", "frequency_encode", "cross_encode"]
 
 
 def _collect_small(ds) -> pa.Table:
@@ -104,3 +104,33 @@ def frequency_encode(ds, key_col: str, *, out_col: str | None = None,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def cross_encode(ds, col_a: str, col_b: str, *, out_col: str | None = None,
+                 categories_a=None, categories_b=None):
+    """Categorical feature CROSS with an explicit dense vocabulary:
+    cross_id = index_a · |V_b| + index_b (sorted vocabularies, so the id
+    is stable and SQL-mirrorable — the oracle reproduces it with
+    DISTINCT + row_number).  Vocabularies from distributed distinct
+    passes when not pinned; unknown categories → null (handle-unknown
+    ='ignore', the serve-time contract).  The cross id feeds one-hot /
+    hashed embedding layers downstream."""
+    import pyarrow.compute as pc
+
+    out_col = out_col if out_col is not None else f"{col_a}_x_{col_b}"
+    if categories_a is None:
+        categories_a = sorted(ds.unique(col_a))
+    if categories_b is None:
+        categories_b = sorted(ds.unique(col_b))
+    va = pa.array(list(categories_a))
+    vb = pa.array(list(categories_b))
+    nb = len(vb)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ia = pc.index_in(t.column(col_a), value_set=va)
+        ib = pc.index_in(t.column(col_b), value_set=vb)
+        cross = pc.add(pc.multiply(pc.cast(ia, pa.int64()), pa.scalar(nb)),
+                       pc.cast(ib, pa.int64()))
+        return t.append_column(out_col, cross)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -122,3 +122,18 @@ def test_pivot_aggregate_pinned_vocab_unknown_zero(ray_session):
     np.testing.assert_allclose(out["p_a_sum"], [1.0, 2.0])
     np.testing.assert_array_equal(out["p_b_n"], [0, 0])
     np.testing.assert_allclose(out["p_b_sum"], [0.0, 0.0])
+
+
+def test_cross_encode_unknowns_null(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.encode import cross_encode
+
+    t = pa.table({"a": ["x", "y", "zz"], "b": ["p", "q", "p"]})
+    out = cross_encode(rd.from_arrow(t), "a", "b",
+                       categories_a=["x", "y"], categories_b=["p", "q"],
+                       out_col="c").to_pandas()
+    # idx(x)=0, idx(y)=1; |Vb|=2; idx(p)=0, idx(q)=1; unknown 'zz' → null
+    assert list(out.c[:2]) == [0, 3]
+    assert pd.isna(out.c.iloc[2])
