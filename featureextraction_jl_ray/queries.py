@@ -1357,6 +1357,39 @@ FROM embeddings WHERE vec_id < 20
 # Non-SQL-expressible entries (rows-only driver check; pytest covers math)
 # ---------------------------------------------------------------------------
 
+def q_embed_group_centroid(sf_dir):
+    """Per-group embedding centroid (vec_id mod 10 as the group key):
+    (Σvec, n) partials through one bounded exchange — the vector analog
+    of the scalar mean combiner, and the building block of IVF/cluster
+    features.  Long (key, pos, mean_val) form so values hash stably;
+    1e-6 grid (numpy scatter-add vs SQL per-position avg ulps)."""
+    from .stages.groupagg import grouped_vector_mean
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def key(t: pa.Table) -> pa.Table:
+        g = pc.cast(pc.bit_wise_and(t.column("vec_id"), pa.scalar(7)),
+                    pa.int64())
+        return pa.table({"grp": g, "embedding": t.column("embedding")})
+
+    ds = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_vector_mean(ds, "grp", "embedding", num_buckets=4,
+                              long_form=True)
+    return _round_cols(out, {"mean_val": 6})
+
+
+SQL_EMBED_GROUP_CENTROID = """
+WITH flat AS (
+  SELECT vec_id & 7 AS grp,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT grp, pos, ROUND(avg(v), 6) AS mean_val
+FROM flat GROUP BY grp, pos
+"""
+
+
 def q_pca_eigvals(sf_dir):
     from .state.pca import fit_pca
 
@@ -2569,6 +2602,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "explode_tokens": q_explode_tokens,
     "explode_embedding": q_explode_embedding,
+    "embed_group_centroid": q_embed_group_centroid,
     "embed_stats": q_embed_stats,
     # rows-only (non-SQL-expressible; math covered by pytest oracles)
     "pca_eigvals": q_pca_eigvals,
@@ -2673,6 +2707,7 @@ ORACLE_SQL = {
     "doc_repetition": SQL_DOC_REPETITION,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,
+    "embed_group_centroid": SQL_EMBED_GROUP_CENTROID,
     "embed_stats": SQL_EMBED_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -21,7 +21,8 @@ _BUCKET = "__fx_gbucket"
 __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
            "grouped_quantile", "grouped_quantile_sketch",
            "grouped_count_distinct_hll", "grouped_heavy_hitters",
-           "pivot_aggregate", "rollup_aggregate", "cube_aggregate"]
+           "pivot_aggregate", "rollup_aggregate", "cube_aggregate",
+           "grouped_vector_mean"]
 
 _PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
 
@@ -629,3 +630,65 @@ def cube_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *,
                 up[c] = pd.Series([None] * len(up), dtype=object)
         levels.append(up[list(df.columns)])
     return pd.concat(levels, ignore_index=True)
+
+
+def grouped_vector_mean(ds, key_col: str, vector_col: str, *,
+                        num_buckets: int = 16, long_form: bool = False):
+    """Per-key centroid of an embedding column: one (Σvec, n) partial
+    row per key per batch through the exchange (the vector analog of the
+    scalar mean combiner), merged and divided at the end.  ``long_form``
+    explodes the result to (key, pos, mean_val) rows — the
+    SQL-comparable shape (list-valued outputs don't hash stably through
+    the driver gate)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_of
+    from ..functions.veccol import list_column_to_numpy, numpy_to_fixed_list_column
+
+    def partial(t: pa.Table) -> pa.Table:
+        X = list_column_to_numpy(t, vector_col)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": keys})
+        g = df.groupby("k", sort=False)
+        uk = g.size()
+        sums = np.zeros((len(uk), X.shape[1] if X.ndim == 2 else 0))
+        codes = g.ngroup().to_numpy()
+        np.add.at(sums, codes, X)
+        out = pa.table({
+            key_col: pa.array(uk.index.to_numpy()),
+            "__n": pa.array(uk.to_numpy().astype(np.int64)),
+            "__sum": numpy_to_fixed_list_column(sums, pa.float64()),
+        })
+        return out.append_column(
+            "__b", pa.array(bucket_of(uk.index.to_numpy(), num_buckets, seed=23)))
+
+    def final(t: pa.Table) -> pa.Table:
+        S = list_column_to_numpy(t, "__sum")
+        n = t.column("__n").to_numpy(zero_copy_only=False)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"k": keys})
+        g = df.groupby("k", sort=False)
+        uk = g.size()
+        codes = g.ngroup().to_numpy()
+        sums = np.zeros((len(uk), S.shape[1]))
+        np.add.at(sums, codes, S)
+        counts = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(counts, codes, n)
+        means = sums / counts[:, None]
+        if long_form:
+            p = means.shape[1]
+            return pa.table({
+                key_col: pa.array(np.repeat(uk.index.to_numpy(), p)),
+                "pos": pa.array(np.tile(np.arange(1, p + 1, dtype=np.int64),
+                                        len(uk))),
+                "mean_val": pa.array(means.reshape(-1)),
+            })
+        return pa.table({
+            key_col: pa.array(uk.index.to_numpy()),
+            "n": pa.array(counts),
+            "centroid": numpy_to_fixed_list_column(means, pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("__b").map_groups(
+        lambda t: final(t.drop_columns(["__b"])), batch_format="pyarrow")
