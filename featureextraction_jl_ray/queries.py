@@ -281,6 +281,47 @@ SELECT event_type, user_id, n, rank FROM (
 """
 
 
+def q_user_value_trend(sf_dir):
+    """Per-user TREND of value over time: OLS slope + R² from
+    partializable co-moments.  Engine x = seconds since 2024-01-01
+    (centered — keeps Σx² exactly representable); oracle keeps raw epoch
+    seconds because regr_slope/regr_r2 are shift-invariant and computed
+    stably.  1e-9 grid on slope (per-second units are tiny), 1e-6 on
+    R²."""
+    from .stages.groupagg import grouped_ols
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.divide(
+            pc.cast(pc.subtract(t.column("ts"),
+                                pa.scalar(pd.Timestamp("2024-01-01"))),
+                    pa.int64()),
+            pa.scalar(1_000_000.0))
+        return pa.table({"user_id": t.column("user_id"), "x": x,
+                         "value": t.column("value")})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_ols(ds, "user_id", "x", "value", num_buckets=8)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        sl = np.round(t.column("slope").to_numpy(zero_copy_only=False), 9)
+        r2 = np.round(t.column("r2").to_numpy(zero_copy_only=False), 6)
+        return pa.table({"user_id": t.column("user_id"),
+                         "slope": pa.array(sl), "r2": pa.array(r2)})
+
+    return out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_USER_VALUE_TREND = """
+SELECT user_id,
+       ROUND(regr_slope(value, epoch(ts)), 9) AS slope,
+       ROUND(regr_r2(value, epoch(ts)), 6) AS r2
+FROM events GROUP BY user_id
+"""
+
+
 def q_pivot_user_type(sf_dir):
     """Wide per-user pivot aggregate: event count + value sum per
     event_type as COLUMNS (the classic tabular feature block).  The
@@ -2568,6 +2609,7 @@ QUERIES = {
     "event_quantiles_sketch": q_event_quantiles_sketch,
     "heavy_hitters": q_heavy_hitters,
     "user_mode_type": q_user_mode_type,
+    "user_value_trend": q_user_value_trend,
     "pivot_user_type": q_pivot_user_type,
     "melt_lineitem": q_melt_lineitem,
     "filter_project": q_filter_project,
@@ -2673,6 +2715,7 @@ ORACLE_SQL = {
     "event_quantiles": SQL_EVENT_QUANTILES,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "user_mode_type": SQL_USER_MODE_TYPE,
+    "user_value_trend": SQL_USER_VALUE_TREND,
     "pivot_user_type": SQL_PIVOT_USER_TYPE,
     "melt_lineitem": SQL_MELT_LINEITEM,
     "filter_project": SQL_FILTER_PROJECT,

@@ -22,7 +22,7 @@ __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
            "grouped_quantile", "grouped_quantile_sketch",
            "grouped_count_distinct_hll", "grouped_heavy_hitters",
            "pivot_aggregate", "rollup_aggregate", "cube_aggregate",
-           "grouped_vector_mean"]
+           "grouped_vector_mean", "grouped_ols"]
 
 _PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
 
@@ -692,3 +692,60 @@ def grouped_vector_mean(ds, key_col: str, vector_col: str, *,
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return parts.groupby("__b").map_groups(
         lambda t: final(t.drop_columns(["__b"])), batch_format="pyarrow")
+
+
+def grouped_ols(ds, key_cols, x_col: str, y_col: str, *,
+                slope_col: str = "slope", r2_col: str = "r2",
+                num_buckets: int = 16):
+    """Per-key simple linear regression (y on x) from PARTIALIZABLE
+    co-moments: each batch contributes (n, Σx, Σy, Σxy, Σx², Σy²) per
+    key, one bounded exchange merges them, and slope/R² come out of the
+    closed form.  The per-entity TREND feature (e.g. value vs time).
+
+    Numerical note: callers should CENTER x near the data origin (e.g.
+    seconds since the corpus start, not epoch seconds) — slope and R²
+    are shift-invariant, and centering keeps Σx² in the exactly-
+    representable float64 range; SQL oracles can keep raw epochs because
+    regr_slope/regr_r2 are computed stably.  Keys with zero x-variance
+    (or < 2 rows) yield null, matching SQL."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def widen(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = pc.cast(t.column(x_col), pa.float64())
+        y = pc.cast(t.column(y_col), pa.float64())
+        out = t.select(key_cols)
+        out = out.append_column("__x", x)
+        out = out.append_column("__y", y)
+        out = out.append_column("__xy", pc.multiply(x, y))
+        out = out.append_column("__xx", pc.multiply(x, x))
+        out = out.append_column("__yy", pc.multiply(y, y))
+        return out
+
+    sums = grouped_aggregate(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols,
+        {"__n": ("__x", "count"), "__sx": ("__x", "sum"),
+         "__sy": ("__y", "sum"), "__sxy": ("__xy", "sum"),
+         "__sxx": ("__xx", "sum"), "__syy": ("__yy", "sum")},
+        num_buckets=num_buckets)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(t)
+        n = df["__n"].to_numpy(dtype=float)
+        sx, sy = df["__sx"].to_numpy(dtype=float), df["__sy"].to_numpy(dtype=float)
+        sxy = df["__sxy"].to_numpy(dtype=float)
+        sxx, syy = df["__sxx"].to_numpy(dtype=float), df["__syy"].to_numpy(dtype=float)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(vx > 0, cov / vx, np.nan)
+            r2 = np.where((vx > 0) & (vy > 0), (cov * cov) / (vx * vy), np.nan)
+        out = df[key_cols].copy()
+        out[slope_col] = slope
+        out[r2_col] = r2
+        return pandas_to_arrow(out)
+
+    return sums.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)

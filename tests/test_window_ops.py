@@ -701,3 +701,22 @@ def test_resample_entity_grid_semantics(ray_session):
     e1 = out[out.eid == 1]
     assert list(e1.gts) == [pd.Timestamp("2024-01-01 00:00")]
     assert np.isnan(e1.v.iloc[0])
+
+
+def test_grouped_ols_single_point_and_constant_x(ray_session):
+    """Keys with < 2 points or zero x-variance yield null slope/R²,
+    matching SQL regr_slope semantics."""
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.groupagg import grouped_ols
+
+    t = pa.table({"k": [0, 1, 1, 2, 2, 2],
+                  "x": [5.0, 3.0, 3.0, 1.0, 2.0, 3.0],
+                  "y": [1.0, 2.0, 4.0, 1.0, 3.0, 5.0]})
+    out = grouped_ols(ray_session.data.from_arrow(t), "k", "x", "y",
+                      num_buckets=2).to_pandas()
+    out = out.sort_values("k", ignore_index=True)
+    assert np.isnan(out.slope[0])       # single point
+    assert np.isnan(out.slope[1])       # constant x
+    np.testing.assert_allclose(out.slope[2], 2.0, rtol=1e-12)  # perfect line
+    np.testing.assert_allclose(out.r2[2], 1.0, rtol=1e-12)
