@@ -281,6 +281,55 @@ SELECT event_type, user_id, n, rank FROM (
 """
 
 
+def q_user_type_entropy(sf_dir):
+    """Per-user Shannon entropy (log2) + Herfindahl concentration of the
+    event_type distribution — behavioral-diversity features.  Partial
+    (user, type) counts through one bounded exchange, entropy at the
+    bounded final; 1e-6 grid."""
+    from .stages.groupagg import grouped_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "event_id"])
+    counts = grouped_aggregate(ds, ["user_id", "event_type"],
+                               {"n": ("event_id", "count")}, num_buckets=8)
+
+    def ent(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("user_id", sort=False)
+        tot = g["n"].transform("sum").to_numpy(dtype=float)
+        p = df["n"].to_numpy(dtype=float) / tot
+        df["__plogp"] = -p * np.log2(p)
+        df["__p2"] = p * p
+        out = df.groupby("user_id", sort=False).agg(
+            entropy=("__plogp", "sum"), hhi=("__p2", "sum")).reset_index()
+        out["entropy"] = np.round(out["entropy"].to_numpy(), 6)
+        out["hhi"] = np.round(out["hhi"].to_numpy(), 6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # the per-user category counts are bounded (|types| per user ≤ 5), so
+    # one more tiny keyed pass finishes the reduction
+    from .stages.partition import add_bucket_column
+
+    counts = add_bucket_column(counts, "user_id", 8, seed=41)
+    return counts.groupby("__fx_bucket").map_groups(
+        lambda t: ent(t.drop_columns(["__fx_bucket"])),
+        batch_format="pyarrow")
+
+
+SQL_USER_TYPE_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, count(event_id) AS n
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (SELECT user_id, sum(n) AS t FROM c GROUP BY user_id)
+SELECT c.user_id,
+       ROUND(sum(-(n / t) * log2(n / t)), 6) AS entropy,
+       ROUND(sum((n / t) * (n / t)), 6) AS hhi
+FROM c JOIN tot USING (user_id)
+GROUP BY c.user_id
+"""
+
+
 def q_user_value_trend(sf_dir):
     """Per-user TREND of value over time: OLS slope + R² from
     partializable co-moments.  Engine x = seconds since 2024-01-01
@@ -2610,6 +2659,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "user_mode_type": q_user_mode_type,
     "user_value_trend": q_user_value_trend,
+    "user_type_entropy": q_user_type_entropy,
     "pivot_user_type": q_pivot_user_type,
     "melt_lineitem": q_melt_lineitem,
     "filter_project": q_filter_project,
@@ -2716,6 +2766,7 @@ ORACLE_SQL = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "user_mode_type": SQL_USER_MODE_TYPE,
     "user_value_trend": SQL_USER_VALUE_TREND,
+    "user_type_entropy": SQL_USER_TYPE_ENTROPY,
     "pivot_user_type": SQL_PIVOT_USER_TYPE,
     "melt_lineitem": SQL_MELT_LINEITEM,
     "filter_project": SQL_FILTER_PROJECT,
