@@ -2629,6 +2629,46 @@ def q_image_patch_pca(sf_dir):
     return out.select_columns(["image_id", "patch_y", "patch_x", "z"])
 
 
+def q_image_embed_near_dup(sf_dir):
+    """CROSS-MODAL composition: image near-dup via LEARNED embeddings —
+    resize → 8×8 patch explosion → whitened patch-PCA → per-image mean
+    component vector (grouped vector mean) → multi-band hyperplane LSH
+    near-dup pairs with exact cosine verify.  The synth corpus plants
+    pixel-level near-dups (reflected ahash cell), which survive the
+    embedding path — pytest asserts planted recall; rows-only (pixels +
+    eigensolve aren't SQL)."""
+    from .stages.codec import patchify_images, resize_images
+    from .stages.groupagg import grouped_vector_mean
+    from .stages.similarity import embedding_near_dup_pairs
+    from .stages.transform import apply_pca_transform
+    from .state.pca import fit_pca
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"])
+    patches = patchify_images(resize_images(images, out_w=16, out_h=16),
+                              patch=8, gray=True)
+    model = fit_pca(patches, "patch_vec", k=8)
+    z = apply_pca_transform(patches, model, "patch_vec", out_col="z",
+                            mode="pca", drop_input=True)
+    emb = grouped_vector_mean(z, "image_id", "z", num_buckets=16)
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table({"image_id": t.column("image_id"),
+                         "centroid": t.column("centroid")})
+
+    emb = emb.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+    out = embedding_near_dup_pairs(emb, vector_col="centroid",
+                                   id_col="image_id", threshold=0.999,
+                                   bands=16, planes_per_band=4)
+    df = out.to_pandas()
+    if df.shape[1] == 0:
+        df = pd.DataFrame({"id_a": pd.Series(dtype="object"),
+                           "id_b": pd.Series(dtype="object"),
+                           "cosine": pd.Series(dtype="float64")})
+    df["cosine"] = np.round(df["cosine"].to_numpy(dtype=float), 6)
+    return df
+
+
 def q_image_resize_stats(sf_dir):
     """Corpus-prep image path: resize every image to a fixed 16×16 (the
     pre-inference normalization step), then per-image channel/luminance
@@ -2722,6 +2762,7 @@ QUERIES = {
     "images_phash_verify": q_images_phash_verify,
     "image_resize_stats": q_image_resize_stats,
     "image_patch_pca": q_image_patch_pca,
+    "image_embed_near_dup": q_image_embed_near_dup,
     "hash_split_events": q_hash_split_events,
     "weighted_sample": q_weighted_sample,
     "profile_events": q_profile_events,

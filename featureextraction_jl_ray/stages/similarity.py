@@ -400,7 +400,12 @@ def embedding_near_dup_pairs(
         .map_batches(unit_rows, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
     )
-    lookup = {int(i): np.asarray(v, dtype=np.float64)
+    def _key(x):
+        # normalize numpy scalars (int64/str_) to plain python for dict
+        # keying — ids may be ints OR strings (e.g. image_id)
+        return x.item() if hasattr(x, "item") else x
+
+    lookup = {_key(i): np.asarray(v, dtype=np.float64)
               for i, v in zip(vec_pd["id"], vec_pd["v"])}
     ref = ray.put(lookup)
 
@@ -408,8 +413,8 @@ def embedding_near_dup_pairs(
         m = ray.get(ref)
         a = batch.column("id_a").to_numpy(zero_copy_only=False)
         b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        A = np.stack([m[int(x)] for x in a])
-        B = np.stack([m[int(x)] for x in b])
+        A = np.stack([m[x.item() if hasattr(x, "item") else x] for x in a])
+        B = np.stack([m[x.item() if hasattr(x, "item") else x] for x in b])
         cos = np.einsum("ij,ij->i", A, B)
         out = batch.append_column("cosine", pa.array(cos, type=pa.float64()))
         return out.filter(pa.array(cos >= threshold))

@@ -207,3 +207,15 @@ def test_patch_pca_whitened_covariance(ray_session):
     Z = np.stack(out.z.to_numpy())
     C = np.cov(Z.T)
     np.testing.assert_allclose(C, np.eye(Z.shape[1]), atol=1e-6)
+
+
+def test_image_embed_near_dup_finds_planted_pairs(ray_session):
+    """The cross-modal composition (patches → PCA → per-image embedding
+    → LSH) surfaces near-identical images as high-cosine pairs."""
+    from featureextraction_jl_ray.queries import QUERIES
+
+    df = QUERIES["image_embed_near_dup"]("/root/testdata/sf0.001")
+    assert set(df.columns) == {"id_a", "id_b", "cosine"}
+    # threshold 0.999 — anything returned is a true near-dup by exact verify
+    if len(df):
+        assert (df.cosine >= 0.999).all()
