@@ -1369,6 +1369,44 @@ LEFT JOIN bmax b USING (doc_id)
 """
 
 
+def q_doc_lm_score(sf_dir):
+    """CCNet-style character-bigram LM quality score: the model fits on
+    the corpus in one mergeable pass (256² count partials), then every
+    document scores its mean bigram log-probability under it — low
+    scores flag mojibake/boilerplate/spam.  Normalization, add-one
+    smoothing over the 28-symbol alphabet, and the scoring expression
+    are mirrored exactly in SQL; 1e-6 grid."""
+    from .stages.text import fit_char_bigram_lm, score_char_bigram_lm
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    logp = fit_char_bigram_lm(ds)
+    out = score_char_bigram_lm(ds, logp).select_columns(["doc_id", "lm_score"])
+    return _round_cols(out, {"lm_score": 6})
+
+
+SQL_DOC_LM_SCORE = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '_', 'g') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, substr(t, i, 1) AS c1, substr(t, i + 1, 1) AS c2
+  FROM norm
+  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t), 1))) AS i) u
+),
+cnt AS (SELECT c1, c2, count(*) AS c FROM big GROUP BY c1, c2),
+rtot AS (SELECT c1, sum(c) AS t FROM cnt GROUP BY c1),
+scores AS (
+  SELECT b.doc_id, avg(ln((cnt.c + 1) / (rtot.t + 28))) AS s
+  FROM big b JOIN cnt USING (c1, c2) JOIN rtot USING (c1)
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, ROUND(scores.s, 6) AS lm_score
+FROM documents d LEFT JOIN scores USING (doc_id)
+"""
+
+
 def q_doc_ratios(sf_dir):
     from .stages.text import with_quality
 
@@ -2732,6 +2770,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "doc_ratios": q_doc_ratios,
     "doc_repetition": q_doc_repetition,
+    "doc_lm_score": q_doc_lm_score,
     "explode_tokens": q_explode_tokens,
     "explode_embedding": q_explode_embedding,
     "embed_group_centroid": q_embed_group_centroid,
@@ -2840,6 +2879,7 @@ ORACLE_SQL = {
     "doc_stats": SQL_DOC_STATS,
     "doc_ratios": SQL_DOC_RATIOS,
     "doc_repetition": SQL_DOC_REPETITION,
+    "doc_lm_score": SQL_DOC_LM_SCORE,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,
     "embed_group_centroid": SQL_EMBED_GROUP_CENTROID,

@@ -29,6 +29,8 @@ __all__ = [
     "with_fingerprint",
     "RepetitionStats",
     "with_repetition_stats",
+    "fit_char_bigram_lm",
+    "score_char_bigram_lm",
 ]
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -260,3 +262,84 @@ class RepetitionStats:
 
 
 with_repetition_stats = _actor_stage(RepetitionStats)
+
+
+def _charlm_normalize(texts: pd.Series) -> pd.Series:
+    """Shared normalization for the char-bigram LM: lowercase, everything
+    outside [a-z ] → '_' (28-symbol alphabet).  The SQL mirror is
+    regexp_replace(lower(text), '[^a-z ]', '_', 'g')."""
+    return texts.str.lower().str.replace(r"[^a-z ]", "_", regex=True).fillna("")
+
+
+def _charlm_pair_counts(texts: pd.Series) -> np.ndarray:
+    """256×256 bigram count matrix of the normalized texts (one C-level
+    join+encode, no per-row Python; doc boundaries masked)."""
+    counts = np.zeros(65536, dtype=np.int64)
+    if not len(texts):
+        return counts
+    blob = "\x00".join(_charlm_normalize(texts))
+    a = np.frombuffer(blob.encode("ascii", "replace"), dtype=np.uint8)
+    if len(a) < 2:
+        return counts
+    left, right = a[:-1].astype(np.int64), a[1:].astype(np.int64)
+    ok = (left != 0) & (right != 0)
+    np.add.at(counts, left[ok] * 256 + right[ok], 1)
+    return counts
+
+
+def fit_char_bigram_lm(ds, text_col: str = "text") -> np.ndarray:
+    """Fit the corpus character-bigram model: one streaming mergeable
+    pass (per-block 256²-count partials, + merge).  Returns the 256×256
+    log-probability matrix with add-one smoothing over the 28-symbol
+    alphabet: log((c + 1) / (row_total + 28))."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc(state, block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        c = _charlm_pair_counts(tbl.column(text_col).to_pandas())
+        return c if state is None else state + c
+
+    agg = AggregateFn(
+        init=lambda _: None,
+        accumulate_block=acc,
+        merge=lambda a, b: b if a is None else (a if b is None else a + b),
+        name="bigrams")
+    counts = ds.aggregate(agg)["bigrams"]
+    if counts is None:
+        counts = np.zeros(65536, dtype=np.int64)
+    M = counts.reshape(256, 256).astype(np.float64)
+    row_tot = M.sum(axis=1, keepdims=True)
+    return np.log((M + 1.0) / (row_tot + 28.0))
+
+
+def score_char_bigram_lm(ds, logp: np.ndarray, *, text_col: str = "text",
+                         out_col: str = "lm_score"):
+    """Per-document mean bigram log-probability under a fitted model —
+    the CCNet-style LM quality filter (low score = unusual character
+    sequences: boilerplate, mojibake, spam).  Stateless tasks; the 512 KB
+    model ships in the task closure.  Docs with < 2 chars score null."""
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = _charlm_normalize(batch.column(text_col).to_pandas())
+        lens = texts.str.len().to_numpy(dtype=np.int64)
+        blob = "\x00".join(texts)
+        a = np.frombuffer(blob.encode("ascii", "replace"), dtype=np.uint8)
+        out = np.full(len(texts), np.nan)
+        if len(a) >= 2:
+            left, right = a[:-1].astype(np.int64), a[1:].astype(np.int64)
+            ok = (left != 0) & (right != 0)
+            lp = logp[left[ok], right[ok]]
+            # map each surviving bigram to its doc: position → doc index
+            doc_of = np.repeat(np.arange(len(texts)), lens + 1)[:len(a)]
+            docs = doc_of[:-1][ok]
+            sums = np.zeros(len(texts))
+            np.add.at(sums, docs, lp)
+            nbig = np.maximum(lens - 1, 0)
+            with np.errstate(invalid="ignore"):
+                out = np.where(nbig > 0, sums / nbig, np.nan)
+        return batch.append_column(out_col, pa.array(out, type=pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

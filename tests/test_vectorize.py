@@ -111,3 +111,29 @@ def test_repetition_stats_reference():
                                [0.75, 0.5, 0.0, 0.0], rtol=1e-12)
     np.testing.assert_allclose(out.top_bigram_frac,
                                [1.0, 2 / 3, 1 / 3, 0.0], rtol=1e-12)
+
+
+def test_char_bigram_lm_flags_junk(ray_session):
+    """A mojibake/random-bytes doc scores far below normal prose under
+    the corpus-fitted bigram LM."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.text import (
+        fit_char_bigram_lm,
+        score_char_bigram_lm,
+    )
+
+    prose = ["the quick brown fox jumps over the lazy dog " * 5] * 20
+    junk = ["qx zq jq vq xz qj zx jv " * 8]
+    t = pa.table({"doc_id": list(range(21)), "text": prose + junk})
+    ds = rd.from_arrow(t)
+    logp = fit_char_bigram_lm(ds)
+    out = score_char_bigram_lm(ds, logp).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert out.lm_score[:20].min() > out.lm_score.iloc[20] + 1.0
+    # short doc → null
+    t2 = pa.table({"doc_id": [0], "text": ["x"]})
+    out2 = score_char_bigram_lm(rd.from_arrow(t2), logp).to_pandas()
+    assert np.isnan(out2.lm_score.iloc[0])
