@@ -1937,6 +1937,90 @@ FROM {src} d LEFT JOIN hits USING (doc_id)
 SQL_DOC_LANGID = _langid_sql()
 
 
+def q_corpus_filter(sf_dir):
+    """COMPOSED corpus quality funnel (exact dedup → LM fitted on the
+    DEDUPED corpus → lang-ID → token counts → repetition stats → one
+    threshold filter), oracled END-TO-END by one chained SQL — fitting
+    the LM before dedup, or filtering before scoring, fails the gate."""
+    from .pipelines.corpusfilter import run_corpus_filter
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+    out = run_corpus_filter(ds)
+    out = out.select_columns(
+        ["doc_id", "lang_pred", "n_tokens_ws", "lm_score", "word_dup_ratio"])
+    return _round_cols(out, {"lm_score": 6, "word_dup_ratio": 6})
+
+
+def _corpus_filter_sql() -> str:
+    hits, case_sql, langs = _langid_parts()
+    return rf"""
+WITH dedup AS (
+  SELECT * FROM documents
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '_', 'g') AS t
+  FROM dedup
+),
+big AS (
+  SELECT doc_id, substr(t, i, 1) AS c1, substr(t, i + 1, 1) AS c2
+  FROM norm
+  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t), 1))) AS i) u
+),
+cnt AS (SELECT c1, c2, count(*) AS c FROM big GROUP BY c1, c2),
+rtot AS (SELECT c1, sum(c) AS t FROM cnt GROUP BY c1),
+lm AS (
+  SELECT b.doc_id, avg(ln((cnt.c + 1) / (rtot.t + 28))) AS lm_score
+  FROM big b JOIN cnt USING (c1, c2) JOIN rtot USING (c1)
+  GROUP BY b.doc_id
+),
+w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS w
+  FROM dedup
+),
+hits AS (
+  SELECT doc_id,
+    {hits}
+  FROM w GROUP BY doc_id
+),
+lang AS (
+  SELECT d.doc_id,
+    CASE WHEN coalesce(greatest({", ".join(langs)}), 0) = 0 THEN 'unk'
+         {case_sql} END AS lang_pred
+  FROM dedup d LEFT JOIN hits USING (doc_id)
+),
+words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM dedup
+),
+flat AS (SELECT doc_id, unnest(ws) AS w FROM words),
+counts AS (
+  SELECT doc_id, count(*) AS nw, count(DISTINCT w) AS nd
+  FROM flat GROUP BY doc_id
+),
+rep AS (
+  SELECT d.doc_id,
+    CASE WHEN coalesce(c.nw, 0) = 0 THEN 0
+         ELSE 1.0 - CAST(c.nd AS DOUBLE) / c.nw END AS word_dup_ratio
+  FROM dedup d LEFT JOIN counts c USING (doc_id)
+),
+tok AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws
+  FROM dedup
+)
+SELECT d.doc_id, lang.lang_pred, tok.n_tokens_ws,
+       ROUND(lm.lm_score, 6) AS lm_score,
+       ROUND(rep.word_dup_ratio, 6) AS word_dup_ratio
+FROM dedup d
+JOIN lang USING (doc_id) JOIN tok USING (doc_id)
+JOIN lm USING (doc_id) JOIN rep USING (doc_id)
+WHERE lang.lang_pred = 'en' AND tok.n_tokens_ws >= 15
+  AND lm.lm_score >= -1.75 AND rep.word_dup_ratio <= 0.65
+"""
+
+
+SQL_CORPUS_FILTER = _corpus_filter_sql()
+
+
 def q_text_prep(sf_dir):
     """COMPOSED text-preparation pipeline (exact dedup → exact-Jaccard
     near-dup collapse → lang-ID → token counts → quality ratios), oracled
@@ -2793,6 +2877,7 @@ QUERIES = {
     "doc_langid": q_doc_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "text_prep": q_text_prep,
+    "corpus_filter": q_corpus_filter,
     "flagship_features": q_flagship_features,
     "flagship_core": q_flagship_core,
     "phash_near_dup": q_phash_near_dup,
@@ -2894,6 +2979,7 @@ ORACLE_SQL = {
     "jaccard_dedup_docs": SQL_JACCARD_DEDUP_DOCS,
     "edit1_pairs": SQL_EDIT1_PAIRS,
     "text_prep": SQL_TEXT_PREP,
+    "corpus_filter": SQL_CORPUS_FILTER,
     "kernel_center": SQL_KERNEL_CENTER,
     "knn_ivf": SQL_KNN_BRUTEFORCE,
     "phash_near_dup": SQL_PHASH_NEAR_DUP,
