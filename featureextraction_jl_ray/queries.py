@@ -2708,6 +2708,40 @@ FROM events CROSS JOIN (SELECT min(value) mn, max(value) mx FROM events) a
 """
 
 
+def q_qbin_winsor_events(sf_dir):
+    """Quantile (equal-frequency) binning + p05/p95 winsorization of the
+    events value column from ONE exact quantile fit — the outlier-robust
+    discretization pair.  Bin ids exact; winsorized values are the same
+    IEEE clamp both sides (no grid); quantile boundaries themselves pin
+    to 1e-6 inside the SQL mirror."""
+    from .stages.scale import fit_quantiles, quantile_bin, winsorize
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    q = fit_quantiles(ds, "value", qs=(0.05, 0.25, 0.5, 0.75, 0.95))
+    out = quantile_bin(ds, "value", quants={k: q[k] for k in (0.25, 0.5, 0.75)})
+    out = winsorize(out, "value", lo=q[0.05], hi=q[0.95])
+    out = out.select_columns(["event_id", "value_qbin", "value_w"])
+    # clamped rows inherit the interpolated boundary, which differs from
+    # quantile_cont in trailing ulps — pin to the 1e-6 grid
+    return _round_cols(out, {"value_w": 6})
+
+
+SQL_QBIN_WINSOR_EVENTS = """
+WITH q AS (
+  SELECT quantile_cont(value, 0.05) q05, quantile_cont(value, 0.25) q25,
+         quantile_cont(value, 0.5) q50, quantile_cont(value, 0.75) q75,
+         quantile_cont(value, 0.95) q95
+  FROM events
+)
+SELECT event_id,
+       CAST((value > q.q25) AS BIGINT) + CAST((value > q.q50) AS BIGINT)
+         + CAST((value > q.q75) AS BIGINT) AS value_qbin,
+       ROUND(greatest(least(value, q.q95), q.q05), 6) AS value_w
+FROM events CROSS JOIN q
+"""
+
+
 def q_onehot_events(sf_dir):
     """One-hot encode event_type: vocabulary from a distributed distinct
     pass (sorted for stable column order), indicators appended by a
@@ -2902,6 +2936,7 @@ QUERIES = {
     "lineitem_corr": q_lineitem_corr,
     "scale_standard": q_scale_standard,
     "minmax_bin_events": q_minmax_bin_events,
+    "qbin_winsor_events": q_qbin_winsor_events,
     "onehot_events": q_onehot_events,
 }
 
@@ -2920,6 +2955,7 @@ ORACLE_SQL = {
     "lineitem_corr": SQL_LINEITEM_CORR,
     "scale_standard": SQL_SCALE_STANDARD,
     "minmax_bin_events": SQL_MINMAX_BIN_EVENTS,
+    "qbin_winsor_events": SQL_QBIN_WINSOR_EVENTS,
     "onehot_events": SQL_ONEHOT_EVENTS,
     "agg_lineitem": SQL_AGG_LINEITEM,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,

@@ -36,6 +36,8 @@ __all__ = [
     "equal_width_bin",
     "one_hot_encode",
     "assemble_vector",
+    "quantile_bin",
+    "winsorize",
 ]
 
 
@@ -323,5 +325,41 @@ def assemble_vector(ds, cols, *, out_col: str = "features",
         if drop_inputs:
             t = t.drop_columns(cols)
         return t
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantile_bin(ds, col: str, *, quants: dict, out_col: str | None = None):
+    """Equal-FREQUENCY discretization from fitted quantile boundaries:
+    bucket = number of boundaries strictly below x (so the b+1 buckets
+    split at the fitted quantiles; ties at a boundary fall LEFT, the
+    `x > boundary` convention the SQL mirror states).  Stateless
+    vectorized transform; fit via :func:`fit_quantiles` (exact or KMV
+    sketch at corpus scale)."""
+    out_col = out_col if out_col is not None else f"{col}_qbin"
+    bounds = np.asarray([quants[q] for q in sorted(quants)], dtype=np.float64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = (x[:, None] > bounds[None, :]).sum(axis=1).astype(np.int64)
+        return batch.append_column(out_col, pa.array(b))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winsorize(ds, col: str, *, lo: float, hi: float,
+              out_col: str | None = None):
+    """Clip ``col`` to fitted [lo, hi] bounds (tail winsorization — the
+    outlier guard before z-scaling).  Exact IEEE min/max, no grid."""
+    import pyarrow.compute as pc
+
+    out_col = out_col if out_col is not None else f"{col}_w"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = pc.max_element_wise(
+            pc.min_element_wise(pc.cast(batch.column(col), pa.float64()),
+                                pa.scalar(float(hi))),
+            pa.scalar(float(lo)))
+        return batch.append_column(out_col, x)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
