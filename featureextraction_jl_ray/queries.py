@@ -2596,6 +2596,27 @@ JOIN (SELECT event_type, avg(value) m, count(*) n
 """
 
 
+def q_value_share(sf_dir):
+    """Each event's share of its user's value total (ratio-to-report):
+    per-key sums broadcast once, facts never shuffle.  1e-9 grid
+    (sum-order ulps in the denominator)."""
+    from .stages.encode import group_share
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+    out = group_share(ds, "user_id", "value", num_buckets=8)
+    out = out.select_columns(["event_id", "user_id", "value_share"])
+    return _round_cols(out, {"value_share": 9})
+
+
+SQL_VALUE_SHARE = """
+SELECT event_id, user_id,
+       ROUND(value / sum(value) OVER (PARTITION BY user_id), 9)
+         AS value_share
+FROM events
+"""
+
+
 def q_cross_lang_source(sf_dir):
     """Categorical cross feature lang × source over documents: dense
     cross_id = idx(lang)·|sources| + idx(source) from sorted distributed
@@ -2933,6 +2954,7 @@ QUERIES = {
     "tfidf_docs": q_tfidf_docs,
     "target_encode_events": q_target_encode_events,
     "cross_lang_source": q_cross_lang_source,
+    "value_share": q_value_share,
     "lineitem_corr": q_lineitem_corr,
     "scale_standard": q_scale_standard,
     "minmax_bin_events": q_minmax_bin_events,
@@ -2952,6 +2974,7 @@ ORACLE_SQL = {
     "scale_robust": SQL_SCALE_ROBUST,
     "target_encode_events": SQL_TARGET_ENCODE_EVENTS,
     "cross_lang_source": SQL_CROSS_LANG_SOURCE,
+    "value_share": SQL_VALUE_SHARE,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "scale_standard": SQL_SCALE_STANDARD,
     "minmax_bin_events": SQL_MINMAX_BIN_EVENTS,

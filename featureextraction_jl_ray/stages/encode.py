@@ -18,7 +18,7 @@ import pyarrow as pa
 from .groupagg import grouped_aggregate
 from .joins import broadcast_join
 
-__all__ = ["fit_target_encoding", "target_encode", "frequency_encode", "cross_encode"]
+__all__ = ["fit_target_encoding", "target_encode", "frequency_encode", "cross_encode", "group_share"]
 
 
 def _collect_small(ds) -> pa.Table:
@@ -134,3 +134,31 @@ def cross_encode(ds, col_a: str, col_b: str, *, out_col: str | None = None,
         return t.append_column(out_col, cross)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_share(ds, key_col: str, value_col: str, *,
+                out_col: str | None = None, num_buckets: int = 64):
+    """Append each row's SHARE of its key's value total (the
+    ratio-to-report feature): per-key sums via one partial-aggregated
+    exchange bounded by key cardinality, broadcast once and probed per
+    batch — the fact rows never shuffle.  Zero-total keys yield null."""
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_aggregate
+
+    out_col = out_col or f"{value_col}_share"
+    sums = _collect_small(
+        grouped_aggregate(
+            ds, key_col, {"__tot": (value_col, "sum")}, num_buckets=num_buckets
+        )
+    )
+    joined = broadcast_join(ds, sums, on=key_col, how="left")
+
+    def fn(b: pa.Table) -> pa.Table:
+        tot = b.column("__tot")
+        share = pc.if_else(
+            pc.equal(tot, pa.scalar(0.0)), pa.scalar(None, pa.float64()),
+            pc.divide(pc.cast(b.column(value_col), pa.float64()), tot))
+        return b.drop_columns(["__tot"]).append_column(out_col, share)
+
+    return joined.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
