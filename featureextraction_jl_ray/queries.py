@@ -1199,6 +1199,37 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
 # Text analysis (SQL-expressible parts)
 # ---------------------------------------------------------------------------
 
+def q_negative_samples(sf_dir):
+    """Deterministic negative sampling over the embedding ids (4 draws
+    per anchor from the dense id space, self-collisions dropped) —
+    ORACLED ROW-EXACTLY: the SQL reproduces the identical fmix32 draw
+    via the shared hash CTE."""
+    from .stages.split import negative_samples
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id"])
+    return negative_samples(ds, "vec_id", k=4)
+
+
+def _negative_samples_sql() -> str:
+    from .stages.split import sql_hash_cte
+
+    base = ("(SELECT vec_id, j, vec_id * 4 + j AS hk "
+            "FROM embeddings CROSS JOIN LATERAL "
+            "(SELECT unnest(range(0, 4)) AS j) t)")
+    cte = sql_hash_cte(base, "hk", "vec_id, j")
+    return f"""
+WITH {cte},
+n AS (SELECT count(*) AS c FROM embeddings)
+SELECT vec_id, j, CAST(h % (SELECT c FROM n) AS BIGINT) AS neg_id
+FROM __hx
+WHERE CAST(h % (SELECT c FROM n) AS BIGINT) <> vec_id
+"""
+
+
+SQL_NEGATIVE_SAMPLES = _negative_samples_sql()
+
+
 def q_profile_events(sf_dir):
     """Column profile (`describe`) of the events table: counts, nulls,
     EXACT distinct, numeric min/max/mean/std from ONE mergeable
@@ -2945,6 +2976,7 @@ QUERIES = {
     "hash_split_events": q_hash_split_events,
     "weighted_sample": q_weighted_sample,
     "profile_events": q_profile_events,
+    "negative_samples": q_negative_samples,
     "rank_events": q_rank_events,
     "cumulative_user_value": q_cumulative_user_value,
     "first_last_touch": q_first_last_touch,
@@ -2966,6 +2998,7 @@ ORACLE_SQL = {
     "hash_split_events": SQL_HASH_SPLIT_EVENTS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "profile_events": SQL_PROFILE_EVENTS,
+    "negative_samples": SQL_NEGATIVE_SAMPLES,
     "rank_events": SQL_RANK_EVENTS,
     "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
     "first_last_touch": SQL_FIRST_LAST_TOUCH,

@@ -30,7 +30,7 @@ import pyarrow as pa
 from ..functions.hashing import stable_hash_array
 
 __all__ = ["hash_u32", "split_thresholds", "hash_split", "hash_sample",
-           "weighted_sample_by_key",
+           "weighted_sample_by_key", "negative_samples",
            "sql_hash_cte"]
 
 _M32 = np.uint64(0xFFFFFFFF)
@@ -173,3 +173,33 @@ def weighted_sample_by_key(ds, key_col: str, id_col: str, weight_col: str,
         return batch.drop_columns(["__pri"])
 
     return out.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def negative_samples(ds, id_col: str, *, k: int = 4, n_ids: int | None = None,
+                     seed: int = _DEFAULT_SEED):
+    """Deterministic NEGATIVE SAMPLING for contrastive training: each row
+    draws k pseudo-random partner ids from the CONTIGUOUS id space
+    [0, n_ids) via the pinned fmix32 hash of (id·k + j) — reproducible
+    across runs/resumes, no RNG state, and the identical draw is
+    SQL-expressible through ``sql_hash_cte`` (the oracle matches
+    row-exactly).  Self-collisions (neg == id) are dropped on both
+    sides, so rows emit ≤ k negatives; ids must be dense integers (use a
+    dictionary-encode pass otherwise)."""
+    import pyarrow as pa
+
+    if n_ids is None:
+        n_ids = ds.count()
+    n = np.uint64(n_ids)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.repeat(ids, k)
+        j = np.tile(np.arange(k, dtype=np.int64), len(ids))
+        hk = rep * k + j
+        neg = (hash_u32(hk, seed=seed).astype(np.uint64) % n).astype(np.int64)
+        keep = neg != rep
+        return pa.table({id_col: pa.array(rep[keep]),
+                         "j": pa.array(j[keep]),
+                         "neg_id": pa.array(neg[keep])})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

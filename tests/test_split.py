@@ -131,3 +131,23 @@ def test_weighted_sample_by_key_operator(ray_session):
     assert (a.groupby("k").size() <= 2).all()
     assert set(a[a.k == 1].id) == {6, 7}  # k ≥ group size keeps all
     assert not set(a.id) & {2, 3}  # weight ≤ 0 excluded
+
+
+def test_negative_samples_properties(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.split import negative_samples
+
+    t = pa.table({"id": pa.array(range(100), type=pa.int64())})
+    a = negative_samples(rd.from_arrow(t), "id", k=4, n_ids=100).to_pandas()
+    b = negative_samples(rd.from_arrow(t), "id", k=4, n_ids=100).to_pandas()
+    a = a.sort_values(["id", "j"], ignore_index=True)
+    b = b.sort_values(["id", "j"], ignore_index=True)
+    assert a.equals(b)                       # deterministic
+    assert (a.neg_id != a.id).all()          # no self pairs
+    assert a.neg_id.between(0, 99).all()     # dense id space
+    assert len(a) <= 400 and len(a) >= 380   # ≤k per anchor, few collisions
+    # draws look uniform-ish: every quartile of the id space is hit
+    assert (np.histogram(a.neg_id, bins=4, range=(0, 100))[0] > 50).all()
