@@ -2857,7 +2857,7 @@ def q_image_embed_near_dup(sf_dir):
                               patch=8, gray=True)
     model = fit_pca(patches, "patch_vec", k=8)
     z = apply_pca_transform(patches, model, "patch_vec", out_col="z",
-                            mode="pca", drop_input=True)
+                            mode="pca_whiten", drop_input=True)
     emb = grouped_vector_mean(z, "image_id", "z", num_buckets=16)
 
     def rn(t: pa.Table) -> pa.Table:
@@ -2865,9 +2865,11 @@ def q_image_embed_near_dup(sf_dir):
                          "centroid": t.column("centroid")})
 
     emb = emb.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+    # 12 planes/band keeps random-pair collisions ~2⁻¹² per band while a
+    # true 0.999-cosine pair still collides in some band w.p. ≈ 1−3e-11
     out = embedding_near_dup_pairs(emb, vector_col="centroid",
                                    id_col="image_id", threshold=0.999,
-                                   bands=16, planes_per_band=4)
+                                   bands=8, planes_per_band=12)
     df = out.to_pandas()
     if df.shape[1] == 0:
         df = pd.DataFrame({"id_a": pd.Series(dtype="object"),

@@ -31,6 +31,7 @@ __all__ = [
     "with_repetition_stats",
     "fit_char_bigram_lm",
     "score_char_bigram_lm",
+    "chunk_documents",
 ]
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -341,5 +342,61 @@ def score_char_bigram_lm(ds, logp: np.ndarray, *, text_col: str = "text",
             with np.errstate(invalid="ignore"):
                 out = np.where(nbig > 0, sums / nbig, np.nan)
         return batch.append_column(out_col, pa.array(out, type=pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    size: int = 32, stride: int | None = None,
+                    out_col: str = "chunk_text"):
+    """Split documents into fixed-size whitespace-token windows with
+    optional overlap (stride < size) — the LLM-pretraining chunker.
+    One row per (doc, chunk) with the chunk ordinal, token count and
+    re-joined text.  Fully vectorized gather (explode → numpy index
+    arithmetic); the joins per chunk are C-level ``str.join`` calls over
+    a bounded chunk count.  Empty docs emit zero chunks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    stride = size if stride is None else stride
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(batch.column(text_col))
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        n_per = np.nan_to_num(n_per.astype(np.float64)).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        over = np.maximum(n_per - size, 0)
+        n_chunks = np.where(n_per == 0, 0,
+                            (over + stride - 1) // stride + 1)
+        total_chunks = int(n_chunks.sum())
+        if total_chunks == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "chunk_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                out_col: pa.array([], type=pa.string()),
+            })
+        doc_of = np.repeat(np.arange(len(ids)), n_chunks)
+        cstart = np.cumsum(n_chunks) - n_chunks
+        k = np.arange(total_chunks, dtype=np.int64) - np.repeat(cstart, n_chunks)
+        tok_start = k * stride
+        csize = np.minimum(size, n_per[doc_of] - tok_start)
+        doc_tok_start = (np.cumsum(n_per) - n_per)[doc_of]
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        total_toks = int(csize.sum())
+        tstarts = np.cumsum(csize) - csize
+        within = np.arange(total_toks, dtype=np.int64) - np.repeat(tstarts, csize)
+        gather = np.repeat(doc_tok_start + tok_start, csize) + within
+        out_toks = pd.Series(flat[gather])
+        labels = np.repeat(np.arange(total_chunks), csize)
+        joined = out_toks.groupby(labels).agg(" ".join)
+        return pa.table({
+            id_col: pa.array(ids[doc_of]),
+            "chunk_id": pa.array(k),
+            "n_tokens": pa.array(csize),
+            out_col: pa.array(joined.to_numpy(), type=pa.string()),
+        })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
