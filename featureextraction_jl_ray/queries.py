@@ -1353,6 +1353,41 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def q_chunk_documents(sf_dir):
+    """LLM-pretraining chunker: 32-token windows with 24-token stride
+    (8-token overlap) per document — one row per chunk with ordinal,
+    token count and re-joined text, exact-oracled including the overlap
+    arithmetic and the short-tail chunk."""
+    from .stages.text import chunk_documents
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return chunk_documents(ds, size=32, stride=24)
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+),
+meta AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) <= 32 THEN 1
+              ELSE (len(ws) - 32 + 23) // 24 + 1 END AS nc
+  FROM words WHERE len(ws) > 0
+),
+chunks AS (
+  SELECT doc_id, k AS chunk_id,
+         list_slice(ws, k * 24 + 1, k * 24 + 32) AS ctoks
+  FROM meta
+  CROSS JOIN LATERAL (SELECT unnest(range(0, nc)) AS k) t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text
+FROM chunks
+"""
+
+
 def q_doc_repetition(sf_dir):
     """Gopher-style repetition quality signals: word-dup ratio and
     top-bigram fraction per document (the filters that catch template /
@@ -2943,6 +2978,7 @@ QUERIES = {
     "doc_ratios": q_doc_ratios,
     "doc_repetition": q_doc_repetition,
     "doc_lm_score": q_doc_lm_score,
+    "chunk_documents": q_chunk_documents,
     "explode_tokens": q_explode_tokens,
     "explode_embedding": q_explode_embedding,
     "embed_group_centroid": q_embed_group_centroid,
@@ -3059,6 +3095,7 @@ ORACLE_SQL = {
     "doc_ratios": SQL_DOC_RATIOS,
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_lm_score": SQL_DOC_LM_SCORE,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,
     "embed_group_centroid": SQL_EMBED_GROUP_CENTROID,

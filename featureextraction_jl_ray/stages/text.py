@@ -366,6 +366,13 @@ def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         toks = pc.utf8_split_whitespace(batch.column(text_col))
         n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         n_per = np.nan_to_num(n_per.astype(np.float64)).astype(np.int64)
+        # utf8_split_whitespace('') yields [''] — treat whitespace-only
+        # docs as zero tokens (zero chunks), like the SQL len(ws)>0 guard
+        trimmed = pc.utf8_length(pc.utf8_trim_whitespace(
+            pc.fill_null(batch.column(text_col), ""))).to_numpy(
+            zero_copy_only=False)
+        true_n = n_per.copy()  # actual list lengths — flat-array offsets
+        n_per = np.where(trimmed == 0, 0, n_per)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         over = np.maximum(n_per - size, 0)
         n_chunks = np.where(n_per == 0, 0,
@@ -383,7 +390,7 @@ def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         k = np.arange(total_chunks, dtype=np.int64) - np.repeat(cstart, n_chunks)
         tok_start = k * stride
         csize = np.minimum(size, n_per[doc_of] - tok_start)
-        doc_tok_start = (np.cumsum(n_per) - n_per)[doc_of]
+        doc_tok_start = (np.cumsum(true_n) - true_n)[doc_of]
         flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
         total_toks = int(csize.sum())
         tstarts = np.cumsum(csize) - csize

@@ -137,3 +137,23 @@ def test_char_bigram_lm_flags_junk(ray_session):
     t2 = pa.table({"doc_id": [0], "text": ["x"]})
     out2 = score_char_bigram_lm(rd.from_arrow(t2), logp).to_pandas()
     assert np.isnan(out2.lm_score.iloc[0])
+
+
+def test_chunk_documents_overlap_and_tail(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": [" ".join(toks), "a b", ""]})
+    out = chunk_documents(rd.from_arrow(t), size=4, stride=3).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    d0 = out[out.doc_id == 0]
+    # 10 tokens, size 4, stride 3 → chunks at 0,3,6 (ceil((10-4)/3)+1 = 3)
+    assert list(d0.chunk_text) == ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert list(d0.n_tokens) == [4, 4, 4]
+    d1 = out[out.doc_id == 1]
+    assert list(d1.chunk_text) == ["a b"] and list(d1.n_tokens) == [2]
+    assert (out.doc_id != 2).all()  # empty doc → zero chunks
