@@ -128,6 +128,14 @@ def run_bench() -> dict:
         "pca_whiten_transform",
         "knn_bruteforce",
         "minhash_near_dup",
+        # round-2 session additions (keys are additive — earlier rounds'
+        # entries stay comparable)
+        "decayed_user_value",
+        "session_stats",
+        "bloom_semi_join",
+        "edit1_pairs",
+        "corpus_filter",
+        "pivot_user_type",
     ]
     if not os.environ.get("FX_SKIP_QUERIES"):
         for name in bench_queries:

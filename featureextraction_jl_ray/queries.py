@@ -281,6 +281,48 @@ SELECT event_type, user_id, n, rank FROM (
 """
 
 
+def q_weighted_mean_price(sf_dir):
+    """Quantity-weighted mean price per (returnflag, linestatus):
+    (Σw·x, Σw) partials through the ordinary combiner exchange — the
+    weighted-aggregate form every importance-weighted feature needs.
+    1e-6 grid."""
+    from .stages.groupagg import grouped_aggregate
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        wx = pc.multiply(t.column("l_quantity"), t.column("l_extendedprice"))
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "l_linestatus": t.column("l_linestatus"),
+                         "__wx": wx, "__w": t.column("l_quantity")})
+
+    sums = grouped_aggregate(
+        ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        {"__swx": ("__wx", "sum"), "__sw": ("__w", "sum")}, num_buckets=8)
+
+    def final(t: pa.Table) -> pa.Table:
+        wm = np.round(
+            t.column("__swx").to_numpy(zero_copy_only=False)
+            / t.column("__sw").to_numpy(zero_copy_only=False), 6)
+        return pa.table({"l_returnflag": t.column("l_returnflag"),
+                         "l_linestatus": t.column("l_linestatus"),
+                         "wmean_price": pa.array(wm)})
+
+    return sums.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_WEIGHTED_MEAN_PRICE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(sum(l_quantity * l_extendedprice) / sum(l_quantity), 6)
+         AS wmean_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def q_user_type_entropy(sf_dir):
     """Per-user Shannon entropy (log2) + Herfindahl concentration of the
     event_type distribution — behavioral-diversity features.  Partial
@@ -2945,6 +2987,7 @@ QUERIES = {
     "user_mode_type": q_user_mode_type,
     "user_value_trend": q_user_value_trend,
     "user_type_entropy": q_user_type_entropy,
+    "weighted_mean_price": q_weighted_mean_price,
     "pivot_user_type": q_pivot_user_type,
     "melt_lineitem": q_melt_lineitem,
     "filter_project": q_filter_project,
@@ -3062,6 +3105,7 @@ ORACLE_SQL = {
     "user_mode_type": SQL_USER_MODE_TYPE,
     "user_value_trend": SQL_USER_VALUE_TREND,
     "user_type_entropy": SQL_USER_TYPE_ENTROPY,
+    "weighted_mean_price": SQL_WEIGHTED_MEAN_PRICE,
     "pivot_user_type": SQL_PIVOT_USER_TYPE,
     "melt_lineitem": SQL_MELT_LINEITEM,
     "filter_project": SQL_FILTER_PROJECT,
