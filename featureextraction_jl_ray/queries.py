@@ -1430,6 +1430,73 @@ FROM chunks
 """
 
 
+def q_doc_keywords(sf_dir):
+    """Per-document top-3 TF-IDF keywords — a pure COMPOSITION of
+    existing operators: token explode → (doc, term) tf counts → term df
+    counts → idf broadcast-joined (vocab-bounded, facts never reshuffle)
+    → per-doc top-k.  Score = tf·ln(N/df), bit-identical on both sides
+    (same libm ln over the same args), pinned to 1e-6 anyway; ties break
+    (score desc, term asc)."""
+    from .stages.groupagg import grouped_aggregate, grouped_topn
+    from .stages.joins import broadcast_join
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    n_docs = float(ds.count())
+
+    def explode(t: pa.Table) -> pa.Table:
+        import re
+
+        texts = t.column("text").to_pandas().str.lower()
+        words = texts.str.findall(re.compile(r"\w+"))
+        n_per = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        dids = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False),
+                         n_per)
+        return pa.table({"doc_id": pa.array(dids),
+                         "term": pa.array(words.explode().dropna().to_numpy(),
+                                          type=pa.string())})
+
+    ex = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    tf = grouped_aggregate(ex, ["doc_id", "term"], {"tf": ("term", "count")},
+                           num_buckets=16)
+    df = grouped_aggregate(tf, "term", {"df": ("doc_id", "count")},
+                           num_buckets=8)
+    joined = broadcast_join(tf, df, on="term", how="left")
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.round(tfv * np.log(n_docs / dfv), 6)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "term": t.column("term"),
+                         "score": pa.array(s)})
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    # grouped_topn orders ascending per column spec: score desc, term asc
+    return grouped_topn(scored, "doc_id", ["score", "term"], n=3,
+                        ascending=[False, True], num_buckets=16)
+
+
+SQL_DOC_KEYWORDS = r"""
+WITH ex AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln((SELECT c FROM n) / df.df), 6) AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) <= 3
+"""
+
+
 def q_doc_repetition(sf_dir):
     """Gopher-style repetition quality signals: word-dup ratio and
     top-bigram fraction per document (the filters that catch template /
@@ -3022,6 +3089,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_lm_score": q_doc_lm_score,
     "chunk_documents": q_chunk_documents,
+    "doc_keywords": q_doc_keywords,
     "explode_tokens": q_explode_tokens,
     "explode_embedding": q_explode_embedding,
     "embed_group_centroid": q_embed_group_centroid,
@@ -3140,6 +3208,7 @@ ORACLE_SQL = {
     "doc_repetition": SQL_DOC_REPETITION,
     "doc_lm_score": SQL_DOC_LM_SCORE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "doc_keywords": SQL_DOC_KEYWORDS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,
     "embed_group_centroid": SQL_EMBED_GROUP_CENTROID,

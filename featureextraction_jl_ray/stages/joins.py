@@ -23,14 +23,23 @@ __all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join",
            "range_join", "build_bloom", "bloom_semi_join", "BloomFilter"]
 
 
+def _concat_nonempty(tables: list[pa.Table]) -> pa.Table:
+    """concat that tolerates Ray's empty schema-less blocks (a map/
+    groupby plan can emit zero-column empties alongside real blocks)."""
+    real = [t for t in tables if t.num_columns > 0]
+    if not real:
+        return tables[0] if tables else pa.table({})
+    return pa.concat_tables(real, promote_options="default")
+
+
 def _small_side_to_pandas(small) -> pd.DataFrame:
     if isinstance(small, pd.DataFrame):
         return small
     if isinstance(small, pa.Table):
         return arrow_to_pandas_safe(small)
     # a Dataset: materialize — caller asserts it is the SMALL side
-    tables = [ray.get(r) for r in small.to_arrow_refs()]
-    return arrow_to_pandas_safe(pa.concat_tables(tables))
+    return arrow_to_pandas_safe(_concat_nonempty(
+        [ray.get(r) for r in small.to_arrow_refs()]))
 
 
 def _small_side_to_arrow(small) -> pa.Table:
@@ -39,7 +48,7 @@ def _small_side_to_arrow(small) -> pa.Table:
     if isinstance(small, pd.DataFrame):
         return pa.Table.from_pandas(small, preserve_index=False)
     # a Dataset: materialize — caller asserts it is the SMALL side
-    return pa.concat_tables([ray.get(r) for r in small.to_arrow_refs()])
+    return _concat_nonempty([ray.get(r) for r in small.to_arrow_refs()])
 
 
 def broadcast_join(
