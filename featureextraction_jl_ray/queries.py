@@ -1430,6 +1430,58 @@ FROM chunks
 """
 
 
+def q_pack_chunks(sf_dir):
+    """Sequence packing after chunking: 32/24 token chunks packed into
+    ≈256-token training bins within fmix32 doc shards — the watermark
+    (vectorizable) relaxation of greedy packing; the ENTIRE assignment
+    (shard hash + running-token bin) is reproduced in SQL row-exactly."""
+    from .stages.text import chunk_documents, pack_chunks
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    chunks = chunk_documents(ds, size=32, stride=24)
+    out = pack_chunks(chunks, capacity=256, num_shards=4)
+    return out.select_columns(
+        ["doc_id", "chunk_id", "n_tokens", "pack_shard", "pack_bin"])
+
+
+def _pack_chunks_sql() -> str:
+    from .stages.split import sql_hash_cte
+
+    chunks_src = r"""(
+  WITH words AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+  ),
+  meta AS (
+    SELECT doc_id, ws,
+           CASE WHEN len(ws) <= 32 THEN 1
+                ELSE (len(ws) - 32 + 23) // 24 + 1 END AS nc
+    FROM words WHERE len(ws) > 0
+  )
+  SELECT doc_id, k AS chunk_id,
+         len(list_slice(ws, k * 24 + 1, k * 24 + 32)) AS n_tokens
+  FROM meta
+  CROSS JOIN LATERAL (SELECT unnest(range(0, nc)) AS k) t
+)"""
+    cte = sql_hash_cte(chunks_src, "doc_id", "doc_id, chunk_id, n_tokens")
+    return f"""
+WITH {cte},
+packed AS (
+  SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(h % 4 AS BIGINT) AS pack_shard
+  FROM __hx
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_tokens, pack_shard,
+       CAST((sum(n_tokens) OVER w - n_tokens) // 256 AS BIGINT) AS pack_bin
+FROM packed
+WINDOW w AS (PARTITION BY pack_shard ORDER BY doc_id, chunk_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+SQL_PACK_CHUNKS = _pack_chunks_sql()
+
+
 def q_doc_keywords(sf_dir):
     """Per-document top-3 TF-IDF keywords — a pure COMPOSITION of
     existing operators: token explode → (doc, term) tf counts → term df
@@ -3090,6 +3142,7 @@ QUERIES = {
     "doc_lm_score": q_doc_lm_score,
     "chunk_documents": q_chunk_documents,
     "doc_keywords": q_doc_keywords,
+    "pack_chunks": q_pack_chunks,
     "explode_tokens": q_explode_tokens,
     "explode_embedding": q_explode_embedding,
     "embed_group_centroid": q_embed_group_centroid,
@@ -3209,6 +3262,7 @@ ORACLE_SQL = {
     "doc_lm_score": SQL_DOC_LM_SCORE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "doc_keywords": SQL_DOC_KEYWORDS,
+    "pack_chunks": SQL_PACK_CHUNKS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,
     "embed_group_centroid": SQL_EMBED_GROUP_CENTROID,

@@ -32,6 +32,7 @@ __all__ = [
     "fit_char_bigram_lm",
     "score_char_bigram_lm",
     "chunk_documents",
+    "pack_chunks",
 ]
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -407,3 +408,41 @@ def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_chunks(ds, *, token_col: str = "n_tokens", capacity: int = 512,
+                shard_key: str = "doc_id", num_shards: int = 8,
+                order_cols: tuple[str, ...] = ("doc_id", "chunk_id")):
+    """Pack chunk rows into ≈capacity-token training sequences — the
+    step after :func:`chunk_documents` in an LLM pipeline.
+
+    Watermark form: within each PACK SHARD (fmix32(shard_key) mod
+    num_shards — shards pack independently, so the op parallelizes and
+    resumes like everything else) rows are ordered by ``order_cols`` and
+    ``pack_bin = floor(running_tokens_before / capacity)``.  A bin
+    therefore holds ≥ capacity − max_chunk + 1 and ≤ capacity +
+    max_chunk − 1 tokens — the vectorizable streaming relaxation of
+    exact capacity-capped greedy packing (which needs a sequential
+    scan); the overflow bound is asserted in pytest.  The shard hash is
+    SQL-expressible (``sql_hash_cte``), so the full assignment is
+    gate-verifiable."""
+    from .partition import _BUCKET  # reuse the bucket column name  # noqa: F401
+    from .split import hash_u32
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        keys = t.column(shard_key).to_numpy(zero_copy_only=False)
+        shard = (hash_u32(keys) % np.uint64(num_shards)).astype(np.int64)
+        return t.append_column("pack_shard", pa.array(shard))
+
+    def pack(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(list(order_cols), kind="mergesort",
+                                       ignore_index=True)
+        n = df[token_col].to_numpy(dtype=np.int64)
+        before = np.cumsum(n) - n
+        df["pack_bin"] = before // capacity
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return sharded.groupby("pack_shard").map_groups(pack,
+                                                    batch_format="pyarrow")

@@ -157,3 +157,31 @@ def test_chunk_documents_overlap_and_tail(ray_session):
     d1 = out[out.doc_id == 1]
     assert list(d1.chunk_text) == ["a b"] and list(d1.n_tokens) == [2]
     assert (out.doc_id != 2).all()  # empty doc → zero chunks
+
+
+def test_pack_chunks_capacity_bound(ray_session):
+    """Every pack bin (except possibly a shard's last) holds within
+    [capacity − max_chunk + 1, capacity + max_chunk − 1] tokens, and
+    chunks stay in (doc, chunk) order within a bin."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.text import chunk_documents, pack_chunks
+
+    rng = np.random.default_rng(5)
+    texts = [" ".join(f"w{i}" for i in range(rng.integers(5, 120)))
+             for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(200), type=pa.int64()),
+                  "text": texts})
+    chunks = chunk_documents(rd.from_arrow(t), size=32, stride=32)
+    out = pack_chunks(chunks, capacity=128, num_shards=4).to_pandas()
+    max_chunk = 32
+    for shard, g in out.groupby("pack_shard"):
+        g = g.sort_values(["doc_id", "chunk_id"], ignore_index=True)
+        # running-order invariant: bins are non-decreasing in scan order
+        assert (g.pack_bin.diff().fillna(0) >= 0).all()
+        sizes = g.groupby("pack_bin").n_tokens.sum()
+        last_bin = g.pack_bin.max()
+        full = sizes[sizes.index != last_bin]
+        assert (full >= 128 - max_chunk + 1).all()
+        assert (full <= 128 + max_chunk - 1).all()
