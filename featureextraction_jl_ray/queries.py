@@ -1009,6 +1009,60 @@ GROUP BY prev_type, event_type
 """
 
 
+def q_user_gap_stats(sf_dir):
+    """Per-user activity cadence: mean and median inter-event gap in
+    seconds (lag composition → grouped mean + exact quantile).  First
+    events (no predecessor) are excluded, like the oracle's lag NULL.
+    1e-6 grid."""
+    from .stages.groupagg import grouped_aggregate, grouped_quantile
+    from .stages.window import with_lag
+
+    ds = _events(sf_dir).select_columns(["event_id", "user_id", "ts"])
+    ds = with_lag(ds, "user_id", "ts", ["ts"], k=1, num_buckets=32,
+                  tiebreak_cols=("event_id",))
+
+    def gap(t: pa.Table) -> pa.Table:
+        # INTEGER microseconds, no rounding grid anywhere downstream:
+        # sums/means/medians of exact ints are bit-identical across
+        # engines, where second-unit floats sat exactly on grid edges
+        g = pc.cast(pc.subtract(t.column("ts"), t.column("lag1_ts")),
+                    pa.int64())
+        out = pa.table({"user_id": t.column("user_id"), "gap_us": g})
+        return out.filter(pc.is_valid(out.column("gap_us")))
+
+    gaps = ds.map_batches(gap, batch_format="pyarrow", zero_copy_batch=True)
+    mean = grouped_aggregate(gaps, "user_id",
+                             {"mean_gap_us": ("gap_us", "mean")}, num_buckets=8)
+    med = grouped_quantile(gaps, "user_id", "gap_us", qs=(0.5,), num_buckets=8)
+    out = mean.join(med, join_type="inner", num_partitions=4, on=("user_id",))
+    out = out.select_columns(["user_id", "mean_gap_us", "q50"])
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "mean_gap_us": t.column("mean_gap_us"),
+            "median_gap_us": t.column("q50"),
+        })
+
+    return out.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_USER_GAP_STATS = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id), ts) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       sum(CAST(gap_us AS DOUBLE)) / count(gap_us) AS mean_gap_us,
+       quantile_cont(gap_us, 0.5) AS median_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def q_sessionize(sf_dir):
     from .stages.window import with_sessionize
 
@@ -3127,6 +3181,7 @@ QUERIES = {
     "lag_lead": q_lag_lead,
     "event_transitions": q_event_transitions,
     "tumbling_user_hour": q_tumbling_user_hour,
+    "user_gap_stats": q_user_gap_stats,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
     "rolling": q_rolling,
@@ -3247,6 +3302,7 @@ ORACLE_SQL = {
     "lag_lead": SQL_LAG_LEAD,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "tumbling_user_hour": SQL_TUMBLING_USER_HOUR,
+    "user_gap_stats": SQL_USER_GAP_STATS,
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
     "rolling": SQL_ROLLING,
