@@ -3129,6 +3129,21 @@ def q_image_embed_near_dup(sf_dir):
     return df
 
 
+def q_image_prep(sf_dir):
+    """COMPOSED image corpus-prep funnel: resize → quality flags → drop
+    dark/bright/low-contrast → phash near-dup collapse.  Binary pixels
+    aren't SQL → rows-only; stage kernels are each pytest/gate-verified
+    and the funnel's monotonicity (output ⊆ flag-clean ⊆ input) is
+    pytest-asserted."""
+    from .pipelines.imageprep import run_image_prep
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"])
+    kept, _pairs = run_image_prep(images)
+    return kept.select_columns(
+        ["image_id", "lum_mean", "lum_std", "r_mean", "g_mean", "b_mean"])
+
+
 def q_image_resize_stats(sf_dir):
     """Corpus-prep image path: resize every image to a fixed 16×16 (the
     pre-inference normalization step), then per-image channel/luminance
@@ -3230,6 +3245,7 @@ QUERIES = {
     "image_resize_stats": q_image_resize_stats,
     "image_patch_pca": q_image_patch_pca,
     "image_embed_near_dup": q_image_embed_near_dup,
+    "image_prep": q_image_prep,
     "hash_split_events": q_hash_split_events,
     "weighted_sample": q_weighted_sample,
     "profile_events": q_profile_events,

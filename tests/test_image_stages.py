@@ -219,3 +219,23 @@ def test_image_embed_near_dup_finds_planted_pairs(ray_session):
     # threshold 0.999 — anything returned is a true near-dup by exact verify
     if len(df):
         assert (df.cosine >= 0.999).all()
+
+
+def test_image_prep_funnel_monotone(ray_session):
+    """The image-prep funnel only removes rows (flags then dedup) and
+    every survivor is flag-clean."""
+    import ray.data as rd
+
+    from featureextraction_jl_ray.pipelines.imageprep import run_image_prep
+    from featureextraction_jl_ray.queries import _synth_for
+
+    _, paths = _synth_for("/root/testdata/sf0.001")
+    images = rd.read_parquet(paths["images"])
+    n_in = images.count()
+    kept, pairs = run_image_prep(images)
+    df = kept.to_pandas()
+    assert 0 < len(df) <= n_in
+    # synth plants Hamming≈1 phash near-dups → the collapse removes some
+    assert len(df) < n_in
+    assert not (df.lum_mean <= 32.0).any() and not (df.lum_mean >= 224.0).any()
+    assert (df.lum_std > 8.0).all()
