@@ -155,3 +155,33 @@ def test_profile_empty(ray_session):
                           ["event_id", "event_type"])
     assert list(out.column) == ["event_id", "event_type"]
     assert (out.n == 0).all() and (out.n_distinct == 0).all()
+
+
+def test_loud_guards_fire(ray_session):
+    """Every scale guard added this session raises loudly instead of
+    OOMing: decay carry-matrix bound, resample grid fan-out, edit1
+    blocking-key group bound."""
+    import pyarrow as pa
+    import pytest
+
+    from featureextraction_jl_ray.stages.asof import resample_entity_grid
+    from featureextraction_jl_ray.stages.editdist import edit1_pairs
+    from featureextraction_jl_ray.stages.window import with_decayed_sum
+
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta([0, 3600 * 24 * 365], unit="s")
+    t = pa.table({"eid": pa.array([0, 0], type=pa.int64()),
+                  "ts": pa.array(ts, type=pa.timestamp("us")),
+                  "v": [1.0, 2.0]})
+    ds = ray_session.data.from_arrow(t)
+    with pytest.raises(Exception, match="decay chunks|carry-matrix"):
+        with_decayed_sum(ds, "eid", "ts", "v", tau="1ms", num_buckets=2
+                         ).to_pandas()
+    with pytest.raises(Exception, match="grid rows"):
+        resample_entity_grid(ds, "eid", "ts", ["v"], freq="1s",
+                             max_grid_rows_per_entity=100, num_buckets=2
+                             ).to_pandas()
+    docs = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                     "text": ["identical blocking key"] * 40})
+    with pytest.raises(Exception, match="max_group"):
+        edit1_pairs(ray_session.data.from_arrow(docs), text_col="text",
+                    id_col="doc_id", max_group=10).to_pandas()
