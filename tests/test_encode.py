@@ -137,3 +137,27 @@ def test_cross_encode_unknowns_null(ray_session):
     # idx(x)=0, idx(y)=1; |Vb|=2; idx(p)=0, idx(q)=1; unknown 'zz' → null
     assert list(out.c[:2]) == [0, 3]
     assert pd.isna(out.c.iloc[2])
+
+
+def test_melt_pivot_roundtrip(ray_session):
+    """melt (wide→long) then pivot_aggregate (long→wide sums) equals a
+    direct grouped sum of the original wide columns."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.groupagg import pivot_aggregate
+    from featureextraction_jl_ray.stages.reshape import melt
+
+    rng = np.random.default_rng(2)
+    t = pa.table({"k": pa.array(rng.integers(0, 5, 100), type=pa.int64()),
+                  "a": rng.normal(size=100), "b": rng.normal(size=100)})
+    long = melt(rd.from_arrow(t), "k", ["a", "b"], var_name="m",
+                value_name="v")
+    wide = pivot_aggregate(long, "k", "m", "v", aggs=("sum",),
+                           categories=["a", "b"], prefix="p",
+                           num_buckets=4).to_pandas()
+    wide = wide.sort_values("k", ignore_index=True)
+    ref = (t.to_pandas().groupby("k")[["a", "b"]].sum().reset_index()
+           .sort_values("k", ignore_index=True))
+    np.testing.assert_allclose(wide.p_a_sum, ref.a, rtol=1e-9)
+    np.testing.assert_allclose(wide.p_b_sum, ref.b, rtol=1e-9)
