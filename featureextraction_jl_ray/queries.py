@@ -647,6 +647,45 @@ GROUP BY c_custkey, c_mktsegment
 """
 
 
+def q_sales_by_region(sf_dir):
+    """THREE-level dimension chain (orders → customer → nation → region)
+    aggregated to per-region order counts + sales — the star-schema
+    broadcast pattern end-to-end: each dim ships once, the fact side
+    never shuffles until the final tiny keyed exchange.  Cent grid."""
+    from .stages.groupagg import grouped_aggregate
+    from .stages.joins import broadcast_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    # pre-join the (tiny) dim chain driver-side, broadcast ONCE
+    dim = (cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+               .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    dim = dim[["c_custkey", "r_name"]].rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, dim, on="o_custkey", how="inner")
+    out = grouped_aggregate(
+        joined, "r_name",
+        {"n_orders": ("o_totalprice", "count"),
+         "sum_price": ("o_totalprice", "sum")}, num_buckets=4)
+    return _round_cols(out, {"sum_price": 2})
+
+
+SQL_SALES_BY_REGION = """
+SELECT r_name,
+       count(o_totalprice) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS sum_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 SQL_JOIN_AGG = """
 SELECT c_mktsegment,
        count(o_totalprice) AS n_orders,
@@ -3181,6 +3220,7 @@ QUERIES = {
     "filter_project": q_filter_project,
     "hash_join_agg": q_hash_join_agg,
     "left_join_agg": q_left_join_agg,
+    "sales_by_region": q_sales_by_region,
     "broadcast_join_agg": q_broadcast_join_agg,
     "range_join": q_range_join,
     "semi_join": q_semi_join,
@@ -3303,6 +3343,7 @@ ORACLE_SQL = {
     "filter_project": SQL_FILTER_PROJECT,
     "hash_join_agg": SQL_JOIN_AGG,
     "left_join_agg": SQL_LEFT_JOIN_AGG,
+    "sales_by_region": SQL_SALES_BY_REGION,
     "broadcast_join_agg": SQL_JOIN_AGG,
     "range_join": SQL_RANGE_JOIN,
     "semi_join": SQL_SEMI_JOIN,
