@@ -155,6 +155,60 @@ GROUP BY CUBE(event_type, user_parity)
 """
 
 
+def q_part_brand_stats(sf_dir):
+    """Per-brand part stats + per-nation supplier account balance — one
+    combiner exchange each, unioned to touch the remaining dimension
+    tables.  1e-6 grid on the means."""
+    from .stages.groupagg import grouped_aggregate
+
+    part = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_brand", "p_retailprice", "p_size"])
+    pstats = grouped_aggregate(
+        part, "p_brand",
+        {"n": ("p_size", "count"), "avg_price": ("p_retailprice", "mean"),
+         "max_size": ("p_size", "max")}, num_buckets=4)
+
+    def label_p(t: pa.Table) -> pa.Table:
+        return pa.table({"grp": pc.binary_join_element_wise(
+                             pa.array(["brand"] * t.num_rows),
+                             pc.cast(t.column("p_brand"), pa.string()), ":"),
+                         "n": t.column("n"),
+                         "avg_val": t.column("avg_price"),
+                         "max_val": pc.cast(t.column("max_size"), pa.float64())})
+
+    sup = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                             columns=["s_nationkey", "s_acctbal"])
+    sstats = grouped_aggregate(
+        sup, "s_nationkey",
+        {"n": ("s_acctbal", "count"), "avg_bal": ("s_acctbal", "mean"),
+         "max_bal": ("s_acctbal", "max")}, num_buckets=4)
+
+    def label_s(t: pa.Table) -> pa.Table:
+        return pa.table({"grp": pc.binary_join_element_wise(
+                             pa.array(["nation"] * t.num_rows),
+                             pc.cast(t.column("s_nationkey"), pa.string()), ":"),
+                         "n": t.column("n"),
+                         "avg_val": t.column("avg_bal"),
+                         "max_val": pc.cast(t.column("max_bal"), pa.float64())})
+
+    both = (pstats.map_batches(label_p, batch_format="pyarrow")
+            .union(sstats.map_batches(label_s, batch_format="pyarrow")))
+    return _round_cols(both, {"avg_val": 6, "max_val": 6})
+
+
+SQL_PART_BRAND_STATS = """
+SELECT 'brand:' || p_brand AS grp, count(p_size) AS n,
+       ROUND(avg(p_retailprice), 6) AS avg_val,
+       ROUND(CAST(max(p_size) AS DOUBLE), 6) AS max_val
+FROM part GROUP BY p_brand
+UNION ALL
+SELECT 'nation:' || s_nationkey AS grp, count(s_acctbal) AS n,
+       ROUND(avg(s_acctbal), 6) AS avg_val,
+       ROUND(max(s_acctbal), 6) AS max_val
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 def q_agg_events_var(sf_dir):
     """Sample variance / stddev per event_type via (Σx, Σx², n) partials
     — the partializable spread aggregates a feature pipeline needs.
@@ -3205,6 +3259,7 @@ QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "rollup_lineitem": q_rollup_lineitem,
     "cube_events": q_cube_events,
+    "part_brand_stats": q_part_brand_stats,
     "agg_events_var": q_agg_events_var,
     "count_distinct_users": q_count_distinct_users,
     "count_distinct_users_hll": q_count_distinct_users_hll,
@@ -3329,6 +3384,7 @@ ORACLE_SQL = {
     "agg_lineitem": SQL_AGG_LINEITEM,
     "rollup_lineitem": SQL_ROLLUP_LINEITEM,
     "cube_events": SQL_CUBE_EVENTS,
+    "part_brand_stats": SQL_PART_BRAND_STATS,
     "agg_events_var": SQL_AGG_EVENTS_VAR,
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "count_distinct_users_hll": SQL_COUNT_DISTINCT_USERS,
