@@ -794,6 +794,26 @@ def q_bloom_semi_join(sf_dir):
                            right_on="c_custkey", num_partitions=8)
 
 
+def q_bloom_anti_join(sf_dir):
+    """Dedup-against-history: customers with NO big order, via the bloom
+    short-circuit anti-join (definite-absent rows never exchange; bloom
+    FPs only route rows through the exact verify, never drop them).
+    Same oracle as ``anti_join``."""
+    import pyarrow.dataset as pads
+
+    from .stages.joins import bloom_anti_join
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name", "c_acctbal"])
+    big_orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > 400000.0,
+    )
+    return bloom_anti_join(cust, big_orders, on="c_custkey",
+                           right_on="o_custkey", num_partitions=8)
+
+
 def q_anti_join(sf_dir):
     from .stages.joins import anti_join
 
@@ -3280,6 +3300,7 @@ QUERIES = {
     "range_join": q_range_join,
     "semi_join": q_semi_join,
     "bloom_semi_join": q_bloom_semi_join,
+    "bloom_anti_join": q_bloom_anti_join,
     "anti_join": q_anti_join,
     "topk_orders": q_topk_orders,
     "distinct_types": q_distinct_types,
@@ -3404,6 +3425,7 @@ ORACLE_SQL = {
     "range_join": SQL_RANGE_JOIN,
     "semi_join": SQL_SEMI_JOIN,
     "bloom_semi_join": SQL_SEMI_JOIN,
+    "bloom_anti_join": SQL_ANTI_JOIN,
     "anti_join": SQL_ANTI_JOIN,
     "topk_orders": SQL_TOPK_ORDERS,
     "distinct_types": SQL_DISTINCT_TYPES,

@@ -20,7 +20,7 @@ import ray
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 
 __all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join",
-           "range_join", "build_bloom", "bloom_semi_join", "BloomFilter"]
+           "range_join", "build_bloom", "bloom_semi_join", "bloom_anti_join", "BloomFilter"]
 
 
 def _concat_nonempty(tables: list[pa.Table]) -> pa.Table:
@@ -383,3 +383,39 @@ def bloom_semi_join(big, keys, *, on: str, right_on: str | None = None,
                             num_partitions=num_partitions,
                             on=(on,), right_on=(right_on,))
     return joined.select_columns(left_cols)
+
+
+def bloom_anti_join(big, keys, *, on: str, right_on: str | None = None,
+                    bits_per_key: int = 16, num_partitions: int = 16):
+    """EXACT anti-join with a bloom short-circuit — the dedup-against-
+    history shape (keep only rows whose key was never seen): rows the
+    bloom says are DEFINITELY absent pass through with zero exchange;
+    only the ~FP·|big| + |match| collision rows exact-verify against the
+    distinct keys (hash-partitioned left_anti join).  Output is exact —
+    a bloom false positive can only route a row through the verify path,
+    never drop it."""
+    right_on = on if right_on is None else right_on
+    bf = build_bloom(keys, right_on, bits_per_key=bits_per_key)
+
+    def definite_absent(batch: pa.Table) -> pa.Table:
+        vals = batch.column(on).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~bf.contains(vals)))
+
+    def possible_member(batch: pa.Table) -> pa.Table:
+        vals = batch.column(on).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bf.contains(vals)))
+
+    absent = big.map_batches(definite_absent, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    collide = big.map_batches(possible_member, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if isinstance(keys, (pd.DataFrame, pa.Table)):
+        df = _small_side_to_pandas(keys)[[right_on]].drop_duplicates()
+        df = df.rename(columns={right_on: on})
+        survivors = anti_join(collide, df, on=on)
+    else:
+        distinct = keys.groupby(right_on).count().select_columns([right_on])
+        survivors = collide.join(distinct, join_type="left_anti",
+                                 num_partitions=num_partitions,
+                                 on=(on,), right_on=(right_on,))
+    return absent.union(survivors)

@@ -57,3 +57,21 @@ def test_bloom_semi_join_exact_vs_unverified(ray_session):
                           verify=False).to_pandas()
     assert set(want.o_orderkey) <= set(pre.o_orderkey)
     assert len(pre) >= len(want)
+
+
+def test_bloom_anti_join_never_drops_novel_rows(ray_session):
+    """Exactness under FPs: with a tiny bloom (high FP rate) the anti
+    join still returns exactly the true non-members — false positives
+    only route rows through the verify path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.joins import bloom_anti_join
+
+    big = rd.from_arrow(pa.table({"k": pa.array(range(2000), type=pa.int64())}))
+    seen = rd.from_arrow(pa.table({"k": pa.array(range(0, 2000, 2),
+                                                 type=pa.int64())}))
+    # 2 bits/key → FP rate ~60%: the exactness must come from the verify
+    out = bloom_anti_join(big, seen, on="k", bits_per_key=2,
+                          num_partitions=4).to_pandas()
+    assert set(out.k) == set(range(1, 2000, 2))
