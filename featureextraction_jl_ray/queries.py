@@ -2051,6 +2051,34 @@ def q_knn_ivf(sf_dir):
     return out
 
 
+def q_knn_filtered(sf_dir):
+    """FILTERED similarity search (search within a segment): the
+    predicate rides the scan, so only matching rows are scored — no
+    post-filtering of a larger top-k.  Same exact-cosine oracle with the
+    mirrored WHERE."""
+    from .stages.similarity import knn_cosine
+
+    ds = (_rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+          .filter(expr="vec_id % 2 == 0"))
+    out = knn_cosine(ds, _query_vecs(sf_dir), vector_col="embedding",
+                     id_col="vec_id", k=10)
+    out = out[["query_id", "vec_id", "score"]].copy()
+    out["score"] = np.round(out["score"].to_numpy(), 9)
+    return out
+
+
+SQL_KNN_FILTERED = """
+SELECT query_id, vec_id, ROUND(sim, 9) AS score FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS sim
+  FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 0) e,
+       (SELECT * FROM embeddings WHERE vec_id < 4) q
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY sim DESC, e.vec_id) <= 10)
+"""
+
+
 def q_knn_quantized(sf_dir):
     """Top-k cosine over the int8-QUANTIZED corpus (4× smaller vectors
     through the object store — the ANN memory lever).  Approximate only
@@ -3341,6 +3369,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
     "knn_quantized": q_knn_quantized,
+    "knn_filtered": q_knn_filtered,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_dedup": q_embedding_dedup,
     "minhash_near_dup": q_minhash_near_dup,
@@ -3459,6 +3488,7 @@ ORACLE_SQL = {
     "embed_group_centroid": SQL_EMBED_GROUP_CENTROID,
     "embed_stats": SQL_EMBED_STATS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "knn_filtered": SQL_KNN_FILTERED,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
     "phash_near_dup_pairs": SQL_PHASH_NEAR_DUP_PAIRS,
