@@ -2058,8 +2058,12 @@ def q_knn_filtered(sf_dir):
     mirrored WHERE."""
     from .stages.similarity import knn_cosine
 
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(
+            pc.bit_wise_and(t.column("vec_id"), pa.scalar(1)), pa.scalar(0)))
+
     ds = (_rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-          .filter(expr="vec_id % 2 == 0"))
+          .map_batches(even, batch_format="pyarrow", zero_copy_batch=True))
     out = knn_cosine(ds, _query_vecs(sf_dir), vector_col="embedding",
                      id_col="vec_id", k=10)
     out = out[["query_id", "vec_id", "score"]].copy()
