@@ -1477,6 +1477,27 @@ def _profile_sql() -> str:
 SQL_PROFILE_EVENTS = _profile_sql()
 
 
+def q_time_split_events(sf_dir):
+    """Temporal split with a 1-day EMBARGO around the cutoff: train
+    strictly before, test strictly after the gap, in-gap rows dropped —
+    the leakage-aware split for temporally-correlated features (a hash
+    split leaks near-boundary windows both ways)."""
+    from .stages.split import time_split
+
+    ds = _events(sf_dir).select_columns(["event_id", "user_id", "ts"])
+    return time_split(ds, "ts", cutoff="2024-01-20", embargo="1d")
+
+
+SQL_TIME_SPLIT_EVENTS = """
+SELECT event_id, user_id, ts,
+       CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train' ELSE 'test' END
+         AS split
+FROM events
+WHERE ts < TIMESTAMP '2024-01-20'
+   OR ts >= TIMESTAMP '2024-01-21'
+"""
+
+
 def q_weighted_sample(sf_dir):
     """Deterministic A-Res weighted sample: 3 events per user, inclusion
     probability ∝ value, no RNG state (priorities from the pinned fmix32
@@ -3396,6 +3417,7 @@ QUERIES = {
     "image_embed_near_dup": q_image_embed_near_dup,
     "image_prep": q_image_prep,
     "hash_split_events": q_hash_split_events,
+    "time_split_events": q_time_split_events,
     "weighted_sample": q_weighted_sample,
     "profile_events": q_profile_events,
     "negative_samples": q_negative_samples,
@@ -3418,6 +3440,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "hash_split_events": SQL_HASH_SPLIT_EVENTS,
+    "time_split_events": SQL_TIME_SPLIT_EVENTS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "profile_events": SQL_PROFILE_EVENTS,
     "negative_samples": SQL_NEGATIVE_SAMPLES,

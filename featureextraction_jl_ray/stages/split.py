@@ -30,7 +30,7 @@ import pyarrow as pa
 from ..functions.hashing import stable_hash_array
 
 __all__ = ["hash_u32", "split_thresholds", "hash_split", "hash_sample",
-           "weighted_sample_by_key", "negative_samples",
+           "weighted_sample_by_key", "negative_samples", "time_split",
            "sql_hash_cte"]
 
 _M32 = np.uint64(0xFFFFFFFF)
@@ -201,5 +201,32 @@ def negative_samples(ds, id_col: str, *, k: int = 4, n_ids: int | None = None,
         return pa.table({id_col: pa.array(rep[keep]),
                          "j": pa.array(j[keep]),
                          "neg_id": pa.array(neg[keep])})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def time_split(ds, ts_col: str, *, cutoff, embargo: str | None = None,
+               out_col: str = "split"):
+    """Temporal train/test split with an optional EMBARGO gap: train =
+    ts < cutoff, test = ts ≥ cutoff + embargo, rows inside the gap are
+    DROPPED — the leakage-aware split for temporally-correlated data
+    (a hash split would leak near-boundary information both ways
+    through windowed features).  Stateless vectorized filter."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cutoff = pd.Timestamp(cutoff)
+    hi = cutoff + pd.Timedelta(embargo) if embargo else cutoff
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        is_train = pc.less(ts, pa.scalar(cutoff))
+        is_test = pc.greater_equal(ts, pa.scalar(hi))
+        keep = pc.or_(is_train, is_test)
+        batch = batch.append_column(
+            out_col, pc.if_else(is_train, pa.scalar("train"),
+                                pa.scalar("test")))
+        return batch.filter(pc.fill_null(keep, False))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
