@@ -1237,6 +1237,52 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_event_session_features(sf_dir):
+    """Per-EVENT session features: sessionize, aggregate per session,
+    then hash-join the session row back to every event — the
+    aggregate-rejoin pattern (each event knows its session's size and
+    span).  Oracled by plain window functions over the same session
+    definition."""
+    from .stages.window import with_session_stats, with_sessionize
+
+    ev = with_sessionize(_events(sf_dir), "user_id", "ts", gap="30min",
+                         num_buckets=32, tiebreak_cols=("event_id",))
+    ev = ev.select_columns(["event_id", "user_id", "ts", "session_id"])
+    st = with_session_stats(_events(sf_dir), "user_id", "ts", gap="30min",
+                            num_buckets=32, tiebreak_cols=("event_id",))
+    st = st.select_columns(["user_id", "session_id", "n_events",
+                            "duration_secs"])
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "session_id", "sess_n_events",
+                                 "sess_duration_secs"])
+
+    st = st.map_batches(rn, batch_format="pyarrow")
+    out = ev.join(st, join_type="inner", num_partitions=8,
+                  on=("user_id", "session_id"))
+    return out.select_columns(["event_id", "user_id", "ts", "session_id",
+                               "sess_n_events", "sess_duration_secs"])
+
+
+SQL_EVENT_SESSION_FEATURES = """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_id
+  FROM (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+)
+SELECT event_id, user_id, ts, session_id,
+       count(*) OVER p AS sess_n_events,
+       CAST(date_diff('microsecond', min(ts) OVER p, max(ts) OVER p)
+            AS DOUBLE) / 1e6 AS sess_duration_secs
+FROM s WINDOW p AS (PARTITION BY user_id, session_id)
+"""
+
+
 def q_rolling(sf_dir):
     from .stages.window import with_rolling
 
@@ -3368,6 +3414,7 @@ QUERIES = {
     "user_gap_stats": q_user_gap_stats,
     "sessionize": q_sessionize,
     "session_stats": q_session_stats,
+    "event_session_features": q_event_session_features,
     "rolling": q_rolling,
     "rolling_forward": q_rolling_forward,
     "decayed_user_value": q_decayed_user_value,
@@ -3496,6 +3543,7 @@ ORACLE_SQL = {
     "user_gap_stats": SQL_USER_GAP_STATS,
     "sessionize": SQL_SESSIONIZE,
     "session_stats": SQL_SESSION_STATS,
+    "event_session_features": SQL_EVENT_SESSION_FEATURES,
     "rolling": SQL_ROLLING,
     "rolling_forward": SQL_ROLLING_FORWARD,
     "decayed_user_value": SQL_DECAYED_USER_VALUE,
