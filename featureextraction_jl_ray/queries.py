@@ -3356,6 +3356,53 @@ def q_image_prep(sf_dir):
         ["image_id", "lum_mean", "lum_std", "r_mean", "g_mean", "b_mean"])
 
 
+def _synth_audio_table(n: int) -> pa.Table:
+    """Deterministic pcm16 clips (seeded sinusoid mix per clip) — the
+    audio analog of the image synth; no external data."""
+    rows_id, rows_b, rows_sr, rows_ns = [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng(1000 + i)
+        ns = int(4000 + (i % 7) * 512)
+        t = np.arange(ns)
+        f1, f2 = 0.005 + 0.002 * (i % 11), 0.02 + 0.001 * (i % 5)
+        pcm = (np.sin(t * f1) * 12000 + np.sin(t * f2) * 6000
+               + rng.normal(0, 500, ns)).astype("<i2")
+        rows_id.append(f"clip_{i:05d}")
+        rows_b.append(pcm.tobytes())
+        rows_sr.append(8000)
+        rows_ns.append(ns)
+    return pa.table({
+        "clip_id": pa.array(rows_id), "bytes": pa.array(rows_b, pa.binary()),
+        "sr": pa.array(rows_sr, pa.int32()),
+        "n_samples": pa.array(rows_ns, pa.int32()),
+        "fmt": pa.array(["pcm16"] * n),
+    })
+
+
+def q_audio_features(sf_dir):
+    """Multimodal audio path: deterministic pcm16 clips → 16 log-energy
+    FFT band features per clip (real DSP over raw audio; actor-pool
+    stage).  Binary payloads aren't SQL → rows-only; band math is
+    pytest-oracled (tests/test_multimodal.py)."""
+    from .stages.multimodal import with_audio_features
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 40, "0.01": 160, "0.1": 640}.get(sf, 40)
+    ds = _rd().from_arrow(_synth_audio_table(n))
+    out = with_audio_features(ds, n_bands=16)
+
+    def flat(t: pa.Table) -> pa.Table:
+        from .functions.veccol import list_column_to_numpy
+
+        A = list_column_to_numpy(t, "afeat", dtype=np.float32)
+        return pa.table({"clip_id": t.column("clip_id"),
+                         "band0": pa.array(A[:, 0]),
+                         "band8": pa.array(A[:, 8]),
+                         "band15": pa.array(A[:, 15])})
+
+    return out.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_image_resize_stats(sf_dir):
     """Corpus-prep image path: resize every image to a fixed 16×16 (the
     pre-inference normalization step), then per-image channel/luminance
@@ -3463,6 +3510,7 @@ QUERIES = {
     "image_patch_pca": q_image_patch_pca,
     "image_embed_near_dup": q_image_embed_near_dup,
     "image_prep": q_image_prep,
+    "audio_features": q_audio_features,
     "hash_split_events": q_hash_split_events,
     "time_split_events": q_time_split_events,
     "weighted_sample": q_weighted_sample,
