@@ -3403,6 +3403,50 @@ def q_audio_features(sf_dir):
     return out.map_batches(flat, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _synth_video_table(n: int) -> pa.Table:
+    """Deterministic rgb24 packed clips (seeded gradient + motion)."""
+    ids, bufs, ws, hs, nfs = [], [], [], [], []
+    for i in range(n):
+        rng = np.random.default_rng(2000 + i)
+        w, h, nf = 16, 12, 5 + (i % 4)
+        base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        frames = [np.roll(base, shift=f * 2, axis=1) for f in range(nf)]
+        ids.append(f"vid_{i:05d}")
+        bufs.append(b"".join(f.tobytes() for f in frames))
+        ws.append(w); hs.append(h); nfs.append(nf)
+    return pa.table({
+        "video_id": pa.array(ids), "bytes": pa.array(bufs, pa.binary()),
+        "w": pa.array(ws, pa.int32()), "h": pa.array(hs, pa.int32()),
+        "n_frames": pa.array(nfs, pa.int32()),
+        "fmt": pa.array(["rgb24"] * n),
+    })
+
+
+def q_video_frame_stats(sf_dir):
+    """Multimodal video path: packed rgb24 clips → 3 uniformly sampled
+    frames each → the IMAGE quality-stats stage over the sampled frames
+    (the video pipeline reuses the image operators downstream, as
+    designed).  Rows-only (binary payloads)."""
+    from .stages.codec import with_image_stats
+    from .stages.multimodal import with_video_frames
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 30, "0.01": 120, "0.1": 480}.get(sf, 30)
+    ds = _rd().from_arrow(_synth_video_table(n))
+    frames = with_video_frames(ds, k=3)
+
+    def add_id(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("video_id"),
+            pc.cast(t.column("frame_idx"), pa.string()), "#")
+        return t.append_column("image_id", key)
+
+    frames = frames.map_batches(add_id, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = with_image_stats(frames)
+    return out.select_columns(["image_id", "lum_mean", "lum_std"])
+
+
 def q_image_resize_stats(sf_dir):
     """Corpus-prep image path: resize every image to a fixed 16×16 (the
     pre-inference normalization step), then per-image channel/luminance
@@ -3511,6 +3555,7 @@ QUERIES = {
     "image_embed_near_dup": q_image_embed_near_dup,
     "image_prep": q_image_prep,
     "audio_features": q_audio_features,
+    "video_frame_stats": q_video_frame_stats,
     "hash_split_events": q_hash_split_events,
     "time_split_events": q_time_split_events,
     "weighted_sample": q_weighted_sample,
