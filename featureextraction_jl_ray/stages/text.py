@@ -426,7 +426,6 @@ def pack_chunks(ds, *, token_col: str = "n_tokens", capacity: int = 512,
     scan); the overflow bound is asserted in pytest.  The shard hash is
     SQL-expressible (``sql_hash_cte``), so the full assignment is
     gate-verifiable."""
-    from .partition import _BUCKET  # reuse the bucket column name  # noqa: F401
     from .split import hash_u32
 
     def add_shard(t: pa.Table) -> pa.Table:
