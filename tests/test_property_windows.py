@@ -238,3 +238,17 @@ def test_chunker_covers_every_token_exactly(token_counts, size, stride):
             assert len(toks) == row.n_tokens <= size
             seen.update(toks)
         assert seen == {f"d{d}t{i}" for i in range(n)}  # full coverage
+
+
+def test_decayed_sum_half_life_equals_tau():
+    """half_life=H is exactly tau=H/ln2 (factor-2 decay at H)."""
+    from featureextraction_jl_ray.stages.window import _decayed_sum_frame
+
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta([0, 3600], unit="s")
+    df = pd.DataFrame({"eid": np.zeros(2, np.int64), "ts": ts,
+                       "v": [1.0, 0.0]})
+    h_us = 3600e6
+    got = _decayed_sum_frame(df.copy(), "eid", "ts", "v",
+                             h_us / np.log(2.0), "dec")
+    # one half-life later, the first event's unit mass has halved
+    np.testing.assert_allclose(got.dec.iloc[1], 0.5, rtol=1e-12)
