@@ -961,6 +961,42 @@ SELECT event_id, user_id, ts, value, state_value FROM (
 """
 
 
+def q_asof_nearest(sf_dir):
+    """NEAREST as-of (the last direction variant): each event attaches
+    the purchase state with the smallest |Δts|, equidistant ties to the
+    EARLIER state (pandas merge_asof convention, mirrored in the
+    oracle's ORDER BY)."""
+    from .stages.asof import asof_join
+
+    left = _events(sf_dir).select_columns(["event_id", "user_id", "ts", "value"])
+    out = asof_join(
+        left,
+        _purchase_state(sf_dir),
+        on="ts",
+        by="user_id",
+        right_cols=["state_value"],
+        direction="nearest",
+        num_buckets=32,
+        left_tiebreak=("event_id",),
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "value", "state_value"])
+
+
+SQL_ASOF_NEAREST = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS state_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT event_id, user_id, ts, value, state_value FROM (
+  SELECT e.event_id, e.user_id, e.ts, e.value, r.state_value,
+         abs(date_diff('microsecond', r.ts, e.ts)) AS adiff, r.ts AS rts
+  FROM events e
+  LEFT JOIN r ON e.user_id = r.user_id
+  QUALIFY row_number() OVER (PARTITION BY e.event_id
+                             ORDER BY adiff ASC, r.ts ASC) = 1)
+"""
+
+
 def q_asof_forward(sf_dir):
     """FORWARD as-of (J1 direction variant): each event attaches the
     EARLIEST purchase state at-or-after its timestamp — the label-side
@@ -3498,6 +3534,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "asof_tolerance": q_asof_tolerance,
     "asof_forward": q_asof_forward,
+    "asof_nearest": q_asof_nearest,
     "resample_user_grid": q_resample_user_grid,
     "lag_lead": q_lag_lead,
     "event_transitions": q_event_transitions,
@@ -3629,6 +3666,7 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "asof_tolerance": SQL_ASOF_TOLERANCE,
     "asof_forward": SQL_ASOF_FORWARD,
+    "asof_nearest": SQL_ASOF_NEAREST,
     "resample_user_grid": SQL_RESAMPLE_USER_GRID,
     "lag_lead": SQL_LAG_LEAD,
     "event_transitions": SQL_EVENT_TRANSITIONS,
