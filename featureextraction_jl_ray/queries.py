@@ -1679,13 +1679,17 @@ def q_chunk_documents(sf_dir):
 
 SQL_CHUNK_DOCUMENTS = r"""
 WITH words AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+  -- filter on trimmed text length, NOT len(ws): split_regex('') is [''] with
+  -- len 1, so an all-whitespace doc would leak one bogus empty chunk here
+  -- while the engine (stages/text.py trimmed==0 guard) emits none
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents WHERE len(trim(text)) > 0
 ),
 meta AS (
   SELECT doc_id, ws,
          CASE WHEN len(ws) <= 32 THEN 1
               ELSE (len(ws) - 32 + 23) // 24 + 1 END AS nc
-  FROM words WHERE len(ws) > 0
+  FROM words
 ),
 chunks AS (
   SELECT doc_id, k AS chunk_id,
@@ -1720,13 +1724,14 @@ def _pack_chunks_sql() -> str:
 
     chunks_src = r"""(
   WITH words AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+    FROM documents WHERE len(trim(text)) > 0
   ),
   meta AS (
     SELECT doc_id, ws,
            CASE WHEN len(ws) <= 32 THEN 1
                 ELSE (len(ws) - 32 + 23) // 24 + 1 END AS nc
-    FROM words WHERE len(ws) > 0
+    FROM words
   )
   SELECT doc_id, k AS chunk_id,
          len(list_slice(ws, k * 24 + 1, k * 24 + 32)) AS n_tokens

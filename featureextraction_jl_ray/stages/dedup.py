@@ -28,25 +28,178 @@ _BUCKET = "__fx_dbucket"
 _SALT = "__fx_salt"
 
 __all__ = ["exact_dedup", "hamming_near_dup_pairs", "hamming_dedup",
-           "collapse_pairs"]
+           "collapse_pairs", "connected_components"]
 
 
-def collapse_pairs(ds, pairs_pd: pd.DataFrame, id_col: str, *,
-                   max_pairs: int = 10_000_000):
+def _star_round(edges, *, large: bool, num_buckets: int):
+    """One large-star or small-star round (Kiveris et al., SoCC 2014,
+    "Connected Components in MapReduce and Beyond") over an edge Dataset
+    (columns u, v) — bucketed groupby exchange, pandas reduce per bucket.
+
+    large-star: group the undirected neighborhood of every node u; attach
+    each STRICTLY LARGER neighbor to m = min(N(u) ∪ {u}).
+    small-star: orient every edge (max → min), group by the larger end u;
+    attach u and every neighbor except the minimum to m = min(N(u)).
+    Alternating the two converges the edge set to per-component stars
+    (child → min-id root) in O(log² n) rounds.
+    """
+
+    def emit(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        if large:
+            uu = np.concatenate([u, v])
+            vv = np.concatenate([v, u])
+        else:
+            hi = np.where(u > v, u, v)
+            lo = np.where(u > v, v, u)
+            uu, vv = hi, lo
+        b = bucket_of(uu, num_buckets, seed=19)
+        return pa.table({"u": pa.array(uu), "v": pa.array(vv),
+                         _BUCKET: pa.array(b)})
+
+    def reduce(tbl: pa.Table) -> pa.Table:
+        u = tbl.column("u").to_numpy(zero_copy_only=False)
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        empty = pa.table({"u": tbl.column("u").slice(0, 0),
+                          "v": tbl.column("v").slice(0, 0)})
+        if not len(u):
+            return empty
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        bounds = np.flatnonzero(np.r_[True, u[1:] != u[:-1], True])
+        out_u, out_v = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            uu = u[lo]
+            nbrs = np.unique(v[lo:hi])  # sorted → nbrs[0] is the min
+            m = nbrs[0] if nbrs[0] < uu else uu
+            if large:
+                bigger = nbrs[nbrs > uu]
+                if len(bigger):
+                    out_u.append(bigger)
+                    out_v.append(np.full(len(bigger), m, dtype=nbrs.dtype))
+            else:
+                tgt = nbrs[nbrs != m]
+                if uu != m:
+                    tgt = np.concatenate([tgt, np.asarray([uu], dtype=nbrs.dtype)])
+                if len(tgt):
+                    out_u.append(tgt)
+                    out_v.append(np.full(len(tgt), m, dtype=nbrs.dtype))
+        if not out_u:
+            return empty
+        # per-group output is already unique per (u,m); cross-group dups
+        # are removed by the caller's dedup exchange
+        return pa.table({"u": pa.array(np.concatenate(out_u)),
+                         "v": pa.array(np.concatenate(out_v))})
+
+    return (edges.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(_BUCKET).map_groups(reduce, batch_format="pyarrow"))
+
+
+def _edge_checksum(edges) -> tuple[int, int]:
+    """(count, multiset checksum) of an edge Dataset — order-insensitive,
+    computed distributed (per-batch partial sums, driver gets 2 ints)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        hu = stable_hash_array(batch.column("u").to_numpy(zero_copy_only=False),
+                               seed=3)
+        hv = stable_hash_array(batch.column("v").to_numpy(zero_copy_only=False),
+                               seed=5)
+        s = int((hu ^ (hv * np.uint64(0x9E3779B97F4A7C15))).sum(
+            dtype=np.uint64))
+        return pa.table({"n": pa.array([len(batch)], type=pa.int64()),
+                         "s": pa.array([s % (1 << 62)], type=pa.int64())})
+
+    parts = edges.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.sum(["n", "s"])
+    return int(agg["sum(n)"]), int(agg["sum(s)"]) % (1 << 62)
+
+
+def connected_components(pairs, *, num_buckets: int = 64,
+                         max_rounds: int = 30):
+    """Distributed connected components over a near-dup pair Dataset
+    (columns id_a, id_b) via alternating large-star / small-star label
+    propagation — the 100-TB-safe replacement for a driver union-find.
+    Nothing ever leaves the cluster but a (count, checksum) pair per
+    round; the exchange carries only (node, label) edges.
+
+    Returns a Dataset with columns (id, root): exactly one row per
+    NON-ROOT node, root = min id of its component (so ``id`` is the drop
+    set of a min-id-wins collapse).  Works for integer and string ids
+    (min = lexicographic for strings, matching the driver union-find).
+    """
+    edges = pairs.select_columns(["id_a", "id_b"]).rename_columns(["u", "v"])
+    # drop self-loops once up front; dedup inside reduces handles the rest
+    prev = None
+    for _ in range(max_rounds):
+        edges = _star_round(edges, large=True, num_buckets=num_buckets)
+        edges = _star_round(edges, large=False, num_buckets=num_buckets)
+        # small-star output may carry cross-group duplicate (u, m) rows —
+        # dedup before the fixpoint check (also bounds per-round growth)
+        edges = exact_dedup(edges, ["u", "v"], order_cols=["u", "v"],
+                            num_salts=4, num_buckets=num_buckets).materialize()
+        sig = _edge_checksum(edges)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} "
+            f"large/small-star rounds (last edge count {prev})"
+        )
+    return edges.rename_columns(["id", "root"])
+
+
+def collapse_pairs(ds, pairs, id_col: str, *,
+                   max_pairs: int = 10_000_000, method: str = "auto",
+                   num_buckets: int = 64):
     """Keep one representative per connected component of a verified
     near-dup pair set (min id wins) — the shared cluster-collapse tail of
     hamming/jaccard/embedding dedup.
 
-    Union-find runs on the driver over ``pairs_pd`` (columns id_a, id_b),
-    which is bounded by near-dup density, never corpus size; the guard is
-    loud, not an OOM.  The sorted drop list rides the task closure
-    (serialized once per worker) and filters via one vectorized np.isin.
+    ``pairs`` is a pandas DataFrame or a Ray Dataset (columns id_a, id_b).
+    ``method``:
+
+    - ``"driver"`` — union-find on the driver; loud ``max_pairs`` guard.
+      The drop list rides the task closure and filters via one np.isin.
+    - ``"distributed"`` — large/small-star label propagation
+      (``connected_components``) + bloom anti-join; nothing pair-shaped
+      touches the driver.  The 100-TB path.
+    - ``"auto"`` — driver below ``max_pairs`` (faster at gate scale:
+      zero extra exchanges), distributed above it (instead of erroring).
     """
-    if len(pairs_pd) > max_pairs:
+    import ray.data as rd
+
+    if isinstance(pairs, pd.DataFrame):
+        n_pairs = len(pairs)
+        pairs_ds = None
+    else:
+        pairs = pairs.materialize()
+        n_pairs = pairs.count()
+        pairs_ds = pairs
+
+    if method == "auto":
+        method = "driver" if n_pairs <= max_pairs else "distributed"
+
+    if method == "distributed":
+        from .joins import bloom_anti_join
+
+        if n_pairs == 0:
+            return ds
+        if pairs_ds is None:
+            pairs_ds = rd.from_pandas(pairs[["id_a", "id_b"]])
+        labels = connected_components(pairs_ds, num_buckets=num_buckets)
+        return bloom_anti_join(ds, labels.select_columns(["id"]),
+                               on=id_col, right_on="id")
+
+    if n_pairs > max_pairs:
         raise RuntimeError(
-            f"collapse_pairs: verified pair set ({len(pairs_pd)}) exceeds "
-            f"max_pairs={max_pairs}; tighten the near-dup threshold"
+            f"collapse_pairs: verified pair set ({n_pairs}) exceeds "
+            f"max_pairs={max_pairs} with method='driver'; use "
+            f"method='distributed' (or 'auto') or tighten the threshold"
         )
+    pairs_pd = pairs if pairs_ds is None else pairs_ds.to_pandas()
     parent: dict = {}
 
     def find(x):
@@ -61,7 +214,10 @@ def collapse_pairs(ds, pairs_pd: pd.DataFrame, id_col: str, *,
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    drop = np.array(sorted(x for x in parent if find(x) != x), dtype=np.int64)
+    # dtype follows the id values (string ids are valid — ADVICE r2):
+    # np.isin on object arrays is correct, just slower
+    drop_list = sorted(x for x in parent if find(x) != x)
+    drop = np.asarray(drop_list) if drop_list else np.array([], dtype=np.int64)
 
     def keep(batch: pa.Table) -> pa.Table:
         if not len(drop):
@@ -271,26 +427,25 @@ def hamming_dedup(
     max_distance: int = 3,
     num_buckets: int = 256,
     max_pairs: int = 10_000_000,
+    collapse_method: str = "auto",
 ):
     """Keep one representative per near-duplicate cluster (min id wins).
 
     Two levels, both skew-safe: (1) rows with EQUAL hashes collapse to
     the min-id representative inside ``hamming_near_dup_pairs``'s salted
     exact-dedup pre-step; (2) representatives within Hamming ≤ d merge
-    via union-find over the verified pair set on the driver — valid
-    because pairs are between distinct hash values (bounded), never
-    between raw rows.  The driver-side pair pull is guarded by
-    ``max_pairs`` (loud error, not OOM): 10M pairs ≈ 240 MB, and a
-    near-dup graph denser than that over DISTINCT 64-bit hashes means
-    the distance threshold is wrong for the data, not that the dedup
-    needs a bigger driver.  Returns (ds_with_one_row_per_cluster, pairs).
+    via the shared ``collapse_pairs`` tail — union-find on the driver
+    below ``max_pairs`` (10M pairs ≈ 240 MB), distributed
+    large/small-star label propagation above it (``collapse_method``
+    selects; "auto" switches on pair count), so a dense near-dup graph
+    degrades to extra exchanges, never to a driver OOM.  Valid because
+    pairs are between distinct hash values, never between raw rows.
+    Returns (ds_with_one_row_per_cluster, pairs_df).
     """
-    pairs_tbl = hamming_near_dup_pairs(
+    pairs = hamming_near_dup_pairs(
         ds, hash_col, id_col, max_distance=max_distance, num_buckets=num_buckets
-    ).to_pandas()
-    if "id_a" not in pairs_tbl.columns:  # empty result loses schema in Ray
-        pairs_tbl = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
-    # keep only exact-dedup representatives, then drop union-find non-roots
+    ).materialize()
+    # keep only exact-dedup representatives, then drop cluster non-roots
     ds = exact_dedup(
         ds,
         [hash_col],
@@ -298,4 +453,9 @@ def hamming_dedup(
         num_salts=16,
         num_buckets=num_buckets,
     )
-    return collapse_pairs(ds, pairs_tbl, id_col, max_pairs=max_pairs), pairs_tbl
+    kept = collapse_pairs(ds, pairs, id_col, max_pairs=max_pairs,
+                          method=collapse_method)
+    pairs_tbl = pairs.to_pandas()
+    if "id_a" not in pairs_tbl.columns:  # empty result loses schema in Ray
+        pairs_tbl = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
+    return kept, pairs_tbl

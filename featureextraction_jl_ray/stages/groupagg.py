@@ -59,15 +59,19 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
                 raise ValueError(f"unsupported agg {fn!r} for {name}")
             plain[name] = (col, fn)
 
-    # mean = Σx/n, var = (Σx² − (Σx)²/n)/(n−1) composed from partials
+    # mean = Σx/n from (Σx, n) partials (int sums stay bit-exact for the
+    # integer-microsecond gate contract); var/std from (n, mean, M2)
+    # partials merged with the exact Chan et al. (1979) decomposition
+    # M2 = Σ M2_i + Σ n_i (mean_i − mean)² — immune to the int64 Σx²
+    # wrap AND to the |mean| ≫ std cancellation of the Σx² form.
     partial_cols: dict[str, tuple[str, str]] = {}
     for name, (col, fn) in plain.items():
         if fn == "mean":
             partial_cols[f"__s_{name}"] = (col, "sum")
             partial_cols[f"__c_{name}"] = (col, "count")
         elif fn in ("var", "std"):
-            partial_cols[f"__s_{name}"] = (col, "sum")
-            partial_cols[f"__q_{name}"] = (col, "sumsq")
+            partial_cols[f"__m_{name}"] = (col, "mean")
+            partial_cols[f"__w_{name}"] = (col, "m2")
             partial_cols[f"__c_{name}"] = (col, "count")
         else:
             partial_cols[name] = (col, fn)
@@ -86,9 +90,9 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
         g = df.groupby(key_cols, sort=False, dropna=False)
         out = pd.DataFrame(index=g.size().index)
         for name, (col, fn) in partial_cols.items():
-            if fn == "sumsq":
-                sq = df[[*key_cols]].assign(__sq=df[col].to_numpy() ** 2)
-                out[name] = sq.groupby(key_cols, sort=False, dropna=False)["__sq"].sum()
+            if fn == "m2":
+                # within-batch centered sum of squares: n·var(ddof=0)
+                out[name] = g[col].var(ddof=0) * g[col].count()
             else:
                 out[name] = getattr(g[col], fn)()
         for name, (vcol, ocol, kind) in arg_aggs.items():
@@ -100,15 +104,41 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
         out[_BUCKET] = b
         return pandas_to_arrow(out)
 
-    _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max",
-              "sumsq": "sum"}
+    _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
     def final(tbl: pa.Table) -> pa.Table:
         df = arrow_to_pandas_safe(tbl)
         g = df.groupby(key_cols, sort=False, dropna=False)
         out = pd.DataFrame(index=g.size().index)
         for name, (_, fn) in partial_cols.items():
+            if fn in ("mean", "m2"):
+                continue  # var/std components — Chan merge below
             out[name] = getattr(g[name], _MERGE[fn])()
+        # Chan merge needs per-partial-row group means → compute while out
+        # is still indexed by the group keys (alignment by index)
+        gk = [df[k] for k in key_cols]
+        for name, (col, fn) in plain.items():
+            if fn not in ("var", "std"):
+                continue
+            c = df[f"__c_{name}"].to_numpy(dtype=np.float64)
+            m = df[f"__m_{name}"].to_numpy(dtype=np.float64)
+            w = df[f"__w_{name}"].to_numpy(dtype=np.float64)
+            nm = pd.Series(np.where(c > 0, c * m, 0.0), index=df.index)
+            cs = pd.Series(c, index=df.index)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                grand = (
+                    nm.groupby(gk, sort=False, dropna=False).transform("sum")
+                    / cs.groupby(gk, sort=False, dropna=False).transform("sum")
+                ).to_numpy()
+                contrib = pd.Series(
+                    np.where(c > 0, w + c * (m - grand) ** 2, 0.0),
+                    index=df.index,
+                )
+                m2 = contrib.groupby(gk, sort=False, dropna=False).sum()
+                n = out[f"__c_{name}"].to_numpy().astype(np.float64)
+                v = np.where(n > 1, m2.to_numpy() / (n - 1), np.nan)
+            out[name] = pd.Series(np.sqrt(v) if fn == "std" else v,
+                                  index=m2.index)
         for name, (_, __, kind) in arg_aggs.items():
             # merge = same lexicographic extremum over the partial pairs
             _arg_select(df, out, name, f"__o_{name}", name, kind)
@@ -119,16 +149,7 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
                 out[name] = out[f"__s_{name}"] / out[f"__c_{name}"]
                 out = out.drop(columns=[f"__s_{name}", f"__c_{name}"])
             elif fn in ("var", "std"):
-                s = out[f"__s_{name}"].to_numpy()
-                q = out[f"__q_{name}"].to_numpy()
-                n = out[f"__c_{name}"].to_numpy().astype(np.float64)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    v = np.where(n > 1, (q - s * s / n) / (n - 1), np.nan)
-                    v = np.maximum(v, 0.0)  # clamp −ε from cancellation
-                out[name] = np.sqrt(v) if fn == "std" else v
-                out = out.drop(
-                    columns=[f"__s_{name}", f"__q_{name}", f"__c_{name}"]
-                )
+                out = out.drop(columns=[f"__c_{name}"])
         return pandas_to_arrow(out)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

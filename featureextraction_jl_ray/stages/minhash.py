@@ -565,18 +565,21 @@ def jaccard_dedup(
     threshold: float = 0.5,
     num_buckets: int = 64,
     max_pairs: int = 10_000_000,
+    collapse_method: str = "auto",
 ):
     """Collapse exact-Jaccard near-dup clusters to one representative
     (min id wins) — the KEEPING form of ``ngram_jaccard_pairs``.
 
-    The cluster-collapse tail is the shared ``dedup.collapse_pairs``
-    (driver union-find bounded by near-dup density, loud ``max_pairs``
-    guard, np.isin keep filter).  Returns (kept_ds, pairs_df).
+    The cluster-collapse tail is the shared ``dedup.collapse_pairs``:
+    driver union-find below ``max_pairs``, distributed large/small-star
+    label propagation above it.  Returns (kept_ds, pairs_df).
     """
     from .dedup import collapse_pairs
 
-    pairs_pd = ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs(
         ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
         threshold=threshold, num_buckets=num_buckets,
-    ).to_pandas()
-    return collapse_pairs(ds, pairs_pd, id_col, max_pairs=max_pairs), pairs_pd
+    ).materialize()
+    kept = collapse_pairs(ds, pairs, id_col, max_pairs=max_pairs,
+                          method=collapse_method)
+    return kept, pairs.to_pandas()

@@ -435,20 +435,23 @@ def embedding_dedup(
     seed: int = 42,
     num_buckets: int = 128,
     max_pairs: int = 10_000_000,
+    collapse_method: str = "auto",
 ):
     """Keep one representative per embedding-cosine near-dup cluster
     (min id wins): multi-band hyperplane LSH pairs → the shared
-    ``dedup.collapse_pairs`` tail (driver union-find bounded by near-dup
-    density, loud guard, vectorized keep filter).  Returns
+    ``dedup.collapse_pairs`` tail (driver union-find below ``max_pairs``,
+    distributed large/small-star label propagation above).  Returns
     (kept_ds, pairs_df)."""
     from .dedup import collapse_pairs
 
-    pairs_pd = embedding_near_dup_pairs(
+    pairs = embedding_near_dup_pairs(
         ds, vector_col=vector_col, id_col=id_col, threshold=threshold,
         bands=bands, planes_per_band=planes_per_band, seed=seed,
         num_buckets=num_buckets,
-    ).to_pandas()
-    return collapse_pairs(ds, pairs_pd, id_col, max_pairs=max_pairs), pairs_pd
+    ).materialize()
+    kept = collapse_pairs(ds, pairs, id_col, max_pairs=max_pairs,
+                          method=collapse_method)
+    return kept, pairs.to_pandas()
 
 
 class ScalarQuantizer:

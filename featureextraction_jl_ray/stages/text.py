@@ -368,7 +368,9 @@ def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         n_per = np.nan_to_num(n_per.astype(np.float64)).astype(np.int64)
         # utf8_split_whitespace('') yields [''] — treat whitespace-only
-        # docs as zero tokens (zero chunks), like the SQL len(ws)>0 guard
+        # docs as zero tokens (zero chunks); the oracle SQL mirrors this
+        # with WHERE len(trim(text)) > 0 (len(ws)>0 would NOT: DuckDB
+        # string_split_regex('') is [''] with len 1)
         trimmed = pc.utf8_length(pc.utf8_trim_whitespace(
             pc.fill_null(batch.column(text_col), ""))).to_numpy(
             zero_copy_only=False)

@@ -1,0 +1,115 @@
+"""Distributed cluster collapse (VERDICT r2 №1): large/small-star
+connected components must reproduce the driver union-find exactly —
+including above the old driver ``max_pairs`` guard — for int and string
+ids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from featureextraction_jl_ray.stages.dedup import (
+    collapse_pairs,
+    connected_components,
+)
+
+
+def _pairs_ds(ray, pairs):
+    a, b = zip(*pairs)
+    return ray.data.from_arrow(
+        pa.table({"id_a": pa.array(list(a)), "id_b": pa.array(list(b))})
+    ).repartition(3)
+
+
+def _cc_roots(ray, pairs):
+    out = connected_components(_pairs_ds(ray, pairs), num_buckets=8).to_pandas()
+    return dict(zip(out.id, out.root))
+
+
+def test_cc_path_triangle_isolated(ray_session):
+    """A long path (worst case for naive propagation), a triangle and a
+    2-cycle all converge to min-root stars."""
+    path = [(i, i + 1) for i in range(10, 20)]          # component root 10
+    tri = [(1, 2), (2, 3), (1, 3)]                      # root 1
+    pairs = path + tri + [(100, 101)]                   # root 100
+    roots = _cc_roots(ray_session, pairs)
+    assert {k: v for k, v in roots.items() if k < 100 and k > 9} == {
+        i: 10 for i in range(11, 21)
+    }
+    assert roots[2] == 1 and roots[3] == 1
+    assert roots[101] == 100
+    assert 1 not in roots and 10 not in roots and 100 not in roots
+
+
+def test_cc_string_ids(ray_session):
+    """String ids: min = lexicographic, matching the driver union-find."""
+    pairs = [("doc_b", "doc_a"), ("doc_b", "doc_c"), ("zz", "yy")]
+    roots = _cc_roots(ray_session, pairs)
+    assert roots == {"doc_b": "doc_a", "doc_c": "doc_a", "zz": "yy"}
+
+
+def test_collapse_distributed_equals_driver(ray_session):
+    """Distributed collapse ≡ driver union-find on a multi-cluster graph,
+    and 'auto' above max_pairs routes to distributed instead of erroring."""
+    rng = np.random.default_rng(7)
+    # 30 clusters of size 4 (chained pairs) + 80 singletons
+    pairs = []
+    for c in range(30):
+        base = c * 10
+        pairs += [(base, base + 1), (base + 1, base + 2), (base + 2, base + 3)]
+    ids = sorted({x for p in pairs for x in p} | set(range(1000, 1080)))
+    ds = ray_session.data.from_arrow(
+        pa.table({"iid": pa.array(ids, type=pa.int64()),
+                  "val": pa.array(rng.standard_normal(len(ids)))})
+    ).repartition(4)
+    pairs_ds = _pairs_ds(ray_session, pairs)
+
+    kept_driver = collapse_pairs(ds, pairs_ds, "iid", method="driver")
+    kept_dist = collapse_pairs(ds, pairs_ds, "iid", method="distributed",
+                               num_buckets=8)
+    a = sorted(kept_driver.to_pandas().iid)
+    b = sorted(kept_dist.to_pandas().iid)
+    assert a == b
+    assert a == sorted({c * 10 for c in range(30)} | set(range(1000, 1080)))
+
+    # auto + tiny max_pairs: the old guard would raise; now it distributes
+    kept_auto = collapse_pairs(ds, pairs_ds, "iid", method="auto",
+                               max_pairs=5, num_buckets=8)
+    assert sorted(kept_auto.to_pandas().iid) == a
+    # explicit driver method keeps the loud guard
+    with pytest.raises(RuntimeError, match="max_pairs"):
+        collapse_pairs(ds, pairs_ds, "iid", method="driver", max_pairs=5)
+
+
+def test_collapse_pairs_string_ids_driver(ray_session):
+    """ADVICE r2: the driver drop-list must follow the id dtype — string
+    ids crashed on the forced int64 cast."""
+    ds = ray_session.data.from_arrow(
+        pa.table({"doc": pa.array(["a", "b", "c", "d"])})
+    )
+    pairs = pd.DataFrame({"id_a": ["a", "a"], "id_b": ["b", "c"]})
+    kept = collapse_pairs(ds, pairs, "doc", method="driver").to_pandas()
+    assert sorted(kept.doc) == ["a", "d"]
+
+
+def test_grouped_var_large_ints_no_overflow(ray_session):
+    """ADVICE r2: Σx² of int64 values ~1e9+ must accumulate in float64 —
+    int64 would wrap past 2^63 and the clamp would hide it."""
+    from featureextraction_jl_ray.stages.groupagg import grouped_aggregate
+
+    vals = np.array([3_000_000_000, 3_000_000_123, 2_999_999_500,
+                     3_000_000_777, 2_999_999_999, 3_000_000_001],
+                    dtype=np.int64)
+    keys = np.array([0, 0, 0, 1, 1, 1], dtype=np.int64)
+    ds = ray_session.data.from_arrow(
+        pa.table({"k": pa.array(keys), "x": pa.array(vals)})
+    ).repartition(3)
+    got = (grouped_aggregate(ds, ["k"], {"v": ("x", "var"), "s": ("x", "std")},
+                             num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    for k in (0, 1):
+        want = float(np.var(vals[keys == k].astype(np.float64), ddof=1))
+        assert got.loc[k, "v"] == pytest.approx(want, rel=1e-6)
+        assert got.loc[k, "s"] == pytest.approx(np.sqrt(want), rel=1e-6)
