@@ -572,32 +572,109 @@ def pivot_aggregate(ds, key_cols, pivot_col: str, value_col: str, *,
     return grouped_aggregate(wide, key_cols, names, num_buckets=num_buckets)
 
 
+def _coarser_level_ds(finest, keep, key_cols, merged, num_buckets):
+    """One coarser grouping-set level as a DISTRIBUTED re-aggregation of
+    the finest-level Dataset; dropped keys padded with typed nulls."""
+    schema = finest.schema()
+    types = dict(zip(schema.names, schema.types))
+    out_cols = list(schema.names)
+
+    if keep:
+        up = grouped_aggregate(finest, keep,
+                               {n: (src, fn) for n, (src, fn) in merged.items()},
+                               num_buckets=num_buckets)
+    else:
+        const = "__fx_all"
+
+        def tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                const, pa.array(np.zeros(len(batch), dtype=np.int64)))
+
+        up = grouped_aggregate(
+            finest.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            [const], {n: (src, fn) for n, (src, fn) in merged.items()},
+            num_buckets=1,
+        ).drop_columns([const])
+
+    dropped = [c for c in key_cols if c not in keep]
+
+    def pad(batch: pa.Table) -> pa.Table:
+        for c in dropped:
+            batch = batch.append_column(c, pa.nulls(len(batch), type=types[c]))
+        return batch.select(out_cols)
+
+    return up.map_batches(pad, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _grouping_sets(ds, key_cols, aggs, subsets, *, num_buckets, max_rows,
+                   output):
+    """Shared rollup/cube skeleton: ONE distributed exchange at the
+    finest level, then either a bounded driver-side re-aggregation
+    (pandas, below ``max_rows``) or fully distributed re-aggregation of
+    the finest Dataset per coarser level (above it / on request).
+
+    The driver pull is the one place a grouping-set cardinality bound
+    can silently not hold (e.g. a user_id rollup at corpus scale), so it
+    is guarded: ``output='auto'`` switches to the Dataset path instead
+    of materializing, ``output='pandas'`` raises loudly past the guard.
+    """
+    remerge = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for name, (col, fn) in aggs.items():
+        if fn not in remerge:
+            raise ValueError(
+                f"grouping-set agg {name!r}: {fn!r} is not re-aggregatable; "
+                "use sum/count/min/max (derive mean = sum/count downstream)")
+    merged = {name: (name, remerge[fn]) for name, (_, fn) in aggs.items()}
+
+    finest = grouped_aggregate(ds, key_cols, aggs,
+                               num_buckets=num_buckets).materialize()
+    n_finest = finest.count()
+    if output == "auto":
+        output = "pandas" if n_finest <= max_rows else "dataset"
+    if output == "pandas" and n_finest > max_rows:
+        raise RuntimeError(
+            f"rollup/cube: finest level has {n_finest} keys > "
+            f"max_rows={max_rows}; pass output='dataset' (distributed "
+            "re-aggregation, no driver materialization) or raise max_rows")
+
+    if output == "dataset":
+        out = finest
+        for keep in subsets:
+            out = out.union(_coarser_level_ds(finest, keep, key_cols, merged,
+                                              num_buckets))
+        return out
+    return finest.to_pandas(), merged
+
+
 def rollup_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *,
-                     num_buckets: int = 64) -> pd.DataFrame:
+                     num_buckets: int = 64, max_rows: int = 1_000_000,
+                     output: str = "auto"):
     """ROLLUP grouping sets: aggregates at every key-prefix level
     ((k1..kn), (k1..kn−1), …, ()) with dropped keys as NULL.
 
     Scale shape: the FINEST level runs the ordinary partial-aggregated
     distributed exchange ONCE; every coarser level re-aggregates the
-    finest RESULT (bounded by key cardinality — driver-side pandas is
-    legitimate there, same bound as any grouped-aggregate output).
-    Only re-aggregatable fns (sum/count/min/max) are allowed — count
+    finest RESULT.  Below ``max_rows`` finest keys that re-aggregation
+    is driver-side pandas (returns a DataFrame); above it — or with
+    ``output='dataset'`` — each level is its own distributed
+    ``grouped_aggregate`` over the finest Dataset and a Dataset is
+    returned (no driver materialization anywhere).  Only
+    re-aggregatable fns (sum/count/min/max) are allowed — count
     partials merge by sum, like the distributed combiner itself.
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    remerge = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
-    for name, (col, fn) in aggs.items():
-        if fn not in remerge:
-            raise ValueError(
-                f"rollup agg {name!r}: {fn!r} is not re-aggregatable; "
-                "use sum/count/min/max (derive mean = sum/count downstream)")
-    finest = grouped_aggregate(ds, key_cols, aggs, num_buckets=num_buckets)
-    df = finest.to_pandas()
+    prefixes = [key_cols[:lvl] for lvl in range(len(key_cols) - 1, -1, -1)]
+    res = _grouping_sets(ds, key_cols, aggs, prefixes,
+                         num_buckets=num_buckets, max_rows=max_rows,
+                         output=output)
+    if not isinstance(res, tuple):
+        return res
+    df, merged = res
     levels = [df]
     cur = df
     for lvl in range(len(key_cols) - 1, -1, -1):
         keep = key_cols[:lvl]
-        merged = {name: (name, remerge[fn]) for name, (_, fn) in aggs.items()}
         if keep:
             g = cur.groupby(keep, sort=False, dropna=False)
             up = pd.DataFrame(index=g.size().index)
@@ -616,26 +693,25 @@ def rollup_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *,
 
 
 def cube_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *,
-                   num_buckets: int = 64) -> pd.DataFrame:
+                   num_buckets: int = 64, max_rows: int = 1_000_000,
+                   output: str = "auto"):
     """CUBE grouping sets: aggregates at EVERY subset of ``key_cols``
-    (2^k levels), dropped keys NULL — same scale shape as
-    :func:`rollup_aggregate` (one distributed exchange at the finest
-    level, every other subset re-aggregates its bounded result)."""
+    (2^k levels), dropped keys NULL — same scale shape and ``max_rows``
+    / ``output`` contract as :func:`rollup_aggregate` (one distributed
+    exchange at the finest level; coarser subsets re-aggregate the
+    finest result driver-side below the guard, distributed above it)."""
     from itertools import combinations
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    remerge = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
-    for name, (col, fn) in aggs.items():
-        if fn not in remerge:
-            raise ValueError(
-                f"cube agg {name!r}: {fn!r} is not re-aggregatable; "
-                "use sum/count/min/max")
-    finest = grouped_aggregate(ds, key_cols, aggs, num_buckets=num_buckets)
-    df = finest.to_pandas()
-    levels = [df]
-    merged = {name: (name, remerge[fn]) for name, (_, fn) in aggs.items()}
     subsets = [list(c) for r in range(len(key_cols) - 1, -1, -1)
                for c in combinations(key_cols, r)]
+    res = _grouping_sets(ds, key_cols, aggs, subsets,
+                         num_buckets=num_buckets, max_rows=max_rows,
+                         output=output)
+    if not isinstance(res, tuple):
+        return res
+    df, merged = res
+    levels = [df]
     for keep in subsets:
         if keep:
             g = df.groupby(keep, sort=False, dropna=False)

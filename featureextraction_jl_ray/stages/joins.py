@@ -20,7 +20,73 @@ import ray
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 
 __all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join",
-           "range_join", "build_bloom", "bloom_semi_join", "bloom_anti_join", "BloomFilter"]
+           "range_join", "build_bloom", "bloom_semi_join", "bloom_anti_join",
+           "BloomFilter", "pair_values_attach"]
+
+
+def pair_values_attach(pairs, values, *, pair_col: str, id_col: str = "id",
+                       val_col: str, out_col: str, num_buckets: int = 64):
+    """Attach ``values[val_col]`` to ``pairs`` where
+    ``pairs[pair_col] == values[id_col]`` (inner) via ONE co-bucketed
+    exchange — the SHARDED alternative to broadcasting an id→value dict
+    when the candidate payload exceeds a byte budget (VERDICT r2 №4).
+
+    Both sides hash-bucket on the join key and meet in a tagged union
+    with side-specific schemas (the ``range_join`` trick), so list-typed
+    values — which Acero join payloads reject — ride the exchange
+    untouched and per-task memory is bounded by bucket size, not by the
+    total candidate-value bytes.
+    """
+    from ..functions.hashing import bucket_of
+    from .partition import _BUCKET
+
+    p_schema = pairs.schema()
+    p_names = list(p_schema.names)
+    p_types = dict(zip(p_schema.names, p_schema.types))
+    v_types = dict(zip(values.schema().names, values.schema().types))
+    side, key = "__fx_pside", "__fx_pkey"
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        k = batch.column(pair_col)
+        batch = batch.append_column(key, k)
+        batch = batch.append_column(out_col, pa.nulls(batch.num_rows,
+                                                      v_types[val_col]))
+        batch = batch.append_column(_BUCKET, pa.array(
+            bucket_of(k.to_numpy(zero_copy_only=False), num_buckets, seed=43),
+            type=pa.int64()))
+        batch = batch.append_column(side, pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8)))
+        return batch.select(sorted(batch.column_names))
+
+    def tag_values(batch: pa.Table) -> pa.Table:
+        k = batch.column(id_col)
+        out = pa.table({key: k, out_col: batch.column(val_col)})
+        for c in p_names:
+            out = out.append_column(c, pa.nulls(batch.num_rows, p_types[c]))
+        out = out.append_column(_BUCKET, pa.array(
+            bucket_of(k.to_numpy(zero_copy_only=False), num_buckets, seed=43),
+            type=pa.int64()))
+        out = out.append_column(side, pa.array(
+            np.ones(batch.num_rows, dtype=np.int8)))
+        return out.select(sorted(out.column_names))
+
+    unioned = (
+        pairs.map_batches(tag_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .union(values.select_columns([id_col, val_col])
+               .map_batches(tag_values, batch_format="pyarrow",
+                            zero_copy_batch=True))
+    )
+
+    def attach(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        is_v = df[side].to_numpy() == 1
+        l = df.loc[~is_v, [*p_names, key]]
+        r = df.loc[is_v, [key, out_col]]
+        m = l.merge(r, on=key, how="inner")
+        return pandas_to_arrow(m[[*p_names, out_col]])
+
+    return unioned.groupby(_BUCKET).map_groups(attach, batch_format="pyarrow")
 
 
 def _concat_nonempty(tables: list[pa.Table]) -> pa.Table:

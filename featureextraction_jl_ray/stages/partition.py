@@ -78,12 +78,21 @@ def sorted_scan(
     tiebreak_cols: tuple[str, ...] = (),
     seed: int = 0,
     drop_bucket: bool = True,
+    max_bucket_bytes: int = 2_000_000_000,
 ):
     """Run ``fn`` over each entity-bucket, sorted by (entity, ts, tiebreak).
 
     ``fn``: DataFrame → DataFrame, already sorted, all rows of any entity
     present and contiguous.  This is where backfill / lag / sessionize /
     rolling implement themselves as vectorized per-entity segment ops.
+
+    Hot-entity ceiling: window semantics need an entity's FULL history in
+    one bucket, so a single entity larger than a worker's heap cannot be
+    split (as-of joins without a window_fn can salt the left side
+    instead — ``stages/asof.py``).  That failure must be a loud error
+    naming the entity, not an OOM: ``max_bucket_bytes`` guards each
+    materialized bucket (arrow bytes, BEFORE the pandas conversion
+    roughly doubles it).
     """
     bucketed = add_bucket_column(ds, entity_col, num_buckets, seed=seed)
     sort_cols = [entity_col, ts_col, *tiebreak_cols]
@@ -92,6 +101,18 @@ def sorted_scan(
     # default pandas conversion would turn nullable int64 (e.g. 64-bit
     # phash after a lag) into lossy float64 (functions/pdconv.py).
     def run_bucket(tbl: pa.Table) -> pa.Table:
+        if tbl.nbytes > max_bucket_bytes:
+            ent = tbl.column(entity_col)
+            vc = ent.value_counts()
+            top = max(vc.to_pylist(), key=lambda r: r["counts"])
+            raise RuntimeError(
+                f"sorted_scan: bucket of {tbl.num_rows} rows / {tbl.nbytes} "
+                f"bytes exceeds max_bucket_bytes={max_bucket_bytes} "
+                f"(hottest entity {top['values']!r}: {top['counts']} rows). "
+                "Window semantics cannot split an entity's history — raise "
+                "num_buckets if the bucket holds many entities, or trim / "
+                "pre-aggregate the hot entity upstream."
+            )
         df = arrow_to_pandas_safe(tbl)
         df = df.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         out = fn(df)

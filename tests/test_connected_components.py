@@ -113,3 +113,60 @@ def test_grouped_var_large_ints_no_overflow(ray_session):
         want = float(np.var(vals[keys == k].astype(np.float64), ddof=1))
         assert got.loc[k, "v"] == pytest.approx(want, rel=1e-6)
         assert got.loc[k, "s"] == pytest.approx(np.sqrt(want), rel=1e-6)
+
+
+def test_embedding_near_dup_sharded_verify_equals_broadcast(ray_session):
+    """VERDICT r2 №4: with a zero byte budget the verify shards by
+    id-hash attach instead of broadcasting — identical verified pairs."""
+    from featureextraction_jl_ray.stages.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((4, 16))
+    rows, ids = [], []
+    k = 0
+    for c in range(4):
+        for j in range(3):
+            rows.append(base[c] + rng.standard_normal(16) * 0.01)
+            ids.append(k)
+            k += 1
+    ds = ray_session.data.from_arrow(
+        pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                  "embedding": pa.array([r.astype(np.float64).tolist()
+                                         for r in rows],
+                                        type=pa.list_(pa.float64()))})
+    ).repartition(3)
+    kw = dict(vector_col="embedding", id_col="vec_id", threshold=0.95,
+              bands=8, planes_per_band=8, num_buckets=8)
+    bc = embedding_near_dup_pairs(ds, **kw).to_pandas()
+    sh = embedding_near_dup_pairs(ds, max_broadcast_bytes=0, **kw).to_pandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b))
+    assert key(bc) == key(sh) and len(bc) > 0
+    a = bc.sort_values(["id_a", "id_b"]).cosine.to_numpy()
+    b = sh.sort_values(["id_a", "id_b"]).cosine.to_numpy()
+    np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_minhash_sharded_verify_equals_broadcast(ray_session):
+    """Zero byte budget → minhash verify shards by id-hash attach;
+    verified pairs and jaccard values identical to the broadcast path."""
+    from featureextraction_jl_ray.stages.minhash import minhash_near_dup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest by the river")
+    texts = [base + " bank", base + " shore", base + " delta",
+             "a completely different sentence about distributed data",
+             "another unrelated string with ray data pipelines and arrow"]
+    ds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    kw = dict(text_col="text", id_col="doc_id", threshold=0.5, num_buckets=8)
+    bc = minhash_near_dup_pairs(ds, **kw).to_pandas()
+    sh = minhash_near_dup_pairs(ds, max_broadcast_bytes=0, **kw).to_pandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b))
+    assert key(bc) == key(sh) and len(bc) > 0
+    a = bc.sort_values(["id_a", "id_b"]).jaccard.to_numpy()
+    b = sh.sort_values(["id_a", "id_b"]).jaccard.to_numpy()
+    np.testing.assert_allclose(a, b, rtol=1e-12)
