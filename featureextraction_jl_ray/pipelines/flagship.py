@@ -25,7 +25,11 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import bucket_of
-from ..sources.io import checkpointed_write, completed_partitions
+from ..sources.io import (
+    collect_manifest_records,
+    completed_partitions,
+    make_bucket_writer,
+)
 from ..stages.asof import asof_join
 from ..stages.codec import with_pixel_features
 from ..stages.transform import apply_pca_transform
@@ -105,7 +109,7 @@ def fit_flagship_model(images, cfg: FlagshipConfig) -> PCAModel:
     return PCAModel.from_moments(m).select(k=cfg.k)
 
 
-def _features(images, captions, cfg: FlagshipConfig):
+def _features(images, captions, cfg: FlagshipConfig, *, bucket_sink=None):
     # as-of join + ALL window features inside ONE bucketed exchange
     # (window_fn hook — a second groupby shuffle would double the
     # exchange volume for zero semantic gain)
@@ -149,6 +153,7 @@ def _features(images, captions, cfg: FlagshipConfig):
         window_fn=window_fn,
         left_types=left_types,
         right_types_in=right_types,
+        bucket_sink=bucket_sink,
     )
 
 
@@ -202,18 +207,20 @@ def run_flagship(
         concurrency=cfg.transform_concurrency,
         drop_input=True,
     )
-    out = _features(transformed, captions, cfg)
     if out_dir is None:
-        return out, model
-    records = checkpointed_write(
-        out,
-        out_dir,
-        entity_col="entity_id",
-        key_col="image_id",
-        num_buckets=cfg.num_buckets,
-        op_fingerprint=cfg.fingerprint,
-        skip_partitions=skip_partitions,
-        hive_layout=cfg.hive_layout,
+        return _features(transformed, captions, cfg), model
+    # FUSED write (round-3): the as-of/window exchange groups by the SAME
+    # entity hash the writer buckets on, so the partition files are
+    # written INSIDE merge_bucket via bucket_sink — ds.stats() shows ONE
+    # all-to-all where round 2 paid two (merge, then re-bucket to write).
+    # Completed partitions were already pruned upstream (skip_partitions),
+    # so no extra skip handling is needed at the sink.
+    writer = make_bucket_writer(out_dir, key_col="image_id",
+                                hive_layout=cfg.hive_layout)
+    manifest_ds = _features(transformed, captions, cfg, bucket_sink=writer)
+    records = collect_manifest_records(
+        manifest_ds, out_dir,
+        op_fingerprint=cfg.fingerprint, num_buckets=cfg.num_buckets,
     )
     return records, model
 

@@ -54,6 +54,7 @@ def asof_join(
     left_types: dict | None = None,
     right_types_in: dict | None = None,
     left_salt: int | None = None,
+    bucket_sink=None,
 ):
     """As-of join ``left`` with ``right`` on time column ``on`` per entity
     column ``by``; returns left rows + matched right columns (left join —
@@ -66,6 +67,17 @@ def asof_join(
     frame, e.g. from ``make_windows_frame_fn``) runs INSIDE the same
     bucketed exchange right after the merge — the flagship's windowed
     features therefore cost zero extra shuffles.
+
+    ``bucket_sink`` (``(bucket_id, table) → table``, e.g.
+    ``sources.io.make_bucket_writer``) runs on each bucket's FINAL output
+    (post-merge, post-``window_fn``) inside the same exchange, and its
+    return value (e.g. a manifest row) is emitted instead of the data —
+    a co-partitioned write therefore costs ZERO extra shuffles.  The
+    bucket id handed to the sink is the same
+    ``bucket_of(entity, num_buckets, seed=0)`` the standalone
+    ``checkpointed_write`` computes, so resume manifests interoperate.
+    Incompatible with ``left_salt`` (salted buckets are not entity
+    partitions).
 
     ``left_salt=s`` spreads a HOT entity: left rows bucket by
     (entity, hash(ts) % s) and the right side is replicated once per
@@ -85,6 +97,11 @@ def asof_join(
         raise ValueError(
             "left_salt splits an entity's left rows across buckets; "
             "window_fn needs the full per-entity history — drop one"
+        )
+    if left_salt is not None and left_salt > 1 and bucket_sink is not None:
+        raise ValueError(
+            "bucket_sink writes one partition per entity bucket; salted "
+            "buckets are not entity partitions — drop one"
         )
     n_salts = int(left_salt) if left_salt else 1
     tol = pd.Timedelta(tolerance) if tolerance is not None else None
@@ -172,6 +189,7 @@ def asof_join(
 
     def merge_bucket(tbl: pa.Table) -> pa.Table:
         df = arrow_to_pandas_safe(tbl)
+        bid = int(df[_BUCKET].iloc[0]) if len(df) else -1
         is_right = df[_SIDE].to_numpy() == 1
         l = df.loc[
             ~is_right, [c for c in df.columns if c not in (_SIDE, *out_right_names)]
@@ -202,7 +220,10 @@ def asof_join(
                 [by, on, *left_tiebreak], kind="mergesort", ignore_index=True
             )
             merged = window_fn(merged)
-        return pandas_to_arrow(merged)
+        out = pandas_to_arrow(merged)
+        if bucket_sink is not None:
+            return bucket_sink(bid, out)
+        return out
 
     return unioned.groupby(_BUCKET).map_groups(merge_bucket, batch_format="pyarrow")
 
