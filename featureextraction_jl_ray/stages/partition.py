@@ -6,8 +6,10 @@ Scale shape
 -----------
 The engine's ONE wide exchange per pipeline is here: rows are bucketed by
 a stable hash of the entity key (``functions.hashing.bucket_of`` — the
-same function everywhere, so co-partitioned stages align) and shuffled
-with ``groupby(_BUCKET).map_groups``.  Inside a bucket the scan callback
+same function everywhere, so co-partitioned stages align), packed into
+per-bucket compressed IPC blobs (``stages/blobshuffle.py`` — the shuffle
+moves a few blob rows per batch, not every data row) and shuffled with
+``groupby(_BUCKET).map_groups``.  Inside a bucket the scan callback
 receives a pandas DataFrame sorted by (entity, ts, tiebreak); per-entity
 work is then vectorized with pandas' C groupby kernels — never a Python
 loop over rows.  An entity never crosses a bucket, so window state never
@@ -94,26 +96,40 @@ def sorted_scan(
     materialized bucket (arrow bytes, BEFORE the pandas conversion
     roughly doubles it).
     """
-    bucketed = add_bucket_column(ds, entity_col, num_buckets, seed=seed)
+    from .blobshuffle import _BLOB, pack_by_bucket, unpack_blobs
+
+    def tag(batch: pa.Table) -> pa.Table:
+        col = batch.column(entity_col).to_numpy(zero_copy_only=False)
+        return pack_by_bucket(batch, bucket_of(col, num_buckets, seed=seed))
+
+    # batch_size=None → whole-block tagging: blob slices of block/buckets
+    # rows amortize the per-blob IPC header (1024-row default batches
+    # would shred a 64-bucket exchange into ~16-row blobs)
+    bucketed = ds.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
     sort_cols = [entity_col, ts_col, *tiebreak_cols]
 
     # map_groups runs in pyarrow format and we convert ourselves: the
     # default pandas conversion would turn nullable int64 (e.g. 64-bit
     # phash after a lag) into lossy float64 (functions/pdconv.py).
     def run_bucket(tbl: pa.Table) -> pa.Table:
-        if tbl.nbytes > max_bucket_bytes:
-            ent = tbl.column(entity_col)
+        # every group has ≥1 blob row (groups come from blob rows), so no
+        # fallback schema is needed
+        data = unpack_blobs(tbl.column(_BLOB))
+        if data.nbytes > max_bucket_bytes:
+            ent = data.column(entity_col)
             vc = ent.value_counts()
             top = max(vc.to_pylist(), key=lambda r: r["counts"])
             raise RuntimeError(
-                f"sorted_scan: bucket of {tbl.num_rows} rows / {tbl.nbytes} "
+                f"sorted_scan: bucket of {data.num_rows} rows / {data.nbytes} "
                 f"bytes exceeds max_bucket_bytes={max_bucket_bytes} "
                 f"(hottest entity {top['values']!r}: {top['counts']} rows). "
                 "Window semantics cannot split an entity's history — raise "
                 "num_buckets if the bucket holds many entities, or trim / "
                 "pre-aggregate the hot entity upstream."
             )
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(data)
         df = df.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         out = fn(df)
         if drop_bucket and _BUCKET in out.columns:
