@@ -6,10 +6,12 @@ Formats:
 - ``raw``  — w·h·3 uint8 RGB row-major, lossless (the test fixtures'
   format; decode∘encode is exact, so the PSNR≥40dB gate of
   BASELINE.json:15 is trivially ∞).
-- ``png``/``jpeg`` — require an imaging library that is NOT in this
-  container; the stage raises NotImplementedError with a clear message
-  (import-gated, per the task's stub policy).  The Ray-side plumbing
-  (schema, batching, actor pool) is identical and fully tested via raw.
+- ``png``/``jpeg`` — fully wired through PIL (per-row decode/encode in
+  ``_decode_compressed`` / ``encode_images``) but import-gated: the
+  library is NOT in this container, so without PIL the stage raises
+  NotImplementedError with a clear message.  Activation tests in
+  ``tests/test_optional_deps.py`` run the real path (png lossless
+  round-trip, jpeg PSNR≥40dB) the moment pillow is installed.
 
 PSNR: 10·log10(255² / MSE) on decoded uint8 pixels.
 """
@@ -26,6 +28,7 @@ __all__ = [
     "DecodeImages",
     "psnr",
     "decode_batch",
+    "encode_images",
     "with_pixel_features",
     "resize_batch",
     "ResizeImages",
@@ -53,13 +56,50 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
+def _decode_compressed(payload, fmts, w0: int, h0: int) -> np.ndarray:
+    """PIL path: per-row decode of compressed payloads (+ raw fast rows).
+
+    A Python loop is inherent here — png/jpeg streams decode one image
+    at a time; the vectorized raw path below stays loop-free.
+    """
+    import io as _io
+
+    from PIL import Image
+
+    n = len(payload)
+    out = np.empty((n, h0, w0, 3), dtype=np.uint8)
+    row_bytes = h0 * w0 * 3
+    for i in range(n):
+        b = payload[i].as_py()
+        if fmts[i] == "raw":
+            out[i] = np.frombuffer(b, dtype=np.uint8, count=row_bytes).reshape(
+                h0, w0, 3
+            )
+            continue
+        with Image.open(_io.BytesIO(b)) as im:
+            arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        if arr.shape != (h0, w0, 3):
+            raise ValueError(
+                f"decoded {fmts[i]} image is {arr.shape[1]}x{arr.shape[0]}, "
+                f"metadata says {w0}x{h0}"
+            )
+        out[i] = arr
+    return out
+
+
 def decode_batch(batch: pa.Table) -> np.ndarray:
-    """Decode a batch with UNIFORM (w, h, fmt) → (n, h, w, 3) uint8.
+    """Decode a batch with UNIFORM (w, h) → (n, h, w, 3) uint8.
 
     Uniform dims are a hard requirement HERE; ``DecodeImages.__call__``
     handles mixed-dim batches by grouping rows per (w, h) and calling
-    this per group (vectorized within each group).
+    this per group (vectorized within each group).  ``fmt`` may be mixed:
+    all-raw batches take the zero-copy vectorized path; batches with any
+    compressed row decode via PIL (import-gated).
     """
+    w = batch.column("w").to_numpy(zero_copy_only=False)
+    h = batch.column("h").to_numpy(zero_copy_only=False)
+    if len(w) and not ((w == w[0]).all() and (h == h[0]).all()):
+        raise ValueError("decode_batch requires uniform dims within a batch")
     fmts = batch.column("fmt").to_pylist()
     if any(f != "raw" for f in fmts):
         if not _HAVE_PIL:
@@ -68,11 +108,9 @@ def decode_batch(batch: pa.Table) -> np.ndarray:
                 "is not installed in this environment; plumbing is format-"
                 "agnostic — install pillow to enable png/jpeg"
             )
-        raise NotImplementedError("png/jpeg decode path not yet wired")
-    w = batch.column("w").to_numpy(zero_copy_only=False)
-    h = batch.column("h").to_numpy(zero_copy_only=False)
-    if not ((w == w[0]).all() and (h == h[0]).all()):
-        raise ValueError("decode_batch requires uniform dims within a batch")
+        return _decode_compressed(
+            batch.column("bytes").combine_chunks(), fmts, int(w[0]), int(h[0])
+        )
     payload = batch.column("bytes").combine_chunks()
     n = len(payload)
     row_bytes = int(h[0]) * int(w[0]) * 3
@@ -95,6 +133,33 @@ def decode_batch(batch: pa.Table) -> np.ndarray:
 
 def encode_raw(pixels: np.ndarray) -> list[bytes]:
     return [p.tobytes() for p in pixels]
+
+
+def encode_images(pixels: np.ndarray, fmt: str = "raw", **save_kw) -> list[bytes]:
+    """(n, h, w, 3) uint8 → payload bytes per row.  ``raw`` is the
+    lossless row-major layout; ``png``/``jpeg`` go through PIL
+    (import-gated).  ``save_kw`` forwards to ``PIL.Image.save`` (e.g.
+    ``quality=95`` for jpeg — the PSNR≥40dB contract of BASELINE.json:15
+    assumes a high-quality encode)."""
+    if fmt == "raw":
+        return encode_raw(pixels)
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            f"encoding fmt={fmt!r} needs PIL (not installed); install "
+            "pillow to enable png/jpeg"
+        )
+    import io as _io
+
+    from PIL import Image
+
+    out = []
+    for p in pixels:
+        b = _io.BytesIO()
+        Image.fromarray(np.ascontiguousarray(p), "RGB").save(
+            b, format=fmt.upper(), **save_kw
+        )
+        out.append(b.getvalue())
+    return out
 
 
 class DecodeImages:
