@@ -720,3 +720,46 @@ def test_grouped_ols_single_point_and_constant_x(ray_session):
     assert np.isnan(out.slope[1])       # constant x
     np.testing.assert_allclose(out.slope[2], 2.0, rtol=1e-12)  # perfect line
     np.testing.assert_allclose(out.r2[2], 1.0, rtol=1e-12)
+
+
+def test_range_join_dense_tree_path_matches_merge_path(ray_session):
+    """Forcing the interval-tree path (dense_threshold=0) must produce
+    exactly the pairs the cross-merge path produces, including
+    overlapping intervals, empty entities and NaT-free semantics."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01").value
+    n_ev, n_win = 400, 120
+    ev = pa.table({
+        "eid": pa.array(rng.integers(0, 5, n_ev)),
+        "rid": pa.array(np.arange(n_ev, dtype=np.int64)),
+        "ts": pa.array((base + rng.integers(0, 10**9 * 3600, n_ev)).view("datetime64[ns]")),
+    })
+    starts = base + rng.integers(0, 10**9 * 3600, n_win)
+    ends = starts + rng.integers(0, 10**9 * 600, n_win)
+    win = pa.table({
+        "eid": pa.array(rng.integers(0, 5, n_win)),
+        "wid": pa.array(np.arange(n_win, dtype=np.int64)),
+        "start_ts": pa.array(starts.view("datetime64[ns]")),
+        "end_ts": pa.array(ends.view("datetime64[ns]")),
+    })
+
+    def run(thresh):
+        out = range_join(
+            ray_session.data.from_arrow(ev).repartition(3),
+            ray_session.data.from_arrow(win),
+            by="eid", on="ts", start_col="start_ts", end_col="end_ts",
+            right_cols=["wid", "start_ts", "end_ts"], num_buckets=4,
+            dense_threshold=thresh,
+        ).to_pandas()
+        assert list(out.columns) == ["eid", "rid", "ts", "wid", "start_ts", "end_ts"]
+        return sorted(zip(out.rid, out.wid))
+
+    merged, treed = run(10**9), run(0)
+    assert len(merged) > 50  # the fixture actually produces matches
+    assert merged == treed
