@@ -200,6 +200,7 @@ def build_ivf_index(
     sample_rows: int = 2000,
     seed: int = 42,
     path: str | None = None,
+    materialize_in_memory: bool = False,
 ) -> IvfIndex:
     """Fit centroids on a distributed sample (not limit(): limit pulls
     blocks sequentially and inverts scaling) and assign every row to its
@@ -240,6 +241,17 @@ def build_ivf_index(
     if path is not None:
         assigned.write_parquet(path, partition_cols=[IvfIndex.CELL], mode="overwrite")
         return IvfIndex(C, None, path)
+    if not materialize_in_memory:
+        # the in-memory form pins the WHOLE assigned corpus in the object
+        # store — at 100 TB that is an accident, not a convenience.  The
+        # scale path is `path=` (hive-partitioned, directory-pruned
+        # probes); the session-local form is explicit opt-in.
+        raise ValueError(
+            "build_ivf_index without `path` materializes the entire "
+            "assigned corpus in the object store; pass `path=` for the "
+            "hive-partitioned on-disk index (the scale path) or opt in "
+            "explicitly with materialize_in_memory=True"
+        )
     return IvfIndex(C, assigned.materialize(), None)
 
 
@@ -265,6 +277,9 @@ def knn_cosine_ivf(
         else build_ivf_index(
             ds_or_index, vector_col=vector_col, id_col=id_col,
             n_clusters=n_clusters, sample_rows=sample_rows, seed=seed,
+            # the Dataset form of knn_cosine_ivf IS the documented
+            # session-local convenience — opt in on the caller's behalf
+            materialize_in_memory=True,
         )
     )
     Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))

@@ -228,7 +228,11 @@ def test_ivf_persisted_index_matches_session_index(ray_session, sf_dir, tmp_path
     X = np.stack(tbl.embedding.to_numpy()).astype(np.float64)
     ds = ray_session.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     mem_idx = build_ivf_index(ds, vector_col="embedding", id_col="vec_id",
-                              n_clusters=8)
+                              n_clusters=8, materialize_in_memory=True)
+    # the in-memory form without explicit opt-in must refuse (100-TB
+    # accident guard)
+    with pytest.raises(ValueError, match="materialize"):
+        build_ivf_index(ds, vector_col="embedding", id_col="vec_id", n_clusters=8)
     disk_idx = build_ivf_index(ds, vector_col="embedding", id_col="vec_id",
                                n_clusters=8, path=str(tmp_path / "ivf"))
     np.testing.assert_allclose(mem_idx.centroids, disk_idx.centroids)
