@@ -36,6 +36,21 @@ _BUCKET = "__fx_bucket"
 __all__ = ["add_bucket_column", "sorted_scan", "adaptive_num_buckets", "_BUCKET"]
 
 
+def _cluster_cpus() -> int:
+    """Logical CPUs of the (single- or multi-node) cluster; cheap, safe
+    before ray.init (falls back to the host count)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 0)) or 1
+    except Exception:
+        pass
+    import os
+
+    return os.cpu_count() or 1
+
+
 def adaptive_num_buckets(
     n_rows: int,
     *,
@@ -43,19 +58,27 @@ def adaptive_num_buckets(
     min_buckets: int = 8,
     max_buckets: int = 65_536,
 ) -> int:
-    """Bucket count scaled to the INPUT, not a constant (round-1 VERDICT:
-    a static 64 means per-task memory = dataset/64 — 1.5 TB/task at
-    100 TB).  Every ``groupby(bucket).map_groups`` stage materializes one
-    bucket as a single in-memory frame, so per-task memory ≈
-    target_rows_per_bucket × row_width; 250k rows of ~200 B ≈ 50 MB/task,
-    comfortably inside a worker heap while keeping tasks coarse enough
-    that scheduling overhead stays negligible.  Bounded above so the
-    shuffle's partition metadata stays sane."""
-    if n_rows <= 0:
-        return min_buckets
+    """Bucket count scaled to the INPUT and the CLUSTER, not a constant
+    (round-1 VERDICT: a static 64 means per-task memory = dataset/64 —
+    1.5 TB/task at 100 TB).  Two forces:
+
+    - memory: every ``groupby(bucket).map_groups`` stage materializes one
+      bucket as a single in-memory frame, so per-task memory ≈
+      target_rows_per_bucket × row_width; 250k rows of ~200 B ≈ 50 MB.
+    - parallelism: the merge wave runs one task per bucket, so buckets
+      must be ≥ ~2× cluster cores or the wave under-fills the cluster
+      (round-3 finding: at small inputs the rows-based count alone left
+      the exchange running 8-wide on a 32-core budget).
+
+    The max of the two wins; at 100 TB the memory term dominates by
+    orders of magnitude and the parallelism floor is inert.  Bounded
+    above so the shuffle's partition metadata stays sane."""
     import math
 
-    return max(min_buckets, min(max_buckets, math.ceil(n_rows / target_rows_per_bucket)))
+    floor = max(min_buckets, 2 * _cluster_cpus())
+    if n_rows <= 0:
+        return min(max_buckets, floor)
+    return max(floor, min(max_buckets, math.ceil(n_rows / target_rows_per_bucket)))
 
 
 def add_bucket_column(ds, entity_col: str, num_buckets: int, seed: int = 0):
