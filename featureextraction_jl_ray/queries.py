@@ -1614,6 +1614,34 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 SQL_WEIGHTED_SAMPLE = _weighted_sample_sql()
 
 
+def q_sample_k_per_user(sf_dir):
+    """Deterministic UNIFORM per-key cap: at most 4 events per user,
+    chosen by the pinned fmix32 hash of event_id (bottom-k ascending) —
+    the 'cap each user/domain at k training examples' op, mergeable and
+    resume-stable.  ORACLED row-exactly via the shared hash CTE."""
+    from .stages.split import sample_k_per_key
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+    out = sample_k_per_key(ds, "user_id", "event_id", k=4)
+    return out.select_columns(["event_id", "user_id", "value"])
+
+
+def _sample_k_sql() -> str:
+    from .stages.split import sql_hash_cte
+
+    cte = sql_hash_cte("events", "event_id", "event_id, user_id, value")
+    return f"""
+WITH {cte}
+SELECT event_id, user_id, value FROM __hx
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY h ASC, event_id) <= 4
+"""
+
+
+SQL_SAMPLE_K_PER_USER = _sample_k_sql()
+
+
 def q_doc_stats(sf_dir):
     from .stages.text import with_token_stats
 
@@ -2870,6 +2898,29 @@ FROM events
 """
 
 
+def q_global_rank_events(sf_dir):
+    """GLOBAL row_number over the whole table ordered by (value,
+    event_id) — distributed order statistics: range-partition on sampled
+    value boundaries (equal values never split a partition), per-
+    partition counts from one column-pruned pre-pass, local sort + prefix
+    offset per partition.  All-integer rank, pass-through value —
+    bit-exact vs the oracle (stages/sort.py::with_global_rank)."""
+    from .stages.sort import with_global_rank
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+    out = with_global_rank(ds, "value", tiebreak_cols=("event_id",),
+                           rank_col="global_rank", num_partitions=16)
+    return out.select_columns(["event_id", "value", "global_rank"])
+
+
+SQL_GLOBAL_RANK_EVENTS = """
+SELECT event_id, value,
+  ROW_NUMBER() OVER (ORDER BY value, event_id) AS global_rank
+FROM events
+"""
+
+
 def q_cumulative_user_value(sf_dir):
     """Running per-user aggregates in event-time order, inclusive of the
     current row (a user's cumulative count/spend/max as of each event —
@@ -3601,9 +3652,11 @@ QUERIES = {
     "hash_split_events": q_hash_split_events,
     "time_split_events": q_time_split_events,
     "weighted_sample": q_weighted_sample,
+    "sample_k_per_user": q_sample_k_per_user,
     "profile_events": q_profile_events,
     "negative_samples": q_negative_samples,
     "rank_events": q_rank_events,
+    "global_rank_events": q_global_rank_events,
     "cumulative_user_value": q_cumulative_user_value,
     "first_last_touch": q_first_last_touch,
     "datetime_features": q_datetime_features,
@@ -3624,9 +3677,11 @@ ORACLE_SQL = {
     "hash_split_events": SQL_HASH_SPLIT_EVENTS,
     "time_split_events": SQL_TIME_SPLIT_EVENTS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "sample_k_per_user": SQL_SAMPLE_K_PER_USER,
     "profile_events": SQL_PROFILE_EVENTS,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "rank_events": SQL_RANK_EVENTS,
+    "global_rank_events": SQL_GLOBAL_RANK_EVENTS,
     "cumulative_user_value": SQL_CUMULATIVE_USER_VALUE,
     "first_last_touch": SQL_FIRST_LAST_TOUCH,
     "datetime_features": SQL_DATETIME_FEATURES,

@@ -17,7 +17,7 @@ from pathlib import Path
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sample_boundaries", "range_partition_sort"]
+__all__ = ["sample_boundaries", "range_partition_sort", "with_global_rank"]
 
 
 def sample_boundaries(
@@ -77,3 +77,82 @@ def range_partition_sort(
             if boundaries_path:
                 save_boundaries(boundaries, boundaries_path)
     return ds.sort(keys, descending=descending, boundaries=boundaries or None)
+
+
+def with_global_rank(
+    ds,
+    key: str,
+    *,
+    tiebreak_cols: tuple[str, ...] = (),
+    rank_col: str = "global_rank",
+    num_partitions: int = 64,
+    seed: int = 42,
+):
+    """Dense global ROW_NUMBER over the whole dataset ordered by
+    ``(key, *tiebreak_cols)`` — distributed order statistics without a
+    single-node sort.
+
+    Scale shape: range-partition on sampled ``key`` boundaries (ALL rows
+    with an equal key value land in the SAME partition, so the tiebreak
+    order never crosses a partition edge), count rows per partition in
+    one cheap column-pruned pre-pass (np.bincount partials → a
+    num_partitions-long driver array), then one bucketed exchange where
+    each partition sorts locally and adds its prefix offset.  Ranks are
+    1-based and unique when ``(key, *tiebreak_cols)`` is a total order —
+    pass a unique id as the last tiebreak for deterministic output.
+    Null keys rank LAST (DuckDB ``ORDER BY key`` ASC default).
+    """
+    import pandas as pd
+
+    from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+    from .blobshuffle import _BLOB, pack_by_bucket, unpack_blobs
+    from .partition import _BUCKET
+
+    bounds = sample_boundaries(ds, key, num_partitions, seed=seed)
+    barr = np.asarray(bounds)
+
+    def part_of(batch: pa.Table) -> np.ndarray:
+        v = batch.column(key).to_numpy(zero_copy_only=False)
+        if len(barr):
+            p = np.searchsorted(barr, v, side="right")
+        else:
+            p = np.zeros(len(v), dtype=np.int64)
+        # nulls (NaN/NaT) rank last: their searchsorted position is
+        # comparison-dependent, pin them to the final partition
+        null = pd.isna(v)
+        if null.any():
+            p = np.where(null, len(barr), p)
+        return p.astype(np.int64)
+
+    # pre-pass: per-partition row counts (column-pruned, no shuffle)
+    nparts = len(barr) + 1
+
+    def count_parts(batch: pa.Table) -> pa.Table:
+        c = np.bincount(part_of(batch), minlength=nparts)
+        return pa.table({"c": pa.array(c, type=pa.int64())})
+
+    counts = np.zeros(nparts, dtype=np.int64)
+    for b in ds.select_columns([key]).map_batches(
+        count_parts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        arr = b.column("c").to_numpy(zero_copy_only=False)
+        counts += arr.reshape(-1, nparts).sum(axis=0)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pack_by_bucket(batch, part_of(batch))
+
+    sort_cols = [key, *tiebreak_cols]
+
+    def rank_bucket(tbl: pa.Table) -> pa.Table:
+        pid = int(tbl.column(_BUCKET)[0].as_py())
+        df = arrow_to_pandas_safe(unpack_blobs(tbl.column(_BLOB)))
+        df = df.sort_values(sort_cols, kind="mergesort", ignore_index=True,
+                            na_position="last")
+        df[rank_col] = offsets[pid] + 1 + np.arange(len(df), dtype=np.int64)
+        return pandas_to_arrow(df)
+
+    bucketed = ds.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return bucketed.groupby(_BUCKET).map_groups(rank_bucket, batch_format="pyarrow")

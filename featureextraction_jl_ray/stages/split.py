@@ -31,7 +31,7 @@ from ..functions.hashing import stable_hash_array
 
 __all__ = ["hash_u32", "split_thresholds", "hash_split", "hash_sample",
            "weighted_sample_by_key", "negative_samples", "time_split",
-           "sql_hash_cte"]
+           "sql_hash_cte", "sample_k_per_key"]
 
 _M32 = np.uint64(0xFFFFFFFF)
 _DEFAULT_SEED = 0x9E3779B9  # nonzero: kills the x=0 / x=-1 fixpoint of the fold
@@ -173,6 +173,31 @@ def weighted_sample_by_key(ds, key_col: str, id_col: str, weight_col: str,
         return batch.drop_columns(["__pri"])
 
     return out.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_k_per_key(ds, key_col: str, id_col: str, *, k: int,
+                     seed: int = _DEFAULT_SEED, keep_hash: bool = False):
+    """Deterministic UNIFORM sample of at most ``k`` rows per key (cap
+    each user/domain at k examples): rank rows within a key by the
+    fmix32 hash of ``id_col`` (ascending, id tiebreak) and keep the
+    bottom-k — a fixed-size per-key reservoir that is MERGEABLE (reuses
+    the grouped-topn pair-bounded exchange), deterministic across runs /
+    resumes / repartitions, and ROW-exactly SQL-expressible via
+    ``sql_hash_cte`` (oracle queries embed it)."""
+    from .groupagg import grouped_topn
+
+    def hx(batch: pa.Table) -> pa.Table:
+        h = hash_u32(batch.column(id_col).to_numpy(zero_copy_only=False),
+                     seed=seed)
+        return batch.append_column("__h", pa.array(h.astype(np.int64)))
+
+    with_h = ds.map_batches(hx, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topn(with_h, key_col, ["__h", id_col], n=k,
+                       ascending=True, num_buckets=32)
+    if keep_hash:
+        return out
+    return out.map_batches(lambda b: b.drop_columns(["__h"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
 
 
 def negative_samples(ds, id_col: str, *, k: int = 4, n_ids: int | None = None,

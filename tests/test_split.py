@@ -151,3 +151,52 @@ def test_negative_samples_properties(ray_session):
     assert len(a) <= 400 and len(a) >= 380   # ≤k per anchor, few collisions
     # draws look uniform-ish: every quartile of the id space is hit
     assert (np.histogram(a.neg_id, bins=4, range=(0, 100))[0] > 50).all()
+
+
+def test_sample_k_per_key_deterministic_and_capped(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.split import sample_k_per_key
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "key": pa.array(rng.integers(0, 20, n)),
+        "v": pa.array(rng.standard_normal(n)),
+    })
+    ds = ray_session.data.from_arrow(tbl)
+    a = sample_k_per_key(ds, "key", "id", k=5).to_pandas()
+    # cap respected, and keys with >=5 rows yield exactly 5
+    sizes = a.groupby("key").size()
+    assert (sizes <= 5).all() and (sizes == 5).sum() == 20
+    # deterministic across repartitions
+    b = sample_k_per_key(ds.repartition(7), "key", "id", k=5).to_pandas()
+    assert sorted(a.id) == sorted(b.id)
+
+
+def test_global_rank_nulls_last_and_unique(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.sort import with_global_rank
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    v = rng.integers(0, 50, n).astype(np.float64)  # heavy ties
+    v[:25] = np.nan
+    tbl = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                    "v": pa.array(v)})
+    out = with_global_rank(ray_session.data.from_arrow(tbl).repartition(5),
+                           "v", tiebreak_cols=("id",), num_partitions=8
+                           ).to_pandas()
+    assert len(out) == n
+    ranks = np.sort(out.global_rank.to_numpy())
+    assert (ranks == np.arange(1, n + 1)).all()  # dense, unique, 1-based
+    exp = pd.DataFrame({"id": np.arange(n), "v": v}).sort_values(
+        ["v", "id"], na_position="last", ignore_index=True)
+    exp["global_rank"] = np.arange(1, n + 1)
+    got = out.sort_values("global_rank", ignore_index=True)
+    assert (got.id.to_numpy() == exp.id.to_numpy()).all()
