@@ -32,7 +32,8 @@ from .partition import _BUCKET
 _SIDE = "__fx_side"
 _BLOB = "__fx_blob"
 
-__all__ = ["pack_by_bucket", "unpack_blobs", "blob_schema", "_SIDE", "_BLOB"]
+__all__ = ["pack_by_bucket", "unpack_blobs", "blob_schema", "pack_pandas",
+           "unpack_table", "_SIDE", "_BLOB"]
 
 
 def _ipc_write_options():
@@ -112,3 +113,17 @@ def unpack_blobs(blob_values, fallback_schema: pa.Schema | None = None) -> pa.Ta
     if len(tabs) == 1:
         return tabs[0]
     return pa.concat_tables(tabs, promote_options="none")
+
+
+def pack_pandas(df, bucket_ids) -> pa.Table:
+    """pandas → arrow → per-bucket blobs (producer-side convenience)."""
+    from ..functions.pdconv import pandas_to_arrow
+
+    return pack_by_bucket(pandas_to_arrow(df), np.asarray(bucket_ids))
+
+
+def unpack_table(tbl: pa.Table) -> pa.Table:
+    """Consumer-side convenience: a ``groupby(_BUCKET).map_groups`` input
+    of blob rows → the concatenated data table (groups always hold ≥1
+    blob row, so no fallback schema is needed)."""
+    return unpack_blobs(tbl.column(_BLOB))

@@ -15,8 +15,10 @@ import pyarrow as pa
 
 from ..functions.hashing import bucket_of_multi
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+from .blobshuffle import pack_by_bucket, pack_pandas, unpack_table
 
-_BUCKET = "__fx_gbucket"
+# the blob exchange hardwires the partition column name — share it
+from .blobshuffle import _BUCKET  # "__fx_bucket"
 
 __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
            "grouped_quantile", "grouped_quantile_sketch",
@@ -101,13 +103,12 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
         b = bucket_of_multi(
             [out[c].to_numpy() for c in key_cols], num_buckets, seed=29
         )
-        out[_BUCKET] = b
-        return pandas_to_arrow(out)
+        return pack_pandas(out, b)
 
     _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
     def final(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         g = df.groupby(key_cols, sort=False, dropna=False)
         out = pd.DataFrame(index=g.size().index)
         for name, (_, fn) in partial_cols.items():
@@ -152,7 +153,8 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
                 out = out.drop(columns=[f"__c_{name}"])
         return pandas_to_arrow(out)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
     return partials.groupby(_BUCKET).map_groups(final, batch_format="pyarrow")
 
 
@@ -171,20 +173,20 @@ def grouped_count_distinct(ds, key_cols, col: str, *, out_name: str = "n_distinc
 
     def local_distinct(batch: pa.Table) -> pa.Table:
         df = arrow_to_pandas_safe(batch)[cols].drop_duplicates()
-        df[_BUCKET] = bucket_of_multi(
+        b = bucket_of_multi(
             [df[c].to_numpy() for c in cols], num_buckets, seed=37
         )
-        return pandas_to_arrow(df)
+        return pack_pandas(df, b)
 
     def dedup_pairs(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)[cols].drop_duplicates()
-        df[_BUCKET] = bucket_of_multi(
+        df = arrow_to_pandas_safe(unpack_table(tbl))[cols].drop_duplicates()
+        b = bucket_of_multi(
             [df[c].to_numpy() for c in key_cols], num_buckets, seed=41
         )
-        return pandas_to_arrow(df)
+        return pack_pandas(df, b)
 
     def count_per_key(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         out = (
             df.groupby(key_cols, sort=False, dropna=False)
             .size()
@@ -194,7 +196,8 @@ def grouped_count_distinct(ds, key_cols, col: str, *, out_name: str = "n_distinc
         return pandas_to_arrow(out)
 
     return (
-        ds.map_batches(local_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(local_distinct, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
         .groupby(_BUCKET)
         .map_groups(dedup_pairs, batch_format="pyarrow")
         .groupby(_BUCKET)
@@ -217,13 +220,13 @@ def grouped_quantile(ds, key_cols, value_col: str, qs=(0.5,), *,
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         df = arrow_to_pandas_safe(batch)[key_cols + [value_col]]
-        df[_BUCKET] = bucket_of_multi(
+        b = bucket_of_multi(
             [df[c].to_numpy() for c in key_cols], num_buckets, seed=43
         )
-        return pandas_to_arrow(df)
+        return pack_pandas(df, b)
 
     def quantiles(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         g = df.groupby(key_cols, sort=False, dropna=False)[value_col]
         out = pd.DataFrame(index=g.size().index)
         for q in qs:
@@ -231,7 +234,8 @@ def grouped_quantile(ds, key_cols, value_col: str, qs=(0.5,), *,
         return pandas_to_arrow(out.reset_index())
 
     return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None)
         .groupby(_BUCKET)
         .map_groups(quantiles, batch_format="pyarrow")
     )
@@ -257,7 +261,7 @@ def grouped_topn(
             num_buckets,
             seed=31,
         )
-        return batch.append_column(_BUCKET, pa.array(b))
+        return pack_by_bucket(batch, b)
 
     def local_prune(batch: pa.Table) -> pa.Table:
         # map-side prune: keep at most n rows per key per batch before the
@@ -271,17 +275,17 @@ def grouped_topn(
         return pandas_to_arrow(pruned)
 
     def topn(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         out = (
             df.sort_values(order_cols, ascending=ascending, kind="mergesort")
             .groupby(key_cols, sort=False, dropna=False)
             .head(n)
-            .drop(columns=[_BUCKET])
         )
         return pandas_to_arrow(out)
 
     pruned = ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
-    bucketed = pruned.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = pruned.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
     return bucketed.groupby(_BUCKET).map_groups(topn, batch_format="pyarrow")
 
 
@@ -332,13 +336,13 @@ def grouped_quantile_sketch(ds, key_cols, value_col: str, qs=(0.5,), *,
             stable_hash_array(dup, seed=seed + 1),
         )
         df = bottomk(df)
-        df[_BUCKET] = bucket_of_multi(
+        b = bucket_of_multi(
             [df[c].to_numpy() for c in key_cols], num_buckets, seed=53
         )
-        return pandas_to_arrow(df)
+        return pack_pandas(df, b)
 
     def final(tbl: pa.Table) -> pa.Table:
-        df = bottomk(arrow_to_pandas_safe(tbl))
+        df = bottomk(arrow_to_pandas_safe(unpack_table(tbl)))
         g = df.groupby(key_cols, sort=False, dropna=False)[value_col]
         out = pd.DataFrame(index=g.size().index)
         for q in qs:
@@ -346,7 +350,7 @@ def grouped_quantile_sketch(ds, key_cols, value_col: str, qs=(0.5,), *,
         return pandas_to_arrow(out.reset_index())
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby(_BUCKET)
         .map_groups(final, batch_format="pyarrow")
     )
@@ -398,13 +402,13 @@ def grouped_count_distinct_hll(ds, key_cols, col: str, *,
             out[key_cols] = pd.DataFrame(list(keys), columns=key_cols)
             out = out.drop(columns="__key")
         out["__hll"] = [r.tobytes() for r in regs]
-        out[_BUCKET] = bucket_of_multi(
+        b = bucket_of_multi(
             [out[c].to_numpy() for c in key_cols], num_buckets, seed=61
         )
-        return pandas_to_arrow(out)
+        return pack_pandas(out, b)
 
     def merge_estimate(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         rows = []
         for key, g in df.groupby(key_cols, sort=False, dropna=False):
             regs = np.zeros(m, dtype=np.uint8)
@@ -420,7 +424,7 @@ def grouped_count_distinct_hll(ds, key_cols, col: str, *,
         return pandas_to_arrow(pd.DataFrame(rows))
 
     return (
-        ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby(_BUCKET)
         .map_groups(merge_estimate, batch_format="pyarrow")
     )
@@ -478,13 +482,13 @@ def grouped_heavy_hitters(ds, key_cols, col: str, *, k: int = 10,
             .reset_index(name=count_name)
         )
         cnt = _mg_compress(cnt, key_cols, count_name, capacity)
-        cnt[_BUCKET] = bucket_of_multi(
+        b = bucket_of_multi(
             [cnt[c].to_numpy() for c in key_cols], num_buckets, seed=67
         )
-        return pandas_to_arrow(cnt)
+        return pack_pandas(cnt, b)
 
     def final(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         cnt = (
             df.groupby(key_cols + [col], sort=False, dropna=False)[count_name]
             .sum()
@@ -503,7 +507,7 @@ def grouped_heavy_hitters(ds, key_cols, col: str, *, k: int = 10,
         return pandas_to_arrow(cnt)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby(_BUCKET)
         .map_groups(final, batch_format="pyarrow")
     )
