@@ -23,8 +23,9 @@ import pyarrow as pa
 
 from ..functions.hashing import bucket_of, bucket_of_multi, stable_hash_array
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+from .blobshuffle import pack_by_bucket, unpack_table
 
-_BUCKET = "__fx_dbucket"
+from .blobshuffle import _BUCKET  # shared "__fx_bucket" — the blob exchange name
 _SALT = "__fx_salt"
 
 __all__ = ["exact_dedup", "hamming_near_dup_pairs", "hamming_dedup",
@@ -55,14 +56,15 @@ def _star_round(edges, *, large: bool, num_buckets: int):
             lo = np.where(u > v, v, u)
             uu, vv = hi, lo
         b = bucket_of(uu, num_buckets, seed=19)
-        return pa.table({"u": pa.array(uu), "v": pa.array(vv),
-                         _BUCKET: pa.array(b)})
+        return pack_by_bucket(
+            pa.table({"u": pa.array(uu), "v": pa.array(vv)}), b)
 
     def reduce(tbl: pa.Table) -> pa.Table:
-        u = tbl.column("u").to_numpy(zero_copy_only=False)
-        v = tbl.column("v").to_numpy(zero_copy_only=False)
-        empty = pa.table({"u": tbl.column("u").slice(0, 0),
-                          "v": tbl.column("v").slice(0, 0)})
+        data = unpack_table(tbl)
+        u = data.column("u").to_numpy(zero_copy_only=False)
+        v = data.column("v").to_numpy(zero_copy_only=False)
+        empty = pa.table({"u": data.column("u").slice(0, 0),
+                          "v": data.column("v").slice(0, 0)})
         if not len(u):
             return empty
         order = np.argsort(u, kind="stable")
@@ -93,7 +95,8 @@ def _star_round(edges, *, large: bool, num_buckets: int):
         return pa.table({"u": pa.array(np.concatenate(out_u)),
                          "v": pa.array(np.concatenate(out_v))})
 
-    return (edges.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+    return (edges.map_batches(emit, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
             .groupby(_BUCKET).map_groups(reduce, batch_format="pyarrow"))
 
 
@@ -261,29 +264,29 @@ def exact_dedup(
         )
         keys = [batch.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
         b = bucket_of_multi([*keys, salt], num_buckets, seed=11)
-        return batch.append_column(_SALT, pa.array(salt)).append_column(
-            _BUCKET, pa.array(b)
-        )
+        return pack_by_bucket(batch.append_column(_SALT, pa.array(salt)), b)
 
     def stage1(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         out = _keep_one(df, [*key_cols, _SALT], order_cols, ascending)
-        return pandas_to_arrow(out.drop(columns=[_BUCKET]))
+        return pandas_to_arrow(out)
 
     def add_key_bucket(batch: pa.Table) -> pa.Table:
         keys = [batch.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
         b = bucket_of_multi(keys, num_buckets, seed=13)
-        return batch.append_column(_BUCKET, pa.array(b))
+        return pack_by_bucket(batch, b)
 
     def stage2(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         out = _keep_one(df, key_cols, order_cols, ascending)
-        return pandas_to_arrow(out.drop(columns=[_BUCKET, _SALT]))
+        return pandas_to_arrow(out.drop(columns=[_SALT]))
 
-    salted = ds.map_batches(add_salted_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    salted = ds.map_batches(add_salted_bucket, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
     survivors = salted.groupby(_BUCKET).map_groups(stage1, batch_format="pyarrow")
     rebucketed = survivors.map_batches(
-        add_key_bucket, batch_format="pyarrow", zero_copy_batch=True
+        add_key_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
     return rebucketed.groupby(_BUCKET).map_groups(stage2, batch_format="pyarrow")
 
@@ -372,10 +375,10 @@ def hamming_near_dup_pairs(
             num_buckets,
             seed=17,
         )
-        return batch.append_column(_BUCKET, pa.array(b))
+        return pack_by_bucket(batch, b)
 
     def verify(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         out_a, out_b, out_d = [], [], []
         for (_, _), g in df.groupby(["band_id", "band_val"], sort=False):
             if len(g) < 2:
@@ -411,7 +414,8 @@ def hamming_near_dup_pairs(
     pairs = (
         ds.select_columns([hash_col, id_col])
         .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
         .groupby(_BUCKET)
         .map_groups(verify, batch_format="pyarrow")
     )

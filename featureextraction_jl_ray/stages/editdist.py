@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+from .blobshuffle import pack_by_bucket, unpack_table
 
 __all__ = ["edit1_pairs"]
 
@@ -130,20 +131,20 @@ def edit1_pairs(ds, *, text_col: str, id_col: str, max_len: int = 32,
         b = bucket_of_multi(
             [t.column("id_a").to_numpy(zero_copy_only=False),
              t.column("id_b").to_numpy(zero_copy_only=False)], 32, seed=31)
-        return t.append_column("__pb", pa.array(b))
+        return pack_by_bucket(t, b)
 
     def verify_bucket(t: pa.Table) -> pa.Table:
-        return verify(t.drop_columns(["__pb"]))
+        return verify(unpack_table(t))
 
     def add_key_bucket(t: pa.Table) -> pa.Table:
         from ..functions.hashing import bucket_of
 
         b = bucket_of(t.column("key").to_numpy(zero_copy_only=False), 32,
                       seed=17)
-        return t.append_column("__kb", pa.array(b))
+        return pack_by_bucket(t, b)
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        return group_pairs(t.drop_columns(["__kb"]))
+        return group_pairs(unpack_table(t))
 
     keys = ds.map_batches(explode_keys, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -151,13 +152,13 @@ def edit1_pairs(ds, *, text_col: str, id_col: str, max_len: int = 32,
     # pandas groupby walks the keys; a map_groups per distinct key would
     # pay task overhead × |keys|)
     keys = keys.map_batches(add_key_bucket, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    cands = keys.groupby("__kb").map_groups(bucket_pairs,
-                                            batch_format="pyarrow")
+                            zero_copy_batch=True, batch_size=None)
+    cands = keys.groupby("__fx_bucket").map_groups(bucket_pairs,
+                                                   batch_format="pyarrow")
     # global pair dedup THEN verify, co-located by PAIR-HASH BUCKET (one
     # map_groups per bucket, not per pair — a pair's duplicates all hash
     # to the same bucket, so drop_duplicates inside the bucket is global)
     bucketed = cands.map_batches(add_pair_bucket, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    return bucketed.groupby("__pb").map_groups(verify_bucket,
-                                               batch_format="pyarrow")
+                                 zero_copy_batch=True, batch_size=None)
+    return bucketed.groupby("__fx_bucket").map_groups(verify_bucket,
+                                                      batch_format="pyarrow")

@@ -29,6 +29,7 @@ import pyarrow as pa
 
 from ..functions.hashing import stable_hash_array
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+from .blobshuffle import pack_by_bucket, unpack_table
 from .dedup import hamming_near_dup_pairs
 
 __all__ = [
@@ -267,10 +268,10 @@ def minhash_near_dup_pairs(
              batch.column("band_hash").to_numpy(zero_copy_only=False)],
             num_buckets, seed=41,
         )
-        return batch.append_column("__fx_mbucket", pa.array(b))
+        return pack_by_bucket(batch, b)
 
     def candidates(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         out_a, out_b = [], []
         for key, g in df.groupby(["band_id", "band_hash"], sort=False):
             ids = np.unique(g["id"].to_numpy())
@@ -293,8 +294,9 @@ def minhash_near_dup_pairs(
 
     pairs = (
         sigged.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__fx_mbucket")
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("__fx_bucket")
         .map_groups(candidates, batch_format="pyarrow")
     )
     # --- candidate-bounded verification --------------------------------
@@ -536,10 +538,10 @@ def ngram_jaccard_pairs(
     def add_sh_bucket(batch: pa.Table) -> pa.Table:
         b = bucket_of(batch.column("sh").to_numpy(zero_copy_only=False),
                       num_buckets, seed=17)
-        return batch.append_column("__fx_jbucket", pa.array(b))
+        return pack_by_bucket(batch, b)
 
     def cooccur(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         out_a, out_b, out_na, out_nb = [], [], [], []
         for sh, g in df.groupby("sh", sort=False):
             if len(g) < 2:
@@ -572,10 +574,10 @@ def ngram_jaccard_pairs(
             [batch.column("id_a").to_numpy(zero_copy_only=False),
              batch.column("id_b").to_numpy(zero_copy_only=False)],
             num_buckets, seed=23)
-        return batch.append_column("__fx_pbucket", pa.array(b))
+        return pack_by_bucket(batch, b)
 
     def reduce_pairs(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         if not len(df):
             return pa.table({"id_a": pa.array([], type=pa.int64()),
                              "id_b": pa.array([], type=pa.int64()),
@@ -593,11 +595,13 @@ def ngram_jaccard_pairs(
     return (
         ds.select_columns([id_col, text_col])
         .map_batches(shingle_stage, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(add_sh_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__fx_jbucket")
+        .map_batches(add_sh_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("__fx_bucket")
         .map_groups(cooccur, batch_format="pyarrow")
-        .map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__fx_pbucket")
+        .map_batches(add_pair_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("__fx_bucket")
         .map_groups(reduce_pairs, batch_format="pyarrow")
     )
 

@@ -23,6 +23,7 @@ _LOG = logging.getLogger(__name__)
 
 from ..functions.hashing import stable_hash_array
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+from .blobshuffle import pack_by_bucket, unpack_table
 from ..functions.veccol import list_column_to_numpy
 
 __all__ = [
@@ -357,10 +358,10 @@ def embedding_near_dup_pairs(
              batch.column("band_sig").to_numpy(zero_copy_only=False)],
             num_buckets, seed=37,
         )
-        return batch.append_column("__fx_sbucket", pa.array(b))
+        return pack_by_bucket(batch, b)
 
     def candidates(tbl: pa.Table) -> pa.Table:
-        df = arrow_to_pandas_safe(tbl)
+        df = arrow_to_pandas_safe(unpack_table(tbl))
         out_a, out_b = [], []
         for key, g in df.groupby(["band_id", "band_sig"], sort=False):
             ids = np.unique(g["id"].to_numpy())
@@ -384,8 +385,9 @@ def embedding_near_dup_pairs(
     pairs = (
         ds.select_columns([vector_col, id_col])
         .map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__fx_sbucket")
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby("__fx_bucket")
         .map_groups(candidates, batch_format="pyarrow")
     ).materialize()
     n_pairs = pairs.count()
