@@ -84,14 +84,16 @@ def run_bench() -> dict:
     cfg = SynthConfig(n_entities=BENCH_ENTITIES, img_size=BENCH_IMG, seed=42,
                       num_partitions=64)
     paths = write_synth_tables(cfg, "/tmp/fx_bench_cache")  # cached: untimed gen
-    # read parallelism scaled to the cpu budget: Ray's default targets
-    # ~200 blocks, which at a 2-8 core leg turns a 64-file read into
-    # hundreds of tiny tasks whose dispatch latency dominates the wall
-    # (round-3 finding: the executor dispatches tasks at a bounded rate,
-    # so task COUNT — not bytes — set the low-leg floor)
-    onb = max(32, 2 * NUM_CPUS)
-    images = rd.read_parquet(paths["images"], override_num_blocks=onb)
-    captions = rd.read_parquet(paths["captions"], override_num_blocks=onb)
+    # read parallelism scaled to the cpu budget — measured crossover
+    # (round 3, pinned medians): at 8 cores 2×cpus read blocks beat the
+    # ~256-block Ray default 9.8 s vs 21.4 s (task dispatch dominates a
+    # small budget), while at 32 cpus the default's finer blocks win
+    # 7.8 s vs 10.5 s (pipelining granularity feeds the decode stage).
+    read_kw = (
+        {"override_num_blocks": 2 * NUM_CPUS} if NUM_CPUS < 16 else {}
+    )
+    images = rd.read_parquet(paths["images"], **read_kw)
+    captions = rd.read_parquet(paths["captions"], **read_kw)
     n_images = images.count()  # warms page cache, untimed
 
     # stateless decode+transform (no actor pool): the fused compute stage
