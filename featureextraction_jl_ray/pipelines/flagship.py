@@ -227,7 +227,23 @@ def run_flagship(
 
 def resume_flagship(images, captions, *, out_dir: str, cfg: FlagshipConfig | None = None,
                     model: PCAModel | None = None):
-    """E3: skip partitions already in the manifest, run the rest."""
+    """E3: skip partitions already in the manifest, run the rest.
+
+    The manifest's recorded ``num_buckets`` PINS the partitioning: the
+    adaptive bucket count floors at 2× cluster CPUs, so a resume on a
+    different cluster size would otherwise resolve a different count
+    (and fingerprint) and refuse to resume — the manifest, not the
+    ambient cluster, owns the layout of a partially-written output.
+    """
+    from ..sources.io import load_manifest
+
+    cfg = cfg or FlagshipConfig()
+    if cfg.num_buckets is None:
+        recs = load_manifest(out_dir)
+        if recs:
+            from dataclasses import replace
+
+            cfg = replace(cfg, num_buckets=int(recs[0]["num_buckets"]))
     cfg = _resolve_cfg(cfg, images)
     done = completed_partitions(out_dir, op_fingerprint=cfg.fingerprint)
     return run_flagship(

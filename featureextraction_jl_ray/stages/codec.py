@@ -98,7 +98,9 @@ def decode_batch(batch: pa.Table) -> np.ndarray:
     """
     w = batch.column("w").to_numpy(zero_copy_only=False)
     h = batch.column("h").to_numpy(zero_copy_only=False)
-    if len(w) and not ((w == w[0]).all() and (h == h[0]).all()):
+    if len(w) == 0:
+        return np.empty((0, 0, 0, 3), dtype=np.uint8)
+    if not ((w == w[0]).all() and (h == h[0]).all()):
         raise ValueError("decode_batch requires uniform dims within a batch")
     fmts = batch.column("fmt").to_pylist()
     if any(f != "raw" for f in fmts):

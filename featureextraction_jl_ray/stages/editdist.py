@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
-from .blobshuffle import pack_by_bucket, unpack_table
+from .blobshuffle import _BUCKET, pack_by_bucket, unpack_table
 
 __all__ = ["edit1_pairs"]
 
@@ -153,12 +153,12 @@ def edit1_pairs(ds, *, text_col: str, id_col: str, max_len: int = 32,
     # pay task overhead × |keys|)
     keys = keys.map_batches(add_key_bucket, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=None)
-    cands = keys.groupby("__fx_bucket").map_groups(bucket_pairs,
+    cands = keys.groupby(_BUCKET).map_groups(bucket_pairs,
                                                    batch_format="pyarrow")
     # global pair dedup THEN verify, co-located by PAIR-HASH BUCKET (one
     # map_groups per bucket, not per pair — a pair's duplicates all hash
     # to the same bucket, so drop_duplicates inside the bucket is global)
     bucketed = cands.map_batches(add_pair_bucket, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
-    return bucketed.groupby("__fx_bucket").map_groups(verify_bucket,
+    return bucketed.groupby(_BUCKET).map_groups(verify_bucket,
                                                       batch_format="pyarrow")

@@ -381,11 +381,15 @@ def range_join(
         if dense_ents is not None and len(dense_ents):
             dense_l = l[by].isin(dense_ents).to_numpy()
             dense_r = r[by].isin(dense_ents).to_numpy()
-            for ent in dense_ents:
-                p = _tree_match(
-                    l.loc[dense_l & (l[by] == ent).to_numpy()],
-                    r.loc[dense_r & (r[by] == ent).to_numpy()],
-                )
+            # ONE groupby pass per side to slice each dense entity's
+            # frame (per-entity equality masks would rescan the whole
+            # bucket n_dense times)
+            l_groups = dict(iter(l.loc[dense_l].groupby(by, sort=False)))
+            for ent, ri in r.loc[dense_r].groupby(by, sort=False):
+                li = l_groups.get(ent)
+                if li is None:
+                    continue
+                p = _tree_match(li, ri)
                 if p is not None:
                     pieces.append(p)
             l = l.loc[~dense_l]

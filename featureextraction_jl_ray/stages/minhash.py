@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from ..functions.hashing import stable_hash_array
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
-from .blobshuffle import pack_by_bucket, unpack_table
+from .blobshuffle import _BUCKET, pack_by_bucket, unpack_table
 from .dedup import hamming_near_dup_pairs
 
 __all__ = [
@@ -296,7 +296,7 @@ def minhash_near_dup_pairs(
         sigged.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_bucket, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
-        .groupby("__fx_bucket")
+        .groupby(_BUCKET)
         .map_groups(candidates, batch_format="pyarrow")
     )
     # --- candidate-bounded verification --------------------------------
@@ -597,11 +597,11 @@ def ngram_jaccard_pairs(
         .map_batches(shingle_stage, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_sh_bucket, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
-        .groupby("__fx_bucket")
+        .groupby(_BUCKET)
         .map_groups(cooccur, batch_format="pyarrow")
         .map_batches(add_pair_bucket, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
-        .groupby("__fx_bucket")
+        .groupby(_BUCKET)
         .map_groups(reduce_pairs, batch_format="pyarrow")
     )
 

@@ -102,7 +102,6 @@ def sorted_scan(
     num_buckets: int = 64,
     tiebreak_cols: tuple[str, ...] = (),
     seed: int = 0,
-    drop_bucket: bool = True,
     max_bucket_bytes: int = 2_000_000_000,
 ):
     """Run ``fn`` over each entity-bucket, sorted by (entity, ts, tiebreak).
@@ -154,10 +153,7 @@ def sorted_scan(
             )
         df = arrow_to_pandas_safe(data)
         df = df.sort_values(sort_cols, kind="mergesort", ignore_index=True)
-        out = fn(df)
-        if drop_bucket and _BUCKET in out.columns:
-            out = out.drop(columns=[_BUCKET])
-        return pandas_to_arrow(out)
+        return pandas_to_arrow(fn(df))
 
     return bucketed.groupby(_BUCKET).map_groups(run_bucket, batch_format="pyarrow")
 

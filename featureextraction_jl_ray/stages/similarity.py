@@ -23,7 +23,7 @@ _LOG = logging.getLogger(__name__)
 
 from ..functions.hashing import stable_hash_array
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
-from .blobshuffle import pack_by_bucket, unpack_table
+from .blobshuffle import _BUCKET, pack_by_bucket, unpack_table
 from ..functions.veccol import list_column_to_numpy
 
 __all__ = [
@@ -387,7 +387,7 @@ def embedding_near_dup_pairs(
         .map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(add_bucket, batch_format="pyarrow",
                      zero_copy_batch=True, batch_size=None)
-        .groupby("__fx_bucket")
+        .groupby(_BUCKET)
         .map_groups(candidates, batch_format="pyarrow")
     ).materialize()
     n_pairs = pairs.count()

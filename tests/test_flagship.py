@@ -178,13 +178,41 @@ def test_hive_layout_write_and_entity_pruned_read(ray_session, tmp_path):
     assert len(got) == (full.entity_id.isin(want)).sum()
 
 
-def test_adaptive_num_buckets_scales():
+def test_adaptive_num_buckets_scales(monkeypatch):
+    from featureextraction_jl_ray.stages import partition
     from featureextraction_jl_ray.stages.partition import adaptive_num_buckets
 
+    # pin the cluster-parallelism floor so the test is host-independent
+    monkeypatch.setattr(partition, "_cluster_cpus", lambda: 4)
     assert adaptive_num_buckets(0) == 8
     assert adaptive_num_buckets(10_000) == 8
     assert adaptive_num_buckets(250_000 * 64) == 64
     assert adaptive_num_buckets(10**12) == 65_536  # bounded above
+    # the floor itself: a big cluster lifts small inputs to 2x cpus
+    monkeypatch.setattr(partition, "_cluster_cpus", lambda: 32)
+    assert adaptive_num_buckets(10_000) == 64
+    assert adaptive_num_buckets(250_000 * 100) == 100
+
+
+def test_resume_pins_manifest_bucket_count(tables, tmp_path, monkeypatch):
+    """E3 across cluster sizes: the adaptive bucket count floors at
+    2x cluster CPUs, so a resume on a DIFFERENT cluster must take its
+    partitioning from the manifest, not the ambient cluster — otherwise
+    the fingerprint mismatches and resume refuses (round-3 review)."""
+    from featureextraction_jl_ray.stages import partition
+
+    images, captions = tables
+    out = str(tmp_path / "resume_xsize")
+    monkeypatch.setattr(partition, "_cluster_cpus", lambda: 4)
+    cfg = FlagshipConfig(num_buckets=None, k=4, grid=4)
+    recs, model = run_flagship(images, captions, cfg=cfg, out_dir=out)
+    assert len(recs) > 0
+    # "move" to a bigger cluster: the floor would now resolve differently
+    monkeypatch.setattr(partition, "_cluster_cpus", lambda: 32)
+    recs2, _ = resume_flagship(
+        images, captions, out_dir=out,
+        cfg=FlagshipConfig(num_buckets=None, k=4, grid=4), model=model)
+    assert recs2 == []  # everything already complete — no refusal, no rework
 
 
 def test_job_cli_run_and_resume(ray_session, tmp_path):
