@@ -1068,6 +1068,65 @@ FROM grid g ASOF LEFT JOIN u e ON g.user_id = e.user_id AND e.ts <= g.gts
 """
 
 
+def q_resample_interpolate(sf_dir):
+    """Linear-interpolation regridding: each 6-hour grid point takes the
+    straight line between its bracketing events (exact event → its
+    value, after the last → held, before the first → null).  Offline
+    series-regridding semantics (reads the NEXT event — documented as
+    NOT leakage-safe, unlike the default backward snapshot).  The
+    float expression and association match the oracle bit-for-bit;
+    ROUND(6) pins both sides."""
+    from .stages.asof import resample_entity_grid
+
+    right = _events(sf_dir).groupby(["user_id", "ts"]).max("value")
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "ts", "value"])
+
+    right = right.map_batches(rn, batch_format="pyarrow")
+    out = resample_entity_grid(right, "user_id", "ts", ["value"],
+                               freq="6h", grid_col="gts", num_buckets=32,
+                               method="interpolate")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = np.round(t.column("value").to_numpy(zero_copy_only=False), 6)
+        return t.set_column(t.column_names.index("value"), "value",
+                            pa.array(v, type=pa.float64()))
+
+    return out.select_columns(["user_id", "gts", "value"]).map_batches(
+        rnd, batch_format="pyarrow")
+
+
+SQL_RESAMPLE_INTERPOLATE = """
+WITH u AS (
+  SELECT user_id, ts, max(value) AS value FROM events GROUP BY user_id, ts
+),
+bounds AS (
+  SELECT user_id,
+         to_timestamp(floor(epoch(min(ts)) / 21600) * 21600)::TIMESTAMP AS t0,
+         max(ts) AS t1
+  FROM u GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS gts
+  FROM bounds
+)
+SELECT g.user_id, g.gts,
+  ROUND(CASE
+    WHEN p.ts IS NULL THEN NULL
+    WHEN n.ts IS NULL OR n.ts = p.ts THEN p.value
+    ELSE p.value + (n.value - p.value) *
+         (CAST(epoch_us(g.gts) - epoch_us(p.ts) AS DOUBLE)
+          / CAST(epoch_us(n.ts) - epoch_us(p.ts) AS DOUBLE))
+  END, 6) AS value
+FROM grid g
+ASOF LEFT JOIN u p ON g.user_id = p.user_id AND p.ts <= g.gts
+ASOF LEFT JOIN u n ON g.user_id = n.user_id AND n.ts >= g.gts
+"""
+
+
 # ---------------------------------------------------------------------------
 # W1–W4 window operators
 # ---------------------------------------------------------------------------
@@ -3592,6 +3651,7 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "asof_nearest": q_asof_nearest,
     "resample_user_grid": q_resample_user_grid,
+    "resample_interpolate": q_resample_interpolate,
     "lag_lead": q_lag_lead,
     "event_transitions": q_event_transitions,
     "tumbling_user_hour": q_tumbling_user_hour,
@@ -3728,6 +3788,7 @@ ORACLE_SQL = {
     "asof_forward": SQL_ASOF_FORWARD,
     "asof_nearest": SQL_ASOF_NEAREST,
     "resample_user_grid": SQL_RESAMPLE_USER_GRID,
+    "resample_interpolate": SQL_RESAMPLE_INTERPOLATE,
     "lag_lead": SQL_LAG_LEAD,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "tumbling_user_hour": SQL_TUMBLING_USER_HOUR,

@@ -248,12 +248,20 @@ def resample_entity_grid(
     grid_col: str | None = None,
     num_buckets: int = 64,
     max_grid_rows_per_entity: int = 1_000_000,
+    method: str = "asof",
 ):
     """Regular-grid as-of snapshot series per entity: generate timestamps
     from floor(min ts, freq) to max ts at ``freq`` pitch and attach each
     grid point's latest-available values (backward as-of, leakage-safe)
     — the feature-store EXPORT op (models want features on a regular
     grid, events arrive on an irregular one).
+
+    ``method="interpolate"`` linearly interpolates each grid point
+    between its bracketing events instead (exact event → its value;
+    after the last event → held last value; before the first → null).
+    Interpolation reads the NEXT event, i.e. the FUTURE — it is an
+    offline-analytics/series-regridding semantics, NOT leakage-safe
+    point-in-time features; the default backward snapshot is.
 
     One bucketed exchange (the sorted_scan); per bucket the grids are
     built vectorized (per-entity repeat + arange) and joined with ONE
@@ -302,6 +310,23 @@ def resample_entity_grid(
             ts_col, kind="mergesort", ignore_index=True)
         merged = pd.merge_asof(grid, right, left_on="__gts", right_on=ts_col,
                                by=entity_col, direction="backward")
+        if method == "interpolate":
+            fwd = pd.merge_asof(grid, right, left_on="__gts", right_on=ts_col,
+                                by=entity_col, direction="forward")
+            t = grid["__gts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            tp = merged[ts_col].to_numpy().astype("datetime64[us]").astype(np.float64)
+            tn = fwd[ts_col].to_numpy().astype("datetime64[us]").astype(np.float64)
+            # same float expression as the SQL oracle, same association:
+            # vp + (vn - vp) * (dt / den), dt/den both float64 casts
+            with np.errstate(invalid="ignore", divide="ignore"):
+                w = (t.astype(np.float64) - tp) / (tn - tp)
+            for c in value_cols:
+                vp = merged[c].to_numpy(dtype=np.float64)
+                vn = fwd[c].to_numpy(dtype=np.float64)
+                out = vp + (vn - vp) * w
+                # exact event / after-last → held prev; before-first → null
+                out = np.where(np.isnan(tn) | (tn == tp), vp, out)
+                merged[c] = np.where(np.isnan(tp), np.nan, out)
         merged = merged.drop(columns=[ts_col]).rename(columns={"__gts": out_ts})
         return merged
 

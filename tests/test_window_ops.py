@@ -763,3 +763,32 @@ def test_range_join_dense_tree_path_matches_merge_path(ray_session):
     merged, treed = run(10**9), run(0)
     assert len(merged) > 50  # the fixture actually produces matches
     assert merged == treed
+
+
+def test_resample_interpolate_semantics(ray_session):
+    """Linear regridding: exact event → its value; between events →
+    straight line; before first → null; after last → held."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.asof import resample_entity_grid
+
+    base = pd.Timestamp("2024-01-01 00:10:00")
+    ev = pa.table({
+        "eid": pa.array([1, 1, 1], type=pa.int64()),
+        "ts": pa.array([base, base + pd.Timedelta("50min"),
+                        base + pd.Timedelta("110min")]),
+        "v": pa.array([10.0, 20.0, 50.0]),
+    })
+    out = resample_entity_grid(
+        ray_session.data.from_arrow(ev), "eid", "ts", ["v"],
+        freq="30min", grid_col="gts", num_buckets=4, method="interpolate",
+    ).to_pandas().sort_values("gts", ignore_index=True)
+    # grid origin floors 00:10 to 00:00; span to 02:00
+    got = dict(zip(out.gts.dt.strftime("%H:%M"), out.v))
+    assert np.isnan(got["00:00"])                      # before first event
+    assert got["00:30"] == 10.0 + (20.0 - 10.0) * (20 / 50)
+    assert got["01:00"] == 20.0                        # exact event at 01:00
+    assert got["01:30"] == 20.0 + (50.0 - 20.0) * (30 / 60)
+    assert got["02:00"] == 50.0                        # exact last event
