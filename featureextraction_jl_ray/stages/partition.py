@@ -33,7 +33,8 @@ from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 
 _BUCKET = "__fx_bucket"
 
-__all__ = ["add_bucket_column", "sorted_scan", "adaptive_num_buckets", "_BUCKET"]
+__all__ = ["add_bucket_column", "sorted_scan", "bucketed_map_groups",
+           "adaptive_num_buckets", "_BUCKET"]
 
 
 def _cluster_cpus() -> int:
@@ -166,3 +167,44 @@ def entity_segments(df: pd.DataFrame, entity_col: str) -> np.ndarray:
         new[0] = True
         new[1:] = ent[1:] != ent[:-1]
     return new
+
+
+def bucketed_map_groups(
+    ds,
+    key_cols,
+    fn: Callable[[pa.Table], pa.Table],
+    *,
+    num_buckets: int = 64,
+    seed: int = 0,
+):
+    """Generic co-partitioned custom operator (X2 UDF hook): ``fn``
+    receives ONE Arrow table per key-hash bucket holding every row of
+    every key that hashes there (keys never split; a bucket usually
+    holds many keys — iterate them with a pandas/pyarrow groupby inside
+    ``fn``).  The exchange is the engine-standard blob-packed shuffle;
+    this is the building block the named operators (dedup, topn,
+    aggregates, minhash …) are written on, exposed for user-defined
+    per-key logic that the aggregate surface doesn't cover.
+
+    Unsorted sibling of :func:`sorted_scan` (which additionally sorts
+    each bucket by (entity, ts) for window semantics).
+    """
+    from ..functions.hashing import bucket_of_multi
+    from .blobshuffle import pack_by_bucket, unpack_table
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = bucket_of_multi(
+            [batch.column(c).to_numpy(zero_copy_only=False) for c in key_cols],
+            num_buckets,
+            seed=seed,
+        )
+        return pack_by_bucket(batch, b)
+
+    bucketed = ds.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return bucketed.groupby(_BUCKET).map_groups(
+        lambda t: fn(unpack_table(t)), batch_format="pyarrow"
+    )

@@ -86,3 +86,30 @@ def test_multi_chunk_input():
     packed = pack_by_bucket(tbl, np.arange(200) % 5)
     back = unpack_blobs(packed.column(_BLOB))
     assert back.num_rows == 200
+
+
+def test_bucketed_map_groups_colocates_keys(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.partition import bucketed_map_groups
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    tbl = pa.table({"k": pa.array(rng.integers(0, 40, n)),
+                    "v": pa.array(rng.standard_normal(n))})
+    ds = ray_session.data.from_arrow(tbl).repartition(6)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.to_pandas()
+        out = df.groupby("k")["v"].sum().reset_index(name="s")
+        return pa.table({"k": pa.array(out.k.to_numpy()),
+                         "s": pa.array(out.s.to_numpy())})
+
+    got = bucketed_map_groups(ds, "k", per_bucket, num_buckets=8).to_pandas()
+    # every key appears exactly once (never split across buckets)
+    assert got.k.is_unique and len(got) == 40
+    import pandas as pd
+    exp = tbl.to_pandas().groupby("k")["v"].sum()
+    assert np.allclose(got.sort_values("k").s.to_numpy(), exp.to_numpy())
