@@ -63,9 +63,12 @@ class FlagshipConfig:
     # (right only when per-worker model deserialization is expensive).
     decode_concurrency: tuple | int | None = None
     transform_concurrency: tuple | int | None = None
-    # 4096 rows ≈ 3-12 MB of pixels per decode task: large enough that
-    # scheduling overhead vanishes, small enough for worker heaps
-    decode_batch_size: int = 4096
+    # None → whole-block decode batches: Ray already sizes blocks by
+    # BYTES (target_max_block_size), so block-sized batches self-regulate
+    # for any image size, decode tasks follow read blocks 1:1 (fusable),
+    # and no cross-block bundling stalls the stage (round-3 measured:
+    # 5.1 s vs 8.4 s median at 32 cpus for the fixed 4096-row bundling)
+    decode_batch_size: int | None = None
     # moments of a p≈192-dim covariance converge long before 10^5 rows;
     # fitting on a bounded sample keeps E2 O(1) while the transform pass
     # streams everything.  None = fit on the full table.
