@@ -760,8 +760,8 @@ def grouped_vector_mean(ds, key_col: str, vector_col: str, *,
             "__n": pa.array(uk.to_numpy().astype(np.int64)),
             "__sum": numpy_to_fixed_list_column(sums, pa.float64()),
         })
-        return out.append_column(
-            "__b", pa.array(bucket_of(uk.index.to_numpy(), num_buckets, seed=23)))
+        return pack_by_bucket(
+            out, bucket_of(uk.index.to_numpy(), num_buckets, seed=23))
 
     def final(t: pa.Table) -> pa.Table:
         S = list_column_to_numpy(t, "__sum")
@@ -790,9 +790,10 @@ def grouped_vector_mean(ds, key_col: str, vector_col: str, *,
             "centroid": numpy_to_fixed_list_column(means, pa.float64()),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return parts.groupby("__b").map_groups(
-        lambda t: final(t.drop_columns(["__b"])), batch_format="pyarrow")
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return parts.groupby(_BUCKET).map_groups(
+        lambda t: final(unpack_table(t)), batch_format="pyarrow")
 
 
 def grouped_ols(ds, key_cols, x_col: str, y_col: str, *,

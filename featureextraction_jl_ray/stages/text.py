@@ -430,20 +430,24 @@ def pack_chunks(ds, *, token_col: str = "n_tokens", capacity: int = 512,
     gate-verifiable."""
     from .split import hash_u32
 
+    from .blobshuffle import _BUCKET, pack_by_bucket, unpack_table
+
     def add_shard(t: pa.Table) -> pa.Table:
         keys = t.column(shard_key).to_numpy(zero_copy_only=False)
         shard = (hash_u32(keys) % np.uint64(num_shards)).astype(np.int64)
-        return t.append_column("pack_shard", pa.array(shard))
+        # the shard id doubles as the exchange bucket; keep it as a data
+        # column too (the packed output exposes pack_shard to callers)
+        t = t.append_column("pack_shard", pa.array(shard))
+        return pack_by_bucket(t, shard)
 
     def pack(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(list(order_cols), kind="mergesort",
-                                       ignore_index=True)
+        df = unpack_table(t).to_pandas().sort_values(
+            list(order_cols), kind="mergesort", ignore_index=True)
         n = df[token_col].to_numpy(dtype=np.int64)
         before = np.cumsum(n) - n
         df["pack_bin"] = before // capacity
         return pa.Table.from_pandas(df, preserve_index=False)
 
     sharded = ds.map_batches(add_shard, batch_format="pyarrow",
-                             zero_copy_batch=True)
-    return sharded.groupby("pack_shard").map_groups(pack,
-                                                    batch_format="pyarrow")
+                             zero_copy_batch=True, batch_size=None)
+    return sharded.groupby(_BUCKET).map_groups(pack, batch_format="pyarrow")
