@@ -1068,6 +1068,41 @@ FROM grid g ASOF LEFT JOIN u e ON g.user_id = e.user_id AND e.ts <= g.gts
 """
 
 
+def q_asof_composite(sf_dir):
+    """As-of join on a COMPOSITE entity key (user_id, event_type): each
+    event takes the latest strictly-earlier state value of the same
+    (user, type) — the multi-key point-in-time lookup (entity = tuple).
+    The bucket hash covers the key tuple; merge_asof runs by=list."""
+    from .stages.asof import asof_join
+
+    ev = _events(sf_dir)
+    state = ev.groupby(["user_id", "event_type", "ts"]).max("value")
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id", "event_type", "ts", "state"])
+
+    state = state.map_batches(rn, batch_format="pyarrow")
+    out = asof_join(
+        ev.select_columns(["event_id", "user_id", "event_type", "ts"]),
+        state,
+        on="ts", by=["user_id", "event_type"], right_cols=["state"],
+        allow_exact_matches=False, num_buckets=16,
+        left_tiebreak=("event_id",),
+    )
+    return out.select_columns(["event_id", "user_id", "event_type", "state"])
+
+
+SQL_ASOF_COMPOSITE = """
+WITH u AS (
+  SELECT user_id, event_type, ts, max(value) AS state
+  FROM events GROUP BY ALL
+)
+SELECT e.event_id, e.user_id, e.event_type, s.state
+FROM events e ASOF LEFT JOIN u s
+  ON e.user_id = s.user_id AND e.event_type = s.event_type AND s.ts < e.ts
+"""
+
+
 def q_resample_interpolate(sf_dir):
     """Linear-interpolation regridding: each 6-hour grid point takes the
     straight line between its bracketing events (exact event → its
@@ -3652,6 +3687,7 @@ QUERIES = {
     "asof_nearest": q_asof_nearest,
     "resample_user_grid": q_resample_user_grid,
     "resample_interpolate": q_resample_interpolate,
+    "asof_composite": q_asof_composite,
     "lag_lead": q_lag_lead,
     "event_transitions": q_event_transitions,
     "tumbling_user_hour": q_tumbling_user_hour,
@@ -3789,6 +3825,7 @@ ORACLE_SQL = {
     "asof_nearest": SQL_ASOF_NEAREST,
     "resample_user_grid": SQL_RESAMPLE_USER_GRID,
     "resample_interpolate": SQL_RESAMPLE_INTERPOLATE,
+    "asof_composite": SQL_ASOF_COMPOSITE,
     "lag_lead": SQL_LAG_LEAD,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "tumbling_user_hour": SQL_TUMBLING_USER_HOUR,

@@ -105,6 +105,9 @@ def asof_join(
         )
     n_salts = int(left_salt) if left_salt else 1
     tol = pd.Timedelta(tolerance) if tolerance is not None else None
+    # composite entity keys: ``by`` may be one column or a list — the
+    # bucket hash covers the tuple and merge_asof takes by=list
+    by_cols = [by] if isinstance(by, str) else list(by)
 
     # Schema discovery: ds.schema() on a lazy chain partially EXECUTES the
     # upstream pipeline (actor pools and all) just to learn column types —
@@ -118,68 +121,76 @@ def asof_join(
         right_types_in = dict(zip(s.names, s.types))
     left_names = list(left_types)
     if right_cols is None:
-        right_cols = [c for c in right_types_in if c not in (on, by)]
+        right_cols = [c for c in right_types_in if c != on and c not in by_cols]
     rename = {c: (c + suffix if c in left_names else c) for c in right_cols}
 
     # ---- blob-packed exchange (stages/blobshuffle.py) ------------------------
     # Each side keeps its OWN schema inside compressed IPC blobs; the
     # shuffle moves (bucket, side, blob) rows only — no null-padded union,
     # ~half the bytes and 2-3 orders of magnitude fewer sort rows.
-    right_proj = right.select_columns([by, on, *right_cols])
+    right_proj = right.select_columns([*by_cols, on, *right_cols])
 
     right_types = {rename[c]: right_types_in[c] for c in right_cols}
     left_pa_schema = pa.schema(
         [pa.field(n, t) for n, t in left_types.items()]
     )
     right_out_schema = pa.schema(
-        [pa.field(by, left_types.get(by, right_types_in[by])),
+        [*(pa.field(c, left_types.get(c, right_types_in[c])) for c in by_cols),
          pa.field(on, left_types.get(on, right_types_in[on])),
          *(pa.field(n, t) for n, t in right_types.items())]
     )
 
-    def _bucket_salted(ent: np.ndarray, salt: np.ndarray) -> np.ndarray:
-        from ..functions.hashing import bucket_of_multi
+    from ..functions.hashing import bucket_of_multi
 
-        return bucket_of_multi([ent, salt], num_buckets, seed=0)
+    def _bucket_plain(batch: pa.Table) -> np.ndarray:
+        cols = [batch.column(c).to_numpy(zero_copy_only=False) for c in by_cols]
+        # single-key path stays on bucket_of so ids line up with
+        # checkpointed_write / read_entity_partitions (same hash, seed 0)
+        if len(cols) == 1:
+            return bucket_of(cols[0], num_buckets)
+        return bucket_of_multi(cols, num_buckets, seed=0)
+
+    def _bucket_salted(batch: pa.Table, salt: np.ndarray) -> np.ndarray:
+        cols = [batch.column(c).to_numpy(zero_copy_only=False) for c in by_cols]
+        return bucket_of_multi([*cols, salt], num_buckets, seed=0)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         batch = batch.select(left_names)
-        ent = batch.column(by).to_numpy(zero_copy_only=False)
         if n_salts > 1:
             from ..functions.hashing import stable_hash_array
 
             ts = batch.column(on).to_numpy(zero_copy_only=False)
             salt = (stable_hash_array(ts.view(np.int64), seed=67)
                     % np.uint64(n_salts)).astype(np.int64)
-            b = _bucket_salted(ent, salt)
+            b = _bucket_salted(batch, salt)
         else:
-            b = bucket_of(ent, num_buckets)
+            b = _bucket_plain(batch)
         return pack_by_bucket(batch, b, side=0)
 
     def tag_right(batch: pa.Table) -> pa.Table:
         out = pa.table(
             {
-                by: batch.column(by),
+                **{c: batch.column(c) for c in by_cols},
                 on: batch.column(on),
                 **{rename[c]: batch.column(c) for c in right_cols},
             }
         )
-        ent = batch.column(by).to_numpy(zero_copy_only=False)
         if n_salts > 1:
             # replicate the right side once per salt so every salted
             # bucket sees the entity's full right history (same blob
             # bytes shipped n_salts times — replication factor unchanged,
             # each copy now compressed)
+            n = batch.num_rows
             pieces = [
                 pack_by_bucket(
                     out,
-                    _bucket_salted(ent, np.full(len(ent), s, dtype=np.int64)),
+                    _bucket_salted(batch, np.full(n, s, dtype=np.int64)),
                     side=1,
                 )
                 for s in range(n_salts)
             ]
             return pa.concat_tables(pieces)
-        return pack_by_bucket(out, bucket_of(ent, num_buckets), side=1)
+        return pack_by_bucket(out, _bucket_plain(batch), side=1)
 
     # batch_size=None → tag the WHOLE upstream block per call: per-blob
     # IPC overhead (~0.7 KB schema+header) amortizes over block/buckets
@@ -215,19 +226,19 @@ def asof_join(
         # merge_asof needs both frames sorted on the `on` column (galloping
         # per-entity merge happens internally via by=)
         l = l.sort_values([on, *left_tiebreak], kind="mergesort", ignore_index=True)
-        r = r.sort_values([on, by], kind="mergesort", ignore_index=True)
+        r = r.sort_values([on, *by_cols], kind="mergesort", ignore_index=True)
         merged = pd.merge_asof(
             l,
             r,
             on=on,
-            by=by,
+            by=by_cols if len(by_cols) > 1 else by_cols[0],
             direction=direction,
             tolerance=tol,
             allow_exact_matches=allow_exact_matches,
         )
         if window_fn is not None:
             merged = merged.sort_values(
-                [by, on, *left_tiebreak], kind="mergesort", ignore_index=True
+                [*by_cols, on, *left_tiebreak], kind="mergesort", ignore_index=True
             )
             merged = window_fn(merged)
         out = pandas_to_arrow(merged)
