@@ -250,9 +250,31 @@ def exact_dedup(
 
     ``order_cols`` must totally order rows within a key (include a unique
     id as the last column) or the survivor is nondeterministic.
+
+    ``num_salts=1`` takes a SINGLE-exchange path (bucket by key, keep-one
+    per bucket) — right when a key's duplication factor is small and
+    bounded (e.g. banded candidate pairs repeat at most num_bands times),
+    where the salt stage would pay a second all-to-all for nothing.
     """
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    if num_salts <= 1:
+        def add_key_bucket1(batch: pa.Table) -> pa.Table:
+            keys = [batch.column(c).to_numpy(zero_copy_only=False)
+                    for c in key_cols]
+            return pack_by_bucket(
+                batch, bucket_of_multi(keys, num_buckets, seed=13))
+
+        def keep(tbl: pa.Table) -> pa.Table:
+            df = arrow_to_pandas_safe(unpack_table(tbl))
+            # map-side pre-prune inside the bucket is free here: the
+            # whole bucket is one frame already
+            return pandas_to_arrow(_keep_one(df, key_cols, order_cols, ascending))
+
+        bucketed = ds.map_batches(add_key_bucket1, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=None)
+        return bucketed.groupby(_BUCKET).map_groups(keep, batch_format="pyarrow")
 
     def add_salted_bucket(batch: pa.Table) -> pa.Table:
         # salt from the LAST order col (unique id) → uniform spread of a
@@ -420,7 +442,12 @@ def hamming_near_dup_pairs(
         .map_groups(verify, batch_format="pyarrow")
     )
     # a pair can match in several bands → dedup on (id_a, id_b)
-    return exact_dedup(pairs, ["id_a", "id_b"], order_cols=["dist", "id_a", "id_b"])
+    return exact_dedup(pairs, ["id_a", "id_b"],
+                       order_cols=["dist", "id_a", "id_b"],
+                       # a pair repeats at most num_bands times — one
+                       # exchange suffices, the salt stage would be a
+                       # second all-to-all for nothing
+                       num_salts=1)
 
 
 def hamming_dedup(

@@ -404,8 +404,8 @@ def minhash_near_dup_pairs(
     from .dedup import exact_dedup
     from .joins import pair_values_attach
 
-    cand = exact_dedup(pairs, ["id_a", "id_b"],
-                       order_cols=["id_a", "id_b"], num_salts=4,
+    cand = exact_dedup(pairs, ["id_a", "id_b"], num_salts=1,
+                       order_cols=["id_a", "id_b"],
                        num_buckets=num_buckets)
     j = pair_values_attach(cand, values, pair_col="id_a", val_col="val",
                            out_col="__sa", num_buckets=num_buckets)

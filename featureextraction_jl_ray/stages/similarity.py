@@ -455,8 +455,8 @@ def embedding_near_dup_pairs(
     # endpoint's unit vector, score per batch
     from .dedup import exact_dedup
 
-    cand = exact_dedup(pairs, ["id_a", "id_b"],
-                       order_cols=["id_a", "id_b"], num_salts=4,
+    cand = exact_dedup(pairs, ["id_a", "id_b"], num_salts=1,
+                       order_cols=["id_a", "id_b"],
                        num_buckets=num_buckets)
     j = pair_values_attach(cand, units, pair_col="id_a", val_col="v",
                            out_col="__va", num_buckets=num_buckets)
