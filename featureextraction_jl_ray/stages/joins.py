@@ -225,8 +225,18 @@ def anti_join(big, keys, *, on):
     return _key_set_filter(big, keys, on, keep_in=False)
 
 
-def hash_join(left, right, *, on, right_on=None, how: str = "inner", num_partitions: int = 16):
-    """Big-big equi-join via Ray Data's native hash-partitioned join."""
+def hash_join(left, right, *, on, right_on=None, how: str = "inner",
+              num_partitions: int | None = None):
+    """Big-big equi-join via Ray Data's native hash-partitioned join.
+
+    ``num_partitions=None`` → max(16, 2× cluster CPUs): the join's reduce
+    wave runs one task per partition, so partitions must cover the
+    cluster (a fixed 16 left a 32-cpu box half idle — measured 3.5 →
+    2.9 s on the bench join at 64)."""
+    if num_partitions is None:
+        from .partition import _cluster_cpus
+
+        num_partitions = max(16, 2 * _cluster_cpus())
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = on if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on)
