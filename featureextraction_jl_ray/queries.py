@@ -3652,99 +3652,33 @@ def q_image_resize_stats(sf_dir):
 
 
 QUERIES = {
-    "agg_lineitem": q_agg_lineitem,
-    "rollup_lineitem": q_rollup_lineitem,
-    "cube_events": q_cube_events,
-    "part_brand_stats": q_part_brand_stats,
-    "agg_events_var": q_agg_events_var,
-    "count_distinct_users": q_count_distinct_users,
-    "count_distinct_users_hll": q_count_distinct_users_hll,
-    "event_quantiles": q_event_quantiles,
-    "event_quantiles_sketch": q_event_quantiles_sketch,
-    "heavy_hitters": q_heavy_hitters,
-    "user_mode_type": q_user_mode_type,
-    "user_value_trend": q_user_value_trend,
-    "user_type_entropy": q_user_type_entropy,
-    "weighted_mean_price": q_weighted_mean_price,
-    "pivot_user_type": q_pivot_user_type,
-    "melt_lineitem": q_melt_lineitem,
-    "filter_project": q_filter_project,
-    "hash_join_agg": q_hash_join_agg,
-    "left_join_agg": q_left_join_agg,
-    "sales_by_region": q_sales_by_region,
-    "broadcast_join_agg": q_broadcast_join_agg,
-    "range_join": q_range_join,
-    "semi_join": q_semi_join,
-    "bloom_semi_join": q_bloom_semi_join,
-    "bloom_anti_join": q_bloom_anti_join,
-    "anti_join": q_anti_join,
-    "topk_orders": q_topk_orders,
-    "distinct_types": q_distinct_types,
-    "union_counts": q_union_counts,
-    "asof_join": q_asof_join,
-    "asof_tolerance": q_asof_tolerance,
-    "asof_forward": q_asof_forward,
-    "asof_nearest": q_asof_nearest,
-    "resample_user_grid": q_resample_user_grid,
-    "resample_interpolate": q_resample_interpolate,
-    "asof_composite": q_asof_composite,
-    "lag_lead": q_lag_lead,
-    "event_transitions": q_event_transitions,
-    "tumbling_user_hour": q_tumbling_user_hour,
-    "user_gap_stats": q_user_gap_stats,
-    "sessionize": q_sessionize,
-    "session_stats": q_session_stats,
-    "event_session_features": q_event_session_features,
-    "rolling": q_rolling,
-    "rolling_forward": q_rolling_forward,
-    "decayed_user_value": q_decayed_user_value,
-    "backfill": q_backfill,
-    "dedup_events": q_dedup_events,
-    "dedup_documents": q_dedup_documents,
-    "topn_per_customer": q_topn_per_customer,
-    "doc_stats": q_doc_stats,
-    "doc_ratios": q_doc_ratios,
+    # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
+    # entries in dict order): round-4 rotation puts every oracled query that
+    # has never had a green driver row first (kernel layer, flagship_core,
+    # near-dup/LLM family, splits/encodes), plus 6 long-green canaries.
+    "flagship_core": q_flagship_core,
+    "kernel_center": q_kernel_center,
+    "minhash_near_dup": q_minhash_near_dup,
+    "phash_near_dup": q_phash_near_dup,
+    "embedding_near_dup": q_embedding_near_dup,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_ivf": q_knn_ivf,
+    "doc_langid": q_doc_langid,
     "doc_repetition": q_doc_repetition,
     "doc_lm_score": q_doc_lm_score,
     "chunk_documents": q_chunk_documents,
     "doc_keywords": q_doc_keywords,
     "pack_chunks": q_pack_chunks,
-    "explode_tokens": q_explode_tokens,
     "explode_embedding": q_explode_embedding,
     "embed_group_centroid": q_embed_group_centroid,
-    "embed_stats": q_embed_stats,
-    # rows-only (non-SQL-expressible; math covered by pytest oracles)
-    "pca_eigvals": q_pca_eigvals,
-    "pca_whiten_transform": q_pca_whiten_transform,
-    "zca_transform": q_zca_transform,
-    "kernel_center": q_kernel_center,
-    "knn_bruteforce": q_knn_bruteforce,
-    "knn_ivf": q_knn_ivf,
-    "knn_quantized": q_knn_quantized,
     "knn_filtered": q_knn_filtered,
-    "embedding_near_dup": q_embedding_near_dup,
     "embedding_dedup": q_embedding_dedup,
-    "minhash_near_dup": q_minhash_near_dup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_dedup_docs": q_jaccard_dedup_docs,
     "edit1_pairs": q_edit1_pairs,
-    "simhash_docs": q_simhash_docs,
-    "doc_langid": q_doc_langid,
-    "doc_fingerprint": q_doc_fingerprint,
     "text_prep": q_text_prep,
     "corpus_filter": q_corpus_filter,
-    "flagship_features": q_flagship_features,
-    "flagship_core": q_flagship_core,
-    "phash_near_dup": q_phash_near_dup,
     "phash_near_dup_pairs": q_phash_near_dup_pairs,
-    "kpca_transform": q_kpca_transform,
-    "images_phash_verify": q_images_phash_verify,
-    "image_resize_stats": q_image_resize_stats,
-    "image_patch_pca": q_image_patch_pca,
-    "image_embed_near_dup": q_image_embed_near_dup,
-    "image_prep": q_image_prep,
-    "audio_features": q_audio_features,
-    "video_frame_stats": q_video_frame_stats,
     "hash_split_events": q_hash_split_events,
     "time_split_events": q_time_split_events,
     "weighted_sample": q_weighted_sample,
@@ -3758,7 +3692,6 @@ QUERIES = {
     "datetime_features": q_datetime_features,
     "feature_prep": q_feature_prep,
     "scale_robust": q_scale_robust,
-    "tfidf_docs": q_tfidf_docs,
     "target_encode_events": q_target_encode_events,
     "cross_lang_source": q_cross_lang_source,
     "value_share": q_value_share,
@@ -3767,6 +3700,78 @@ QUERIES = {
     "minmax_bin_events": q_minmax_bin_events,
     "qbin_winsor_events": q_qbin_winsor_events,
     "onehot_events": q_onehot_events,
+    "agg_lineitem": q_agg_lineitem,
+    "hash_join_agg": q_hash_join_agg,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "dedup_events": q_dedup_events,
+    "sessionize": q_sessionize,
+    # --- below here: outside the driver window (oracled, driver-green in r1-r3) ---
+    "rollup_lineitem": q_rollup_lineitem,
+    "cube_events": q_cube_events,
+    "part_brand_stats": q_part_brand_stats,
+    "agg_events_var": q_agg_events_var,
+    "count_distinct_users": q_count_distinct_users,
+    "count_distinct_users_hll": q_count_distinct_users_hll,
+    "event_quantiles": q_event_quantiles,
+    "heavy_hitters": q_heavy_hitters,
+    "user_mode_type": q_user_mode_type,
+    "user_value_trend": q_user_value_trend,
+    "user_type_entropy": q_user_type_entropy,
+    "weighted_mean_price": q_weighted_mean_price,
+    "pivot_user_type": q_pivot_user_type,
+    "melt_lineitem": q_melt_lineitem,
+    "filter_project": q_filter_project,
+    "left_join_agg": q_left_join_agg,
+    "sales_by_region": q_sales_by_region,
+    "broadcast_join_agg": q_broadcast_join_agg,
+    "semi_join": q_semi_join,
+    "bloom_semi_join": q_bloom_semi_join,
+    "bloom_anti_join": q_bloom_anti_join,
+    "anti_join": q_anti_join,
+    "topk_orders": q_topk_orders,
+    "distinct_types": q_distinct_types,
+    "union_counts": q_union_counts,
+    "asof_tolerance": q_asof_tolerance,
+    "asof_forward": q_asof_forward,
+    "asof_nearest": q_asof_nearest,
+    "resample_user_grid": q_resample_user_grid,
+    "resample_interpolate": q_resample_interpolate,
+    "asof_composite": q_asof_composite,
+    "lag_lead": q_lag_lead,
+    "event_transitions": q_event_transitions,
+    "tumbling_user_hour": q_tumbling_user_hour,
+    "user_gap_stats": q_user_gap_stats,
+    "session_stats": q_session_stats,
+    "event_session_features": q_event_session_features,
+    "rolling": q_rolling,
+    "rolling_forward": q_rolling_forward,
+    "decayed_user_value": q_decayed_user_value,
+    "backfill": q_backfill,
+    "dedup_documents": q_dedup_documents,
+    "topn_per_customer": q_topn_per_customer,
+    "doc_stats": q_doc_stats,
+    "doc_ratios": q_doc_ratios,
+    "explode_tokens": q_explode_tokens,
+    "embed_stats": q_embed_stats,
+    # --- rows-only (non-SQL-expressible; math covered by pytest oracles) ---
+    "event_quantiles_sketch": q_event_quantiles_sketch,
+    "pca_eigvals": q_pca_eigvals,
+    "pca_whiten_transform": q_pca_whiten_transform,
+    "zca_transform": q_zca_transform,
+    "knn_quantized": q_knn_quantized,
+    "simhash_docs": q_simhash_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "flagship_features": q_flagship_features,
+    "kpca_transform": q_kpca_transform,
+    "images_phash_verify": q_images_phash_verify,
+    "image_resize_stats": q_image_resize_stats,
+    "image_patch_pca": q_image_patch_pca,
+    "image_embed_near_dup": q_image_embed_near_dup,
+    "image_prep": q_image_prep,
+    "audio_features": q_audio_features,
+    "video_frame_stats": q_video_frame_stats,
+    "tfidf_docs": q_tfidf_docs,
 }
 
 ORACLE_SQL = {
