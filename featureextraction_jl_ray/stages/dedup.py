@@ -29,7 +29,32 @@ from .blobshuffle import _BUCKET  # shared "__fx_bucket" — the blob exchange n
 _SALT = "__fx_salt"
 
 __all__ = ["exact_dedup", "hamming_near_dup_pairs", "hamming_dedup",
-           "collapse_pairs", "connected_components"]
+           "collapse_pairs", "connected_components", "pairs_to_result"]
+
+
+def pairs_to_result(pairs, n_pairs: int, *, max_pairs: int,
+                    return_pairs: str = "auto",
+                    empty_cols=("id_a", "id_b", "dist")):
+    """Driver-safe form of a verified near-dup pair set (the second
+    element of the (kept, pairs) return of hamming/jaccard/embedding
+    dedup).  ``return_pairs``:
+
+    - ``"auto"`` — pandas when ``n_pairs <= max_pairs`` (bounded:
+      10M pairs ≈ 240 MB), the Dataset itself above it, mirroring
+      ``collapse_pairs``' method switch, so a dense near-dup graph that
+      collapsed through the distributed path never materializes on the
+      driver (ADVICE r3).
+    - ``"pandas"`` — always materialize (explicit caller opt-in).
+    - ``"dataset"`` — always the Dataset (zero driver bytes).
+    """
+    if return_pairs == "dataset":
+        return pairs
+    if return_pairs == "auto" and n_pairs > max_pairs:
+        return pairs
+    df = pairs.to_pandas()
+    if df.shape[1] == 0:  # empty Dataset loses its schema in Ray
+        df = pd.DataFrame({c: [] for c in empty_cols})
+    return df
 
 
 def _star_round(edges, *, large: bool, num_buckets: int):
@@ -119,7 +144,7 @@ def _edge_checksum(edges) -> tuple[int, int]:
     return int(agg["sum(n)"]), int(agg["sum(s)"]) % (1 << 62)
 
 
-def connected_components(pairs, *, num_buckets: int = 64,
+def connected_components(pairs, *, num_buckets: int | None = None,
                          max_rounds: int = 30):
     """Distributed connected components over a near-dup pair Dataset
     (columns id_a, id_b) via alternating large-star / small-star label
@@ -133,6 +158,15 @@ def connected_components(pairs, *, num_buckets: int = 64,
     (min = lexicographic for strings, matching the driver union-find).
     """
     edges = pairs.select_columns(["id_a", "id_b"]).rename_columns(["u", "v"])
+    if num_buckets is None:
+        # size the star-round exchange to the edge set + cluster, not a
+        # constant (ADVICE r3: a hardwired 64 repeats the round-1
+        # "static buckets = dataset/64 per task" failure on exactly the
+        # path built for the largest inputs)
+        from .partition import adaptive_num_buckets
+
+        edges = edges.materialize()
+        num_buckets = adaptive_num_buckets(edges.count())
     # drop self-loops once up front; dedup inside reduces handles the rest
     prev = None
     for _ in range(max_rounds):
@@ -149,14 +183,16 @@ def connected_components(pairs, *, num_buckets: int = 64,
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_rounds} "
-            f"large/small-star rounds (last edge count {prev})"
+            f"large/small-star rounds (last edge count "
+            f"{prev[0] if prev else 'n/a'}, checksum "
+            f"{prev[1] if prev else 'n/a'})"
         )
     return edges.rename_columns(["id", "root"])
 
 
 def collapse_pairs(ds, pairs, id_col: str, *,
                    max_pairs: int = 10_000_000, method: str = "auto",
-                   num_buckets: int = 64):
+                   num_buckets: int | None = None):
     """Keep one representative per connected component of a verified
     near-dup pair set (min id wins) — the shared cluster-collapse tail of
     hamming/jaccard/embedding dedup.
@@ -192,6 +228,10 @@ def collapse_pairs(ds, pairs, id_col: str, *,
             return ds
         if pairs_ds is None:
             pairs_ds = rd.from_pandas(pairs[["id_a", "id_b"]])
+        if num_buckets is None:
+            from .partition import adaptive_num_buckets
+
+            num_buckets = adaptive_num_buckets(n_pairs)
         labels = connected_components(pairs_ds, num_buckets=num_buckets)
         return bloom_anti_join(ds, labels.select_columns(["id"]),
                                on=id_col, right_on="id")
@@ -459,6 +499,7 @@ def hamming_dedup(
     num_buckets: int = 256,
     max_pairs: int = 10_000_000,
     collapse_method: str = "auto",
+    return_pairs: str = "auto",
 ):
     """Keep one representative per near-duplicate cluster (min id wins).
 
@@ -471,7 +512,9 @@ def hamming_dedup(
     selects; "auto" switches on pair count), so a dense near-dup graph
     degrades to extra exchanges, never to a driver OOM.  Valid because
     pairs are between distinct hash values, never between raw rows.
-    Returns (ds_with_one_row_per_cluster, pairs_df).
+    Returns (ds_with_one_row_per_cluster, pairs) where pairs is a pandas
+    DataFrame only when bounded (``return_pairs`` — see
+    ``pairs_to_result``), else the pair Dataset.
     """
     pairs = hamming_near_dup_pairs(
         ds, hash_col, id_col, max_distance=max_distance, num_buckets=num_buckets
@@ -486,7 +529,5 @@ def hamming_dedup(
     )
     kept = collapse_pairs(ds, pairs, id_col, max_pairs=max_pairs,
                           method=collapse_method)
-    pairs_tbl = pairs.to_pandas()
-    if "id_a" not in pairs_tbl.columns:  # empty result loses schema in Ray
-        pairs_tbl = pd.DataFrame({"id_a": [], "id_b": [], "dist": []})
-    return kept, pairs_tbl
+    return kept, pairs_to_result(pairs, pairs.count(), max_pairs=max_pairs,
+                                 return_pairs=return_pairs)

@@ -367,12 +367,19 @@ def minhash_near_dup_pairs(
     if values.size_bytes() <= max_broadcast_bytes and n_pairs <= max_candidates:
         pairs_pd = pairs.to_pandas().drop_duplicates(ignore_index=True)
         val_pd = values.to_pandas()
-        lookup = {int(i): np.asarray(s, dtype=np.int64)
+
+        def _key(x):
+            # numpy scalar → plain python for dict keying; ids may be
+            # ints OR strings (same contract as the embedding-near-dup
+            # verify and collapse_pairs — ADVICE r3)
+            return x.item() if hasattr(x, "item") else x
+
+        lookup = {_key(i): np.asarray(s, dtype=np.int64)
                   for i, s in zip(val_pd["id"], val_pd["val"])}
 
         def jaccard_of(m, a, b):
-            return pairwise_jaccard([m[int(x)] for x in a],
-                                    [m[int(x)] for x in b])
+            return pairwise_jaccard([m[_key(x)] for x in a],
+                                    [m[_key(x)] for x in b])
 
         if len(pairs_pd) <= 50_000:
             # small pair set (already on the driver, bounded): verifying
@@ -616,15 +623,18 @@ def jaccard_dedup(
     num_buckets: int = 64,
     max_pairs: int = 10_000_000,
     collapse_method: str = "auto",
+    return_pairs: str = "auto",
 ):
     """Collapse exact-Jaccard near-dup clusters to one representative
     (min id wins) — the KEEPING form of ``ngram_jaccard_pairs``.
 
     The cluster-collapse tail is the shared ``dedup.collapse_pairs``:
     driver union-find below ``max_pairs``, distributed large/small-star
-    label propagation above it.  Returns (kept_ds, pairs_df).
+    label propagation above it.  Returns (kept_ds, pairs) where pairs is
+    pandas only when bounded (``return_pairs`` — see
+    ``dedup.pairs_to_result``), else the pair Dataset.
     """
-    from .dedup import collapse_pairs
+    from .dedup import collapse_pairs, pairs_to_result
 
     pairs = ngram_jaccard_pairs(
         ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
@@ -632,4 +642,6 @@ def jaccard_dedup(
     ).materialize()
     kept = collapse_pairs(ds, pairs, id_col, max_pairs=max_pairs,
                           method=collapse_method)
-    return kept, pairs.to_pandas()
+    return kept, pairs_to_result(
+        pairs, pairs.count(), max_pairs=max_pairs, return_pairs=return_pairs,
+        empty_cols=("id_a", "id_b", "jaccard"))

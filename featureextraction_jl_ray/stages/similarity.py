@@ -490,13 +490,16 @@ def embedding_dedup(
     num_buckets: int = 128,
     max_pairs: int = 10_000_000,
     collapse_method: str = "auto",
+    return_pairs: str = "auto",
 ):
     """Keep one representative per embedding-cosine near-dup cluster
     (min id wins): multi-band hyperplane LSH pairs → the shared
     ``dedup.collapse_pairs`` tail (driver union-find below ``max_pairs``,
     distributed large/small-star label propagation above).  Returns
-    (kept_ds, pairs_df)."""
-    from .dedup import collapse_pairs
+    (kept_ds, pairs) where pairs is pandas only when bounded
+    (``return_pairs`` — see ``dedup.pairs_to_result``), else the pair
+    Dataset."""
+    from .dedup import collapse_pairs, pairs_to_result
 
     pairs = embedding_near_dup_pairs(
         ds, vector_col=vector_col, id_col=id_col, threshold=threshold,
@@ -505,7 +508,9 @@ def embedding_dedup(
     ).materialize()
     kept = collapse_pairs(ds, pairs, id_col, max_pairs=max_pairs,
                           method=collapse_method)
-    return kept, pairs.to_pandas()
+    return kept, pairs_to_result(
+        pairs, pairs.count(), max_pairs=max_pairs, return_pairs=return_pairs,
+        empty_cols=("id_a", "id_b", "cosine"))
 
 
 class ScalarQuantizer:

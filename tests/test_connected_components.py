@@ -170,3 +170,67 @@ def test_minhash_sharded_verify_equals_broadcast(ray_session):
     a = bc.sort_values(["id_a", "id_b"]).jaccard.to_numpy()
     b = sh.sort_values(["id_a", "id_b"]).jaccard.to_numpy()
     np.testing.assert_allclose(a, b, rtol=1e-12)
+
+def test_dedup_pairs_return_never_materializes_above_max_pairs(ray_session):
+    """ADVICE r3 (medium): when the pair set exceeds max_pairs — the
+    regime where collapse routes through distributed label propagation —
+    the returned pairs must be the Dataset itself, never a driver-side
+    pandas materialization."""
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.dedup import hamming_dedup
+
+    # 3 planted clusters of 4 ids with near-equal phashes → pairs exist
+    rows, hs = [], []
+    for c in range(3):
+        base = (c + 1) * 0x1111_1111_0000
+        for j in range(4):
+            rows.append(c * 10 + j)
+            hs.append(base ^ j)  # hamming distance ≤ 2 within cluster
+    ds = ray_session.data.from_arrow(
+        pa.table({"iid": pa.array(rows, type=pa.int64()),
+                  "phash": pa.array(hs, type=pa.int64())})
+    ).repartition(3)
+
+    kept, pairs = hamming_dedup(ds, "phash", "iid", max_distance=2,
+                                num_buckets=8, max_pairs=2,
+                                collapse_method="auto")
+    assert isinstance(pairs, rd.Dataset), type(pairs)
+    assert sorted(kept.to_pandas().iid) == [0, 10, 20]
+
+    # bounded regime (or explicit opt-in) still returns pandas
+    _, pairs_pd = hamming_dedup(ds, "phash", "iid", max_distance=2,
+                                num_buckets=8, max_pairs=10_000)
+    assert isinstance(pairs_pd, pd.DataFrame) and len(pairs_pd) > 0
+    _, forced = hamming_dedup(ds, "phash", "iid", max_distance=2,
+                              num_buckets=8, max_pairs=2,
+                              return_pairs="pandas")
+    assert isinstance(forced, pd.DataFrame)
+    assert sorted(map(tuple, forced[["id_a", "id_b"]].to_numpy())) == sorted(
+        map(tuple, pairs.to_pandas()[["id_a", "id_b"]].to_numpy()))
+
+
+def test_minhash_broadcast_verify_string_ids(ray_session):
+    """ADVICE r3: the broadcast verify keyed its lookup with int(i),
+    crashing string doc ids that the embedding path already supports."""
+    from featureextraction_jl_ray.stages.minhash import minhash_near_dup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the deep green forest by the river")
+    texts = [base + " bank", base + " shore",
+             "a completely different sentence about distributed data"]
+    ds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array(["doc_a", "doc_b", "doc_c"]),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    got = minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
+                                 threshold=0.5, num_buckets=8).to_pandas()
+    assert sorted(zip(got.id_a, got.id_b)) == [("doc_a", "doc_b")]
+
+
+def test_cc_adaptive_buckets_default(ray_session):
+    """collapse_pairs/connected_components size the star-round exchange
+    adaptively when no bucket count is given (ADVICE r3: hardwired 64)."""
+    pairs = [(1, 2), (2, 3), (10, 11)]
+    out = connected_components(_pairs_ds(ray_session, pairs)).to_pandas()
+    assert dict(zip(out.id, out.root)) == {2: 1, 3: 1, 11: 10}
