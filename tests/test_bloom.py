@@ -75,3 +75,38 @@ def test_bloom_anti_join_never_drops_novel_rows(ray_session):
     out = bloom_anti_join(big, seen, on="k", bits_per_key=2,
                           num_partitions=4).to_pandas()
     assert set(out.k) == set(range(1, 2000, 2))
+
+
+def test_semi_anti_composite_keys(ray_session):
+    """Composite-key broadcast probe (VERDICT r3 #4): hash prefilter +
+    merge verify must equal an exact pandas tuple filter — int×string
+    keys, both directions, including a key absent from the big side."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.joins import anti_join, semi_join
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    big = pd.DataFrame({
+        "k1": rng.integers(0, 50, n),
+        "k2": rng.choice(list("abcdefgh"), n),
+        "val": rng.standard_normal(n),
+    })
+    keys = pd.DataFrame({
+        "k1": [1, 1, 7, 49, 12, 12],
+        "k2": ["a", "b", "c", "h", "z", "z"],  # ('12','z') absent; dup row
+    })
+    ds = ray_session.data.from_pandas(big).repartition(4)
+    want = set(map(tuple, keys[["k1", "k2"]].itertuples(index=False)))
+    in_mask = [
+        (a, b) in want for a, b in zip(big.k1, big.k2)
+    ]
+    got_semi = semi_join(ds, keys, on=["k1", "k2"]).to_pandas()
+    got_anti = anti_join(ds, keys, on=["k1", "k2"]).to_pandas()
+    assert len(got_semi) == sum(in_mask) > 0
+    assert len(got_anti) == n - sum(in_mask)
+    assert sorted(got_semi.val) == sorted(big.val[np.array(in_mask)])
+    assert all((a, b) in want for a, b in zip(got_semi.k1, got_semi.k2))
+    assert not any((a, b) in want for a, b in zip(got_anti.k1, got_anti.k2))
