@@ -108,6 +108,12 @@ def with_global_rank(
     from .blobshuffle import _BLOB, pack_by_bucket, unpack_blobs
     from .partition import _BUCKET
 
+    # three passes read ds (boundary sample, count pre-pass, tag shuffle):
+    # pin the blocks once so a nondeterministic upstream (sampling,
+    # unseeded UDF) can't make the counts disagree with the shuffled
+    # contents — duplicated/skipped ranks — and a deterministic-but-
+    # expensive upstream isn't recomputed per pass (ADVICE r3)
+    ds = ds.materialize()
     bounds = sample_boundaries(ds, key, num_partitions, seed=seed)
     barr = np.asarray(bounds)
 

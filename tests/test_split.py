@@ -200,3 +200,31 @@ def test_global_rank_nulls_last_and_unique(ray_session):
     exp["global_rank"] = np.arange(1, n + 1)
     got = out.sort_values("global_rank", ignore_index=True)
     assert (got.id.to_numpy() == exp.id.to_numpy()).all()
+
+
+def test_global_rank_nondeterministic_upstream(ray_session):
+    """ADVICE r3: with_global_rank reads its input three times (boundary
+    sample, count pre-pass, tag shuffle); an unseeded random upstream
+    must still yield a dense permutation 1..n — the input is pinned once
+    before the passes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.sort import with_global_rank
+
+    base = ray_session.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(2000, dtype=np.int64)),
+                  "u": pa.array(np.arange(2000, dtype=np.int64))})
+    ).repartition(8)
+
+    def jitter(batch: pa.Table) -> pa.Table:
+        # deliberately UNSEEDED: every execution keeps a different subset
+        keep = np.random.random(batch.num_rows) < 0.5
+        return batch.filter(pa.array(keep))
+
+    ds = base.map_batches(jitter, batch_format="pyarrow")
+    out = with_global_rank(ds, "k", tiebreak_cols=("u",),
+                           num_partitions=6).to_pandas()
+    n = len(out)
+    assert sorted(out.global_rank) == list(range(1, n + 1))
+    assert list(out.sort_values("global_rank").k) == sorted(out.k)
