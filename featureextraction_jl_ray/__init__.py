@@ -32,3 +32,35 @@ driver metadata (BASELINE.json) and SURVEY.md instead of file:line.
 """
 
 __version__ = "0.1.0"
+
+
+def configure_execution(ctx=None) -> None:
+    """Engine-level Ray Data execution tuning (idempotent; applied once
+    at package import so every entry point — driver gate, bench, tests,
+    user pipelines — runs the same executor configuration).
+
+    ``op_resource_reservation_enabled = False``: Ray 2.49's reservation
+    allocator grants each eligible operator ``reservation_ratio/num_ops``
+    of the cluster plus an equal share of the rest — on a small CPU
+    budget running a 5-operator pipeline (read → fused decode/whiten/tag
+    → union → sort → merge) the hot fused stage is capped at ~2
+    concurrent tasks regardless of idle CPUs.  Measured on the flagship
+    job, pinned 8 cores: 12.1 s → 6.7 s median (2 cores: 34.7 → 12.8 s)
+    with reservation off; per-op stats show the fused stage going from
+    2-wide to ~7-wide.  The engine's stages bound their own memory
+    (adaptive bucket sizing, block-sized batches, byte-budgeted
+    broadcasts), so FIFO sharing cannot OOM them; set
+    ``FX_OP_RESERVATION=1`` to restore Ray's default allocator.
+    """
+    import os
+
+    try:
+        from ray.data import DataContext
+    except ImportError:  # pragma: no cover - ray always present in target env
+        return
+    ctx = ctx or DataContext.get_current()
+    if not os.environ.get("FX_OP_RESERVATION"):
+        ctx.op_resource_reservation_enabled = False
+
+
+configure_execution()
