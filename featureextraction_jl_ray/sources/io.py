@@ -48,7 +48,9 @@ __all__ = [
     "make_bucket_writer",
     "collect_manifest_records",
     "load_manifest",
+    "latest_manifest_records",
     "completed_partitions",
+    "input_fingerprints",
     "read_entity_partitions",
 ]
 
@@ -127,23 +129,30 @@ def make_bucket_writer(out_dir: str, *, key_col: str, hive_layout: bool = False)
 
 def collect_manifest_records(manifest_ds, out_dir: str, *,
                              op_fingerprint: str = "",
-                             num_buckets: int = 64) -> list[dict]:
+                             num_buckets: int = 64,
+                             extra_per_partition: dict | None = None) -> list[dict]:
     """Drain a manifest-row Dataset (the output of per-bucket writers),
-    append the records to ``_manifest.jsonl`` and return them."""
+    append the records to ``_manifest.jsonl`` and return them.
+    ``extra_per_partition`` merges additional fields into each record by
+    partition id (e.g. the input-fragment fingerprints that enable
+    incremental delta runs — see ``pipelines.flagship.run_flagship_delta``)."""
     records = []
+    extra_per_partition = extra_per_partition or {}
     for batch in manifest_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
         df = arrow_to_pandas_safe(batch)
         if "rows" not in df.columns:
             continue
         for _, row in df.iterrows():
+            pid = int(row["partition_id"])
             records.append(
                 {
-                    "partition_id": int(row["partition_id"]),
+                    "partition_id": pid,
                     "rows": int(row["rows"]),
                     "checksum": int(row["checksum"]),
                     "path": str(row["path"]),
                     "op_fingerprint": op_fingerprint,
                     "num_buckets": num_buckets,
+                    **extra_per_partition.get(pid, {}),
                 }
             )
     manifest_path = os.path.join(out_dir, "_manifest.jsonl")
@@ -247,6 +256,71 @@ def load_manifest(out_dir: str) -> list[dict]:
         return []
     with open(path) as fh:
         return [json.loads(line) for line in fh if line.strip()]
+
+
+def latest_manifest_records(out_dir: str) -> dict[int, dict]:
+    """Last-record-wins view of the (append-only) manifest: a partition
+    rewritten by a delta run appends a fresh record, and the newest one
+    describes the file now on disk."""
+    latest: dict[int, dict] = {}
+    for rec in load_manifest(out_dir):
+        latest[int(rec["partition_id"])] = rec
+    return latest
+
+
+def input_fingerprints(inputs, num_buckets: int) -> "pd.DataFrame":
+    """Per-entity-bucket fingerprint of one or more input tables — the
+    manifest field that lets a delta run skip partitions whose input set
+    is unchanged.
+
+    ``inputs`` is a list of ``(ds, entity_col, key_cols)``: each table is
+    scanned once, column-pruned to ``[entity_col, *key_cols]``; per block
+    a (num_buckets,) partial of ``sum(combined stable hash) mod 2^62``
+    plus a row count accumulates via ``np.add.at`` (order-insensitive and
+    sum-mergeable, so the reduce is one tiny ``groupby(bucket).sum``).
+    The contract is APPEND-ONLY inputs keyed by ``key_cols`` (standard
+    for training-data accumulation): an in-place mutation that keeps the
+    same keys is invisible by design."""
+    import pandas as pd
+
+    from ..functions.hashing import combine_hashes, stable_hash_array
+
+    # per-row term is 32 bits so int64 sums cannot wrap below ~2^31 rows
+    # per bucket (beyond that the row count field flags the change anyway)
+    MOD = np.uint64(1 << 32)
+    parts = []
+    for ds, entity_col, key_cols in inputs:
+        cols = [entity_col, *key_cols]
+
+        def part(batch: pa.Table, _cols=cols, _ent=entity_col) -> pa.Table:
+            ent = batch.column(_ent).to_numpy(zero_copy_only=False)
+            b = bucket_of(ent, num_buckets, seed=0)
+            h = stable_hash_array(ent, seed=31)
+            for c in _cols[1:]:
+                v = batch.column(c).to_numpy(zero_copy_only=False)
+                if v.dtype.kind == "M":  # timestamps → int64 ns
+                    v = v.view(np.int64)
+                h = combine_hashes(h, stable_hash_array(v, seed=31))
+            fp = np.zeros(num_buckets, dtype=np.uint64)
+            np.add.at(fp, b, h % MOD)
+            n = np.bincount(b, minlength=num_buckets)
+            return pa.table({
+                "bucket": pa.array(np.arange(num_buckets, dtype=np.int64)),
+                "fp": pa.array(fp.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+            })
+
+        parts.append(
+            ds.select_columns(cols).map_batches(
+                part, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None)
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    agg = merged.groupby("bucket").sum(["fp", "n"]).to_pandas()
+    agg = agg.rename(columns={"sum(fp)": "fp", "sum(n)": "n"})
+    return agg.sort_values("bucket", ignore_index=True)
 
 
 def completed_partitions(out_dir: str, *, op_fingerprint: str = "") -> set[int]:
