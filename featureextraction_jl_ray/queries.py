@@ -690,6 +690,82 @@ def q_left_join_agg(sf_dir):
     return _round_cols(out, {"sum_price": 2})
 
 
+def q_full_outer_join(sf_dir):
+    """FULL OUTER hash join — both sides preserved: customers with keys
+    ≤ 1000 (left exclusives = orderless low customers) against the
+    per-customer order aggregate over ALL customers (right exclusives =
+    ordering customers with keys > 1000).  Ray's native full_outer join
+    coalesces the key into one column; nulls from the unmatched sides
+    are pinned to sentinels ('' / 0 / 0.0) the oracle mirrors with
+    COALESCE, so the value-hash is exact."""
+    from .stages.groupagg import grouped_aggregate
+    from .stages.joins import hash_join
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(expr="c_custkey <= 1000")
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    per_cust = grouped_aggregate(
+        orders, ["o_custkey"],
+        {"n_orders": ("o_totalprice", "count"),
+         "sum_price": ("o_totalprice", "sum")},
+        num_buckets=8,
+    )
+    joined = hash_join(cust, per_cust, on="c_custkey", right_on="o_custkey",
+                       how="full_outer", num_partitions=8)
+
+    def fill(t: pa.Table) -> pa.Table:
+        seg = pc.fill_null(t.column("c_mktsegment"), "")
+        n = pc.cast(pc.fill_null(t.column("n_orders"), 0), pa.int64())
+        s = np.round(pc.fill_null(t.column("sum_price"), 0.0)
+                     .to_numpy(zero_copy_only=False), 2)
+        return pa.table({"c_custkey": t.column("c_custkey"),
+                         "c_mktsegment": seg, "n_orders": n,
+                         "sum_price": pa.array(s)})
+
+    return joined.map_batches(fill, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_FULL_OUTER_JOIN = """
+WITH r AS (
+  SELECT o_custkey, count(o_totalprice) AS n_orders,
+         sum(o_totalprice) AS sum_price
+  FROM orders GROUP BY o_custkey
+), l AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 1000
+)
+SELECT coalesce(l.c_custkey, r.o_custkey) AS c_custkey,
+       coalesce(c_mktsegment, '') AS c_mktsegment,
+       coalesce(n_orders, 0) AS n_orders,
+       ROUND(coalesce(sum_price, 0.0), 2) AS sum_price
+FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
+"""
+
+
+def q_string_agg_types(sf_dir):
+    """Per-user ordered DISTINCT concatenation of event types — SQL's
+    string_agg(DISTINCT x, ',' ORDER BY x).  Ordered concat isn't
+    partially mergeable, so (user, type) pairs ride one column-pruned
+    blob exchange with map-side distinct as the combiner
+    (stages/groupagg.py::grouped_string_agg)."""
+    from .stages.groupagg import grouped_string_agg
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    return grouped_string_agg(ds, "user_id", "event_type", sep=",",
+                              out_col="types_agg", distinct=True,
+                              num_buckets=16)
+
+
+SQL_STRING_AGG_TYPES = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_agg
+FROM events GROUP BY user_id
+"""
+
+
 # coalesce: the engine's distributed sum is a merge of per-batch 0-based
 # partials, so an all-null (orderless) group is 0.0, not NULL
 SQL_LEFT_JOIN_AGG = """
@@ -3000,9 +3076,9 @@ def q_images_phash_verify(sf_dir):
 
 def q_rank_events(sf_dir):
     """SQL window-rank family (row_number / rank / dense_rank /
-    percent_rank / ntile) per user ordered by value, as one bucketed
-    scan.  All-integer ranks and an exact (rank−1)/(n−1) division —
-    bit-exact vs the oracle, no rounding grid."""
+    percent_rank / cume_dist / ntile) per user ordered by value, as one
+    bucketed scan.  All-integer ranks and exact (rank−1)/(n−1),
+    rank_max/n divisions — bit-exact vs the oracle, no rounding grid."""
     from .stages.window import with_ranks
 
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
@@ -3010,7 +3086,8 @@ def q_rank_events(sf_dir):
     out = with_ranks(ds, "user_id", "value", ntile=4,
                      tiebreak_cols=("event_id",), num_buckets=16)
     return out.select_columns(
-        ["event_id", "row_number", "rank", "dense_rank", "percent_rank", "ntile_4"]
+        ["event_id", "row_number", "rank", "dense_rank", "percent_rank",
+         "cume_dist", "ntile_4"]
     )
 
 
@@ -3020,6 +3097,7 @@ SELECT event_id,
   RANK() OVER (PARTITION BY user_id ORDER BY value) AS rank,
   DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS dense_rank,
   PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS percent_rank,
+  CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cume_dist,
   NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS ntile_4
 FROM events
 """
@@ -3807,6 +3885,8 @@ QUERIES = {
     "tfidf_docs": q_tfidf_docs,
     "chunk_documents_bpe": q_chunk_documents_bpe,
     "knn_ivfpq": q_knn_ivfpq,
+    "full_outer_join": q_full_outer_join,
+    "string_agg_types": q_string_agg_types,
 }
 
 ORACLE_SQL = {
@@ -3907,4 +3987,6 @@ ORACLE_SQL = {
     "knn_ivf": SQL_KNN_BRUTEFORCE,
     "phash_near_dup": SQL_PHASH_NEAR_DUP,
     "flagship_core": SQL_FLAGSHIP_CORE,
+    "full_outer_join": SQL_FULL_OUTER_JOIN,
+    "string_agg_types": SQL_STRING_AGG_TYPES,
 }

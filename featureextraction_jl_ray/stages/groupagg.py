@@ -24,7 +24,7 @@ __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
            "grouped_quantile", "grouped_quantile_sketch",
            "grouped_count_distinct_hll", "grouped_heavy_hitters",
            "pivot_aggregate", "rollup_aggregate", "cube_aggregate",
-           "grouped_vector_mean", "grouped_ols"]
+           "grouped_vector_mean", "grouped_ols", "grouped_string_agg"]
 
 _PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
 
@@ -287,6 +287,50 @@ def grouped_topn(
     bucketed = pruned.map_batches(add_bucket, batch_format="pyarrow",
                                   zero_copy_batch=True, batch_size=None)
     return bucketed.groupby(_BUCKET).map_groups(topn, batch_format="pyarrow")
+
+
+def grouped_string_agg(ds, key_cols, value_col: str, *, sep: str = ",",
+                       out_col: str | None = None, distinct: bool = False,
+                       num_buckets: int = 64):
+    """Per-key ORDERED string concatenation — SQL's
+    ``string_agg(x, sep ORDER BY x)`` (value order, ascending; nulls
+    skipped like the SQL aggregate).
+
+    Ordered concatenation is not partially mergeable as strings, so the
+    (key, value) rows ride ONE blob-packed exchange — column-pruned to
+    exactly those columns — and each bucket sorts + joins its keys with
+    pandas C kernels.  ``distinct=True`` additionally drops duplicate
+    (key, value) rows per batch BEFORE the shuffle (map-side combiner:
+    the exchange then moves distinct pairs per batch, the bucket side
+    dedups globally), mirroring ``string_agg(DISTINCT x, sep ORDER BY
+    x)``."""
+    from .partition import bucketed_map_groups
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    out_col = out_col or f"{value_col}_agg"
+    cols = [*key_cols, value_col]
+
+    pruned = ds.select_columns(cols)
+    if distinct:
+        def local_distinct(batch: pa.Table) -> pa.Table:
+            df = arrow_to_pandas_safe(batch)
+            return pandas_to_arrow(df.drop_duplicates(ignore_index=True))
+
+        pruned = pruned.map_batches(local_distinct, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def concat(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        df = df[df[value_col].notna()]
+        if distinct:
+            df = df.drop_duplicates(ignore_index=True)
+        df = df.sort_values(value_col, kind="mergesort")
+        out = (df.groupby(key_cols, sort=False, dropna=False)[value_col]
+               .agg(sep.join).reset_index().rename(columns={value_col: out_col}))
+        return pandas_to_arrow(out)
+
+    return bucketed_map_groups(pruned, key_cols, concat,
+                               num_buckets=num_buckets)
 
 
 def grouped_quantile_sketch(ds, key_cols, value_col: str, qs=(0.5,), *,

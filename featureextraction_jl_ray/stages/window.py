@@ -473,23 +473,26 @@ def with_ranks(
     """Per-partition rank features ordered ascending by ``order_col``:
     row_number / rank / dense_rank / percent_rank (+ ntile_k when asked)
     — the SQL window-rank family as one bucketed scan.  Ties on
-    ``order_col`` share rank/dense_rank/percent_rank; row_number and
-    ntile need a total order, so pass unique ``tiebreak_cols`` for
-    deterministic output (descending order = rank the negated column).
-    percent_rank = (rank − 1)/(n − 1), 0 for single-row partitions —
-    exact integer division, bit-identical to the SQL oracle."""
+    ``order_col`` share rank/dense_rank/percent_rank/cume_dist;
+    row_number and ntile need a total order, so pass unique
+    ``tiebreak_cols`` for deterministic output (descending order = rank
+    the negated column).  percent_rank = (rank − 1)/(n − 1), 0 for
+    single-row partitions; cume_dist = rank_max/n — both exact integer
+    divisions, bit-identical to the SQL oracle."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(part_col, sort=False)
         rn = (g.cumcount() + 1).to_numpy(dtype=np.int64)
         rnk = g[order_col].rank(method="min").to_numpy(dtype=np.int64)
         drnk = g[order_col].rank(method="dense").to_numpy(dtype=np.int64)
+        rmax = g[order_col].rank(method="max").to_numpy(dtype=np.int64)
         n = g[order_col].transform("size").to_numpy(dtype=np.int64)
         pct = np.where(n > 1, (rnk - 1) / np.maximum(n - 1, 1), 0.0)
         df[f"{prefix}row_number"] = rn
         df[f"{prefix}rank"] = rnk
         df[f"{prefix}dense_rank"] = drnk
         df[f"{prefix}percent_rank"] = pct
+        df[f"{prefix}cume_dist"] = rmax / n
         if ntile is not None:
             df[f"{prefix}ntile_{ntile}"] = _ntile_vec(rn, n, int(ntile))
         return df

@@ -87,3 +87,36 @@ def test_rollup_guard_and_high_cardinality(ray_session):
     assert out.count() == n + 1
     total = out.filter(lambda r: r["k1"] is None).to_pandas()
     assert len(total) == 1 and total.n.iloc[0] == n
+
+
+def test_grouped_string_agg_vs_duckdb(ray_session):
+    """Ordered per-key concatenation: distinct + null skipping + value
+    ordering, vs DuckDB's string_agg on the same frame."""
+    import duckdb
+
+    from featureextraction_jl_ray.stages.groupagg import grouped_string_agg
+
+    rng = np.random.default_rng(5)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n),
+        "v": pd.array(
+            [None if i % 17 == 0 else f"t{int(x)}"
+             for i, x in enumerate(rng.integers(0, 9, n))],
+            dtype="string"),
+    })
+    ds = ray_session.data.from_pandas(df).repartition(4)
+
+    for distinct in (False, True):
+        got = (grouped_string_agg(ds, "k", "v", sep="|", out_col="agg",
+                                  distinct=distinct, num_buckets=4)
+               .to_pandas().sort_values("k", ignore_index=True))
+        d = "DISTINCT " if distinct else ""
+        want = duckdb.sql(
+            f"SELECT k, string_agg({d}v, '|' ORDER BY v) AS agg "
+            "FROM df GROUP BY k ORDER BY k").fetchdf()
+        # keys whose values are all-null drop out engine-side (no row to
+        # emit) but SQL emits NULL agg — align on the SQL frame
+        want = want[want["agg"].notna()].reset_index(drop=True)
+        assert got["k"].tolist() == want["k"].tolist()
+        assert got["agg"].tolist() == want["agg"].tolist(), distinct

@@ -482,12 +482,14 @@ def test_ranks_vs_duckdb(ray_session, sf_dir, db):
           RANK() OVER (PARTITION BY user_id ORDER BY value) AS rank,
           DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS dense_rank,
           PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS percent_rank,
+          CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cume_dist,
           NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS ntile_4
         FROM events
         """
     ).fetchdf()
     cmp(ds, want,
-        ["row_number", "rank", "dense_rank", "percent_rank", "ntile_4"],
+        ["row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+         "ntile_4"],
         sort_key=["event_id"])
 
 
