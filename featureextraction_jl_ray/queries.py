@@ -744,6 +744,38 @@ FROM l FULL OUTER JOIN r ON l.c_custkey = r.o_custkey
 """
 
 
+def q_dup_ngram_fraction(sf_dir):
+    """RefinedWeb/Gopher duplicated-n-gram-fraction quality signal: per
+    doc, the share of its word 8-grams whose corpus-wide count exceeds 1
+    (same-doc repeats count).  Two bounded exchanges — shingle-keyed
+    counting (a bucket owns its shingles, so the per-bucket count is the
+    global count) then a tiny per-doc partial merge; exact shingle
+    strings ride the exchange so the gate hash is collision-free
+    (stages/text.py::dup_ngram_fraction)."""
+    from .stages.text import dup_ngram_fraction
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return dup_ngram_fraction(ds, n=8, num_buckets=16)
+
+
+SQL_DUP_NGRAM_FRACTION = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS s
+  FROM words CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) t
+  WHERE len(ws) >= 8
+),
+cnt AS (SELECT s, count(*) AS c FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       ROUND(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*),
+             6) AS dup_ngram_frac
+FROM sh JOIN cnt USING (s) GROUP BY sh.doc_id
+"""
+
+
 def q_string_agg_types(sf_dir):
     """Per-user ordered DISTINCT concatenation of event types — SQL's
     string_agg(DISTINCT x, ',' ORDER BY x).  Ordered concat isn't
@@ -3887,6 +3919,7 @@ QUERIES = {
     "knn_ivfpq": q_knn_ivfpq,
     "full_outer_join": q_full_outer_join,
     "string_agg_types": q_string_agg_types,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
 }
 
 ORACLE_SQL = {
@@ -3989,4 +4022,5 @@ ORACLE_SQL = {
     "flagship_core": SQL_FLAGSHIP_CORE,
     "full_outer_join": SQL_FULL_OUTER_JOIN,
     "string_agg_types": SQL_STRING_AGG_TYPES,
+    "dup_ngram_fraction": SQL_DUP_NGRAM_FRACTION,
 }

@@ -33,6 +33,7 @@ __all__ = [
     "score_char_bigram_lm",
     "chunk_documents",
     "pack_chunks",
+    "dup_ngram_fraction",
 ]
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -451,3 +452,97 @@ def pack_chunks(ds, *, token_col: str = "n_tokens", capacity: int = 512,
     sharded = ds.map_batches(add_shard, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=None)
     return sharded.groupby(_BUCKET).map_groups(pack, batch_format="pyarrow")
+
+
+def dup_ngram_fraction(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 8, num_buckets: int = 64,
+                       out_col: str = "dup_ngram_frac"):
+    """Duplicated word-n-gram fraction per document — the
+    RefinedWeb/Gopher duplicate-content quality signal: the share of a
+    doc's word ``n``-grams whose CORPUS-WIDE occurrence count exceeds 1
+    (same-doc repeats count).  Docs with fewer than ``n`` words emit no
+    row (no n-grams to measure).
+
+    Scale shape — two bounded exchanges, no driver pull:
+
+    1. shingle-keyed: per batch the n-grams build vectorized (word
+       offsets + n chained concats) and pre-aggregate to
+       (shingle, doc, c) before packing by ``bucket_of(shingle)``; a
+       bucket owns every occurrence of its shingles, so the per-bucket
+       ``value_counts`` IS the global count, and the bucket emits one
+       (doc, n_dup, n_tot) partial per doc it saw.
+    2. a tiny ``groupby(doc).sum`` merges partials → fraction.
+
+    Exact shingle STRINGS ride exchange 1 so the result is
+    hash-collision-free and gate-exact; at 10¹²-shingle scale pass the
+    wire cost down by hashing shingles first (`stable_hash_array`) and
+    accepting the 64-bit collision odds — the count semantics are
+    unchanged."""
+    from ..functions.hashing import bucket_of, stable_hash_array
+    from .blobshuffle import _BUCKET, pack_by_bucket, unpack_table
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(batch.column(text_col), "")))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        trimmed = pc.utf8_length(pc.utf8_trim_whitespace(
+            pc.fill_null(batch.column(text_col), ""))).to_numpy(
+            zero_copy_only=False)
+        lens = np.where(trimmed == 0, 0, lens)  # ws-only doc → 0 words
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        k = np.maximum(lens - (n - 1), 0)  # n-grams per doc
+        empty = pa.table({
+            "s": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=pa.from_numpy_dtype(ids.dtype)
+                             if ids.dtype.kind in "iuf" else pa.string()),
+            "c": pa.array([], type=pa.int64()),
+        })
+        if int(k.sum()) == 0:
+            return pack_by_bucket(empty, np.array([], dtype=np.int64))
+        starts = np.cumsum(lens) - lens
+        # first-word index of every n-gram, all docs at once
+        base = np.repeat(starts, k) + (
+            np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k))
+        sh = flat[base].astype(object)
+        for j in range(1, n):
+            sh = sh + " "
+            sh = sh + flat[base + j].astype(object)
+        doc_of = np.repeat(ids, k)
+        # map-side combine: same (doc, shingle) repeats collapse to c
+        df = pd.DataFrame({"s": sh, id_col: doc_of})
+        agg = (df.groupby(["s", id_col], sort=False).size()
+               .rename("c").reset_index())
+        t = pa.table({
+            "s": pa.array(agg["s"], type=pa.string()),
+            id_col: pa.array(agg[id_col].to_numpy()),
+            "c": pa.array(agg["c"].to_numpy(dtype=np.int64)),
+        })
+        b = (stable_hash_array(agg["s"].to_numpy(), seed=53)
+             % np.uint64(num_buckets)).astype(np.int64)
+        return pack_by_bucket(t, b)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        df = unpack_table(tbl).to_pandas()
+        glob = df.groupby("s", sort=False)["c"].transform("sum")
+        df["dup"] = np.where(glob.to_numpy() > 1, df["c"].to_numpy(), 0)
+        out = df.groupby(id_col, sort=False).agg(
+            n_dup=("dup", "sum"), n_tot=("c", "sum")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).groupby(_BUCKET).map_groups(per_bucket, batch_format="pyarrow")
+    merged = partials.groupby(id_col).sum(["n_dup", "n_tot"])
+    merged = merged.rename_columns([id_col, "n_dup", "n_tot"])
+
+    def frac(t: pa.Table) -> pa.Table:
+        nd = t.column("n_dup").to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = t.column("n_tot").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            id_col: t.column(id_col),
+            out_col: pa.array(np.round(nd / nt, 6)),
+        })
+
+    return merged.map_batches(frac, batch_format="pyarrow", zero_copy_batch=True)

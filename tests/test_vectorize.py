@@ -185,3 +185,32 @@ def test_pack_chunks_capacity_bound(ray_session):
         full = sizes[sizes.index != last_bin]
         assert (full >= 128 - max_chunk + 1).all()
         assert (full <= 128 + max_chunk - 1).all()
+
+
+def test_dup_ngram_fraction_planted(ray_session):
+    """Planted corpus: an 8-gram shared across two docs marks 1/1 in the
+    short doc and the matching window in the long one; same-doc repeats
+    count; <8-word and empty docs emit no row."""
+    import numpy as np
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.text import dup_ngram_fraction
+
+    shared = "a b c d e f g h"          # one 8-gram, shared
+    docs = {
+        0: shared,                       # 1 shingle, dup → 1.0
+        1: shared + " i j",              # 3 shingles, 1 dup → 1/3
+        2: "q r s t u v w x y",          # 2 shingles, unique → 0.0
+        3: "z z z z z z z z z",          # 2 identical shingles → same-doc dup → 1.0
+        4: "too short",                  # no shingles → no row
+        5: "",                           # no row
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(docs), type=pa.int64()),
+        "text": pa.array(list(docs.values()), type=pa.string()),
+    })
+    ds = ray_session.data.from_arrow(tbl).repartition(3)
+    got = (dup_ngram_fraction(ds, n=8, num_buckets=4)
+           .to_pandas().set_index("doc_id")["dup_ngram_frac"].to_dict())
+    want = {0: 1.0, 1: round(1 / 3, 6), 2: 0.0, 3: 1.0}
+    assert got == want, got
