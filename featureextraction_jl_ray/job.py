@@ -40,7 +40,14 @@ def main(argv=None) -> int:
                    help="entity_bucket=<id>/ dirs for downstream pruned reads")
     p.add_argument("--resume", action="store_true",
                    help="skip partitions already complete in the manifest")
+    p.add_argument("--delta", action="store_true",
+                   help="incremental run over grown inputs: rerun ONLY the "
+                        "buckets whose recorded input fingerprint changed "
+                        "(manifest field written by every checkpointed run)")
     args = p.parse_args(argv)
+    if args.resume and args.delta:
+        p.error("--resume and --delta are exclusive (delta subsumes resume: "
+                "an unchanged completed partition is skipped either way)")
 
     import ray
 
@@ -52,6 +59,7 @@ def main(argv=None) -> int:
         FlagshipConfig,
         resume_flagship,
         run_flagship,
+        run_flagship_delta,
     )
 
     cfg = FlagshipConfig(grid=args.grid, k=args.k, mode=args.mode,
@@ -61,6 +69,9 @@ def main(argv=None) -> int:
     captions = rd.read_parquet(args.captions)
     if args.resume:
         recs, _model = resume_flagship(images, captions, out_dir=args.out, cfg=cfg)
+    elif args.delta:
+        recs, _model = run_flagship_delta(images, captions, out_dir=args.out,
+                                          cfg=cfg)
     else:
         recs, _model = run_flagship(images, captions, cfg=cfg, out_dir=args.out)
     rows = sum(r.get("rows", 0) for r in recs)

@@ -233,6 +233,17 @@ def test_job_cli_run_and_resume(ray_session, tmp_path):
                "--out", out, "--k", "10", "--num-buckets", "8", "--resume"])
     assert rc == 0
     assert len(load_manifest(out)) == n_parts  # nothing rewritten
+    # --delta over unchanged inputs is also a no-op (fingerprints match)
+    rc = main(["--images", paths["images"], "--captions", paths["captions"],
+               "--out", out, "--k", "10", "--num-buckets", "8", "--delta"])
+    assert rc == 0
+    assert len(load_manifest(out)) == n_parts
+    # --resume and --delta are mutually exclusive
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["--images", paths["images"], "--captions", paths["captions"],
+              "--out", out, "--resume", "--delta"])
 
 
 def test_delta_run_rewrites_only_changed_buckets(ray_session, tables, result, tmp_path):
