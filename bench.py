@@ -231,8 +231,14 @@ def run_scaling() -> dict:
     mode = os.environ.get("FX_SCALE_MODE", "fixed")
 
     def run_at(ncpu: int, fixed_for: int | None) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), FX_MEASURE_MAP="1",
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    FX_SKIP_QUERIES="1")  # scaling legs time the headline job only
+        # map-stage probe on by default; FX_MEASURE_MAP=0 skips it (the
+        # probe costs ~2×70 s on the pinned 2-core leg — skip it when
+        # only the full-job ratio is being sampled)
+        env.setdefault("FX_MEASURE_MAP", "1")
+        if env["FX_MEASURE_MAP"] == "0":
+            env.pop("FX_MEASURE_MAP")
         if fixed_for is not None:
             env.setdefault("FX_BENCH_FIXED_BLOCKS", str(8 * fixed_for))
             env.setdefault("FX_BENCH_NUM_BUCKETS", str(2 * fixed_for))
