@@ -3794,6 +3794,138 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_decontaminate_docs(sf_dir):
+    """GPT-3/PaLM-style test-set decontamination: flag every training
+    document (doc_id % 7 != 0) that shares a word 8-gram with the
+    benchmark subset (doc_id % 7 == 0).  Benchmark grams stream to the
+    driver once under a loud cap and broadcast; the training side is a
+    single zero-exchange vectorized searchsorted probe per batch — text
+    never leaves its block (stages/text.py::decontaminate)."""
+    from .stages.text import decontaminate
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def _side(rem):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 7 == 0) == rem))
+        return fn
+
+    train = ds.map_batches(_side(False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    bench = ds.map_batches(_side(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return decontaminate(train, bench, n=8)
+
+
+SQL_DECONTAMINATE_DOCS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+  FROM words CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) t
+  WHERE len(ws) >= 8
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM sh
+         WHERE doc_id % 7 != 0 AND g IN (SELECT g FROM bench)
+         GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) > 0 AS BIGINT) AS contaminated,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 7 != 0
+"""
+
+
+def q_mixture_sample_docs(sf_dir):
+    """DoReMi/Pile-style data mixing: downsample sources to a 4:3:2:2:2:1
+    target mixture over src0–src5 (other sources drop), sized to the
+    largest mixture-honoring total the data supports.  One tiny
+    per-source count + one zero-exchange hash-threshold filter; the
+    plan arithmetic is all-integer so the oracle can repeat it
+    bit-exactly (stages/split.py::mixture_sample)."""
+    from .stages.split import mixture_sample
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+    parts = {"src0": 4, "src1": 3, "src2": 2, "src3": 2, "src4": 2,
+             "src5": 1}
+    return mixture_sample(ds, "source", "doc_id", parts)
+
+
+def _mixture_sample_sql() -> str:
+    from .stages.split import sql_hash_cte
+
+    cte = sql_hash_cte("documents", "doc_id",
+                       "doc_id, text, lang, source, n_chars")
+    vals = "('src0', 4), ('src1', 3), ('src2', 2), ('src3', 2), " \
+           "('src4', 2), ('src5', 1)"
+    return f"""
+WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+par AS (SELECT * FROM (VALUES {vals}) AS t(source, p)),
+tot AS (SELECT min((n * 14) // p) AS T FROM cnt JOIN par USING (source)),
+bnd AS (SELECT source, (T * p * 4294967296) // (14 * n) AS bound
+        FROM cnt JOIN par USING (source) CROSS JOIN tot),
+{cte.strip()}
+SELECT doc_id, text, lang, source, n_chars
+FROM __hx JOIN bnd USING (source) WHERE h < bound
+"""
+
+
+SQL_MIXTURE_SAMPLE_DOCS = _mixture_sample_sql()
+
+
+def q_pii_redact(sf_dir):
+    """PII redaction parity: contact strings with an email and a
+    phone-shaped number are derived from real columns (so EVERY row
+    redacts — non-vacuous), then scrubbed by the Arrow RE2 kernels
+    (stages/text.py::PiiRedact); the oracle replays the same RE2
+    patterns through DuckDB's regexp_replace/extract_all."""
+    from .stages.text import with_pii_redact
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "source", "n_chars"])
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text": ("contact " + df["lang"] + "@" + df["source"] +
+                     ".org tel 555-" +
+                     (1_000_000 + df["n_chars"]).astype(str)),
+        })
+
+    out = ds.map_batches(synth, batch_format="pandas")
+    return with_pii_redact(out)
+
+
+SQL_PII_REDACT = r"""
+WITH synth AS (
+  SELECT doc_id,
+         'contact ' || lang || '@' || source || '.org tel 555-' ||
+         CAST(1000000 + n_chars AS VARCHAR) AS text
+  FROM documents
+),
+r1 AS (SELECT doc_id, text AS t0,
+       regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g') AS t1 FROM synth),
+r2 AS (SELECT *, regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                                '<IP>', 'g') AS t2 FROM r1),
+r3 AS (SELECT *, regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS t3
+       FROM r2),
+r4 AS (SELECT *, regexp_replace(t3, '\+?\d[\d ().\-]{6,}\d', '<PHONE>', 'g')
+       AS t4 FROM r3)
+SELECT doc_id, t4 AS text,
+       CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+          + len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b'))
+          + len(regexp_extract_all(t3, '\+?\d[\d ().\-]{6,}\d')) AS BIGINT)
+       AS n_redactions
+FROM r4
+"""
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-4 rotation puts every oracled query that
@@ -3920,6 +4052,9 @@ QUERIES = {
     "full_outer_join": q_full_outer_join,
     "string_agg_types": q_string_agg_types,
     "dup_ngram_fraction": q_dup_ngram_fraction,
+    "decontaminate_docs": q_decontaminate_docs,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "pii_redact": q_pii_redact,
 }
 
 ORACLE_SQL = {
@@ -4023,4 +4158,7 @@ ORACLE_SQL = {
     "full_outer_join": SQL_FULL_OUTER_JOIN,
     "string_agg_types": SQL_STRING_AGG_TYPES,
     "dup_ngram_fraction": SQL_DUP_NGRAM_FRACTION,
+    "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+    "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
+    "pii_redact": SQL_PII_REDACT,
 }

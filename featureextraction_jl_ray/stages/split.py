@@ -31,7 +31,8 @@ from ..functions.hashing import stable_hash_array
 
 __all__ = ["hash_u32", "split_thresholds", "hash_split", "hash_sample",
            "weighted_sample_by_key", "negative_samples", "time_split",
-           "sql_hash_cte", "sample_k_per_key"]
+           "sql_hash_cte", "sample_k_per_key", "mixture_plan",
+           "mixture_sample"]
 
 _M32 = np.uint64(0xFFFFFFFF)
 _DEFAULT_SEED = 0x9E3779B9  # nonzero: kills the x=0 / x=-1 fixpoint of the fold
@@ -198,6 +199,73 @@ def sample_k_per_key(ds, key_col: str, id_col: str, *, k: int,
         return out
     return out.map_batches(lambda b: b.drop_columns(["__h"]),
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_plan(counts: dict, parts: dict) -> dict:
+    """Per-group keep thresholds for :func:`mixture_sample`, all in
+    EXACT integer arithmetic (Python bigints; the SQL oracle repeats the
+    same ``//`` expressions in BIGINT, so the two can never drift by a
+    float ulp — the round-2 grid lesson, designed out).
+
+    ``counts``: available rows per group.  ``parts``: target mixture as
+    INTEGER parts per group (e.g. ``{"web": 5, "code": 3, "books": 2}``
+    = 50/30/20) — integers, not floats, are what make bit-exact parity
+    possible.  Groups missing from either side are ignored (inner-join
+    semantics).  Returns {group: exclusive uint32 hash bound}; the
+    implied total T = min over groups of floor(n_g·P / p_g) is the
+    largest mixture-honoring corpus the data supports.
+    """
+    P = sum(parts.values())
+    if P <= 0 or any(p < 0 or p != int(p) for p in parts.values()):
+        raise ValueError("parts must be non-negative integers, sum > 0")
+    both = {g: (int(counts[g]), int(p)) for g, p in parts.items()
+            if p > 0 and counts.get(g)}
+    if not both:
+        return {}
+    T = min((n * P) // p for n, p in both.values())
+    # bound = r_g·2³² with r_g = T·p_g / (P·n_g) ≤ 1 by construction of T
+    return {g: (T * p * 2**32) // (P * n) for g, (n, p) in both.items()}
+
+
+def mixture_sample(ds, group_col: str, id_col: str, parts: dict, *,
+                   seed: int = _DEFAULT_SEED, max_groups: int = 100_000):
+    """Deterministic DATA-MIXING sample: downsample each group (source /
+    domain / language) so the kept corpus matches a target mixture given
+    as integer ``parts`` (DoReMi/Pile-style mixture weights), sized to
+    the largest total the data supports without oversampling any group.
+
+    Two passes, both scale-shaped: a tiny ``groupby().count()`` (≤ one
+    row per group, loud ``max_groups`` guard) to compute per-group hash
+    bounds via :func:`mixture_plan`, then one stateless zero-exchange
+    ``map_batches`` filter keeping rows with ``hash_u32(id) < bound`` —
+    reproducible across runs/resumes/repartitions, and row-exactly
+    SQL-expressible through ``sql_hash_cte`` for integer ids.  Realized
+    per-group counts are Bernoulli around T·p_g/P (±√n); compose
+    ``sample_k_per_key`` with per-group k for exact-count quotas.
+    Groups absent from ``parts`` are dropped (rate 0).
+    """
+    try:
+        # one execution; to_pandas(limit=) raises past the guard
+        cdf = ds.groupby(group_col).count().to_pandas(limit=max_groups)
+    except ValueError as e:
+        raise RuntimeError(
+            f"mixture_sample saw > {max_groups} distinct {group_col!r} "
+            f"groups — the plan is driver-side and assumes group "
+            f"cardinality ≪ rows; raise max_groups if that truly "
+            f"holds.") from e
+    counts = dict(zip(cdf[group_col], cdf["count()"]))
+    bounds = mixture_plan(counts, parts)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(grp, return_inverse=True)
+        per_uniq = np.array([bounds.get(u, 0) for u in uniq],
+                            dtype=np.uint64)
+        h = hash_u32(batch.column(id_col).to_numpy(zero_copy_only=False),
+                     seed=seed)
+        return batch.filter(pa.array(h < per_uniq[codes]))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def negative_samples(ds, id_col: str, *, k: int = 4, n_ids: int | None = None,

@@ -34,6 +34,11 @@ __all__ = [
     "chunk_documents",
     "pack_chunks",
     "dup_ngram_fraction",
+    "benchmark_ngrams",
+    "decontaminate",
+    "ContaminationFlag",
+    "PiiRedact",
+    "with_pii_redact",
 ]
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -209,6 +214,55 @@ with_token_stats = _actor_stage(TokenStats)
 with_quality = _actor_stage(QualityScore)
 with_langid = _actor_stage(LangId)
 with_fingerprint = _actor_stage(Fingerprint)
+
+
+class PiiRedact:
+    """PII scrubbing for web-scale corpora: emails, IPv4 addresses,
+    SSN-shaped ids, and phone-like digit runs are replaced with stable
+    placeholder tokens (``<EMAIL>``/``<IP>``/``<ID>``/``<PHONE>``), the
+    standard pre-training hygiene pass.  All matching/replacement runs
+    in Arrow's RE2 kernels (``replace_substring_regex``) — zero per-row
+    Python; pattern order matters (SSN/IP before the generic phone run)
+    and placeholders contain no digits, so later patterns never re-match
+    earlier redactions.  ``n_redactions`` counts total replaced spans
+    per row (``count=False`` skips the counting kernels)."""
+
+    _PATTERNS = (
+        ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+         "<EMAIL>"),
+        ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+        ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+        ("phone", r"\+?\d[\d ().\-]{6,}\d", "<PHONE>"),
+    )
+
+    def __init__(self, text_col: str = "text", out_col: str | None = None,
+                 count: bool = True):
+        self._text_col = text_col
+        self._out_col = out_col or text_col
+        self._count = count
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch.column(self._text_col), "")
+        total = np.zeros(len(batch), dtype=np.int64)
+        for _, pat, tok in self._PATTERNS:
+            if self._count:
+                total += pc.count_substring_regex(s, pat).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            s = pc.replace_substring_regex(s, pat, tok)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if self._out_col in batch.schema.names:
+            out = batch.set_column(
+                batch.schema.get_field_index(self._out_col),
+                self._out_col, s)
+        else:
+            out = batch.append_column(self._out_col, s)
+        if self._count:
+            out = out.append_column("n_redactions", pa.array(total))
+        return out
+
+
+with_pii_redact = _actor_stage(PiiRedact)
 
 
 class RepetitionStats:
@@ -454,6 +508,168 @@ def pack_chunks(ds, *, token_col: str = "n_tokens", capacity: int = 512,
     return sharded.groupby(_BUCKET).map_groups(pack, batch_format="pyarrow")
 
 
+def _word_ngrams(texts, n: int):
+    """Vectorized word ``n``-grams over an Arrow string column: returns
+    ``(shingles, k)`` where ``shingles`` is a flat object ndarray of all
+    space-joined n-grams in row order and ``k[i]`` is row i's n-gram
+    count (0 when the row has fewer than ``n`` words).
+
+    Tokenization matches the SQL oracles' ``regexp_extract_all(lower(t),
+    '\\S+')`` exactly: ``utf8_split_whitespace`` emits EMPTY tokens for
+    leading/trailing/consecutive whitespace, so those are filtered and
+    per-row word counts recomputed — messy whitespace can no longer
+    shift the flat-token indexing (the alignment hazard the older
+    inline explode had)."""
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(texts, "")))
+    lens_raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat_all = pc.list_flatten(toks)
+    if isinstance(flat_all, pa.ChunkedArray):
+        flat_all = flat_all.combine_chunks()
+    keep = pc.not_equal(flat_all, "")
+    mask = keep.to_numpy(zero_copy_only=False)
+    flat = flat_all.filter(keep).to_numpy(zero_copy_only=False)
+    if len(lens_raw) == 0:
+        return np.empty(0, dtype=object), lens_raw.astype(np.int64)
+    row_of = np.repeat(np.arange(len(lens_raw)), lens_raw)
+    lens = np.bincount(row_of, weights=mask,
+                       minlength=len(lens_raw)).astype(np.int64)
+    k = np.maximum(lens - (n - 1), 0)
+    tot = int(k.sum())
+    if tot == 0:
+        return np.empty(0, dtype=object), k
+    starts = np.cumsum(lens) - lens
+    base = np.repeat(starts, k) + (
+        np.arange(tot) - np.repeat(np.cumsum(k) - k, k))
+    sh = flat[base].astype(object)
+    for j in range(1, n):
+        sh = sh + " "
+        sh = sh + flat[base + j].astype(object)
+    return sh, k
+
+
+def benchmark_ngrams(benchmark_ds, *, text_col: str = "text", n: int = 8,
+                     method: str = "exact",
+                     max_benchmark_ngrams: int = 5_000_000):
+    """Distinct word n-grams of the BENCHMARK side of a decontamination
+    pass, as one sorted ndarray ready to broadcast (``ray.put``).
+
+    The benchmark side is small by construction (eval suites are MBs
+    against a 100 TB training corpus), so the distinct grams are pulled
+    to the driver — streamed via ``iter_batches`` with per-batch
+    dedup and a LOUD ``max_benchmark_ngrams`` cap, never an unbounded
+    ``take_all``.  ``method="exact"`` keeps shingle strings (collision-
+    free); ``method="hash"`` keeps 64-bit ``stable_hash_array`` values —
+    ~8 B/gram broadcast instead of the string bytes, for benchmark
+    suites past the cap."""
+    if method not in ("exact", "hash"):
+        raise ValueError(f"method must be 'exact' or 'hash', got {method!r}")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        sh, _ = _word_ngrams(batch.column(text_col), n)
+        if method == "hash":
+            vals = np.unique(stable_hash_array(sh, seed=101))
+            return pa.table({"g": pa.array(vals, type=pa.uint64())})
+        return pa.table({"g": pa.array(pd.unique(sh), type=pa.string())})
+
+    parts = benchmark_ds.select_columns([text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+    chunks, total = [], 0
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        col = b.column("g").to_numpy(zero_copy_only=False)
+        total += len(col)
+        if total > max_benchmark_ngrams:
+            raise RuntimeError(
+                f"benchmark side produced > {max_benchmark_ngrams} distinct "
+                f"n-grams before dedup — this operator broadcasts the "
+                f"benchmark set and assumes it is the SMALL side.  Raise "
+                f"max_benchmark_ngrams, use method='hash' (8 B/gram), or "
+                f"swap which side is the benchmark.")
+        chunks.append(col)
+    if not chunks:
+        return (np.empty(0, dtype=np.uint64 if method == "hash" else object),
+                0)
+    g = np.unique(np.concatenate(chunks))
+    return g, len(g)
+
+
+class ContaminationFlag:
+    """Per-document benchmark-overlap flag: ``n_hits`` = how many of the
+    doc's word n-gram POSITIONS match a benchmark n-gram,
+    ``contaminated`` = 1 when any does.  The sorted benchmark array is
+    resolved from its broadcast ref once per worker in ``__init__``;
+    ``__call__`` is one vectorized ``searchsorted`` membership probe per
+    batch (works uniformly for strings and uint64 hashes, no per-call
+    hash-table rebuild)."""
+
+    def __init__(self, bench_ref, text_col: str, id_col: str, n: int,
+                 method: str):
+        import ray
+
+        self._g = ray.get(bench_ref) if not isinstance(
+            bench_ref, np.ndarray) else bench_ref
+        self._text_col, self._id_col = text_col, id_col
+        self._n, self._method = n, method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh, k = _word_ngrams(batch.column(self._text_col), self._n)
+        g = self._g
+        if len(g) == 0 or len(sh) == 0:
+            hit = np.zeros(len(sh), dtype=np.int64)
+        else:
+            if self._method == "hash":
+                sh = stable_hash_array(sh, seed=101)
+            idx = np.searchsorted(g, sh)
+            idx = np.minimum(idx, len(g) - 1)
+            hit = (g[idx] == sh).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(hit)])
+        ends = np.cumsum(k)
+        n_hits = (cum[ends] - cum[ends - k]).astype(np.int64)
+        return pa.table({
+            self._id_col: batch.column(self._id_col),
+            "contaminated": pa.array((n_hits > 0).astype(np.int64)),
+            "n_hits": pa.array(n_hits),
+        })
+
+
+def decontaminate(train_ds, benchmark_ds, *, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8,
+                  method: str = "exact",
+                  max_benchmark_ngrams: int = 5_000_000,
+                  concurrency=None, batch_size: int | None = 4096):
+    """GPT-3/PaLM-style test-set decontamination: flag every training
+    document that shares at least one word ``n``-gram (default 8, the
+    publicly documented 8-13-gram regime) with the benchmark corpus.
+    Returns one row per training doc: ``(id_col, contaminated 0/1,
+    n_hits)`` — compose with a filter to drop, or keep the flag as a
+    feature.
+
+    Scale shape: benchmark grams stream to the driver ONCE (loud
+    ``max_benchmark_ngrams`` cap — eval suites are MBs, the training
+    corpus is the big side), broadcast via ``ray.put``, and the 100 TB
+    side is a single embarrassingly-parallel ``map_batches`` probe —
+    no shuffle, no join, text never leaves its block."""
+    import ray
+
+    g, _ = benchmark_ngrams(benchmark_ds, text_col=text_col, n=n,
+                            method=method,
+                            max_benchmark_ngrams=max_benchmark_ngrams)
+    pruned = train_ds.select_columns([id_col, text_col])
+    if concurrency is None:
+        # stateless tasks carrying the benchmark array in the task
+        # closure (object-store-backed, cached per worker) — parallelism
+        # follows block count, like knn_cosine's default
+        fn = ContaminationFlag(g, text_col, id_col, n, method)
+        return pruned.map_batches(fn, batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  batch_size=batch_size)
+    return pruned.map_batches(
+        ContaminationFlag,
+        fn_constructor_args=(ray.put(g), text_col, id_col, n, method),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
 def dup_ngram_fraction(ds, *, text_col: str = "text", id_col: str = "doc_id",
                        n: int = 8, num_buckets: int = 64,
                        out_col: str = "dup_ngram_frac"):
@@ -482,32 +698,19 @@ def dup_ngram_fraction(ds, *, text_col: str = "text", id_col: str = "doc_id",
     from .blobshuffle import _BUCKET, pack_by_bucket, unpack_table
 
     def explode(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(
-            pc.utf8_lower(pc.fill_null(batch.column(text_col), "")))
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        trimmed = pc.utf8_length(pc.utf8_trim_whitespace(
-            pc.fill_null(batch.column(text_col), ""))).to_numpy(
-            zero_copy_only=False)
-        lens = np.where(trimmed == 0, 0, lens)  # ws-only doc → 0 words
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        k = np.maximum(lens - (n - 1), 0)  # n-grams per doc
+        # shared tokenizer-exact n-gram builder (filters the empty tokens
+        # utf8_split_whitespace emits on messy whitespace, matching the
+        # oracle's regexp_extract_all('\S+') exactly)
+        sh, k = _word_ngrams(batch.column(text_col), n)
         empty = pa.table({
             "s": pa.array([], type=pa.string()),
             id_col: pa.array([], type=pa.from_numpy_dtype(ids.dtype)
                              if ids.dtype.kind in "iuf" else pa.string()),
             "c": pa.array([], type=pa.int64()),
         })
-        if int(k.sum()) == 0:
+        if len(sh) == 0:
             return pack_by_bucket(empty, np.array([], dtype=np.int64))
-        starts = np.cumsum(lens) - lens
-        # first-word index of every n-gram, all docs at once
-        base = np.repeat(starts, k) + (
-            np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k))
-        sh = flat[base].astype(object)
-        for j in range(1, n):
-            sh = sh + " "
-            sh = sh + flat[base + j].astype(object)
         doc_of = np.repeat(ids, k)
         # map-side combine: same (doc, shingle) repeats collapse to c
         df = pd.DataFrame({"s": sh, id_col: doc_of})
