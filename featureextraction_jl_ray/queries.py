@@ -3926,6 +3926,84 @@ FROM r4
 """
 
 
+def q_corpus_hygiene(sf_dir):
+    """Composed LLM corpus pre-flight: decontaminate (drop train docs —
+    doc_id % 7 != 0 — sharing a word 8-gram with the doc_id % 7 == 0
+    benchmark), THEN mixture-sample sources 4:3:2:2:2:1 over the
+    surviving counts, THEN PII-redact what ships.  One chained SQL
+    oracle locks the stage ORDER (mixing before decontamination would
+    under-fill benchmark-overlapping sources)
+    (pipelines/hygiene.py::run_corpus_hygiene)."""
+    from .pipelines.hygiene import run_corpus_hygiene
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet")
+
+    def _side(rem):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 7 == 0) == rem))
+        return fn
+
+    train = ds.map_batches(_side(False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    bench = ds.map_batches(_side(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    parts = {"src0": 4, "src1": 3, "src2": 2, "src3": 2, "src4": 2,
+             "src5": 1}
+    return run_corpus_hygiene(train, bench, parts)
+
+
+def _corpus_hygiene_sql() -> str:
+    from .stages.split import sql_hash_cte
+
+    cte = sql_hash_cte("clean", "doc_id",
+                       "doc_id, text, lang, source, n_chars")
+    vals = "('src0', 4), ('src1', 3), ('src2', 2), ('src3', 2), " \
+           "('src4', 2), ('src5', 1)"
+    return rf"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+  FROM words CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws) - 6)) AS i) t
+  WHERE len(ws) >= 8
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 7 = 0),
+hits AS (SELECT DISTINCT doc_id FROM sh
+         WHERE doc_id % 7 != 0 AND g IN (SELECT g FROM bench)),
+clean AS (SELECT d.* FROM documents d LEFT JOIN hits h USING (doc_id)
+          WHERE d.doc_id % 7 != 0 AND h.doc_id IS NULL),
+cnt AS (SELECT source, count(*) AS n FROM clean GROUP BY source),
+par AS (SELECT * FROM (VALUES {vals}) AS t(source, p)),
+tot AS (SELECT min((n * 14) // p) AS T FROM cnt JOIN par USING (source)),
+bnd AS (SELECT source, (T * p * 4294967296) // (14 * n) AS bound
+        FROM cnt JOIN par USING (source) CROSS JOIN tot),
+{cte.strip()},
+mixed AS (SELECT doc_id, text, lang, source, n_chars
+          FROM __hx JOIN bnd USING (source) WHERE h < bound),
+r1 AS (SELECT *, regexp_replace(text,
+       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g')
+       AS t1 FROM mixed),
+r2 AS (SELECT *, regexp_replace(t1, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b',
+                                '<IP>', 'g') AS t2 FROM r1),
+r3 AS (SELECT *, regexp_replace(t2, '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '<ID>', 'g')
+       AS t3 FROM r2),
+r4 AS (SELECT *, regexp_replace(t3, '\+?\d[\d ().\-]{{6,}}\d', '<PHONE>', 'g')
+       AS t4 FROM r3)
+SELECT doc_id, t4 AS text, lang, source, n_chars,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{{2,}}'))
+          + len(regexp_extract_all(t1, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+          + len(regexp_extract_all(t2, '\b\d{{3}}-\d{{2}}-\d{{4}}\b'))
+          + len(regexp_extract_all(t3, '\+?\d[\d ().\-]{{6,}}\d')) AS BIGINT)
+       AS n_redactions
+FROM r4
+"""
+
+
+SQL_CORPUS_HYGIENE = _corpus_hygiene_sql()
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-4 rotation puts every oracled query that
@@ -4055,6 +4133,7 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
     "pii_redact": q_pii_redact,
+    "corpus_hygiene": q_corpus_hygiene,
 }
 
 ORACLE_SQL = {
@@ -4161,4 +4240,5 @@ ORACLE_SQL = {
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "pii_redact": SQL_PII_REDACT,
+    "corpus_hygiene": SQL_CORPUS_HYGIENE,
 }

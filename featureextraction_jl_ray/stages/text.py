@@ -603,13 +603,13 @@ class ContaminationFlag:
     hash-table rebuild)."""
 
     def __init__(self, bench_ref, text_col: str, id_col: str, n: int,
-                 method: str):
+                 method: str, mode: str = "flag"):
         import ray
 
         self._g = ray.get(bench_ref) if not isinstance(
             bench_ref, np.ndarray) else bench_ref
         self._text_col, self._id_col = text_col, id_col
-        self._n, self._method = n, method
+        self._n, self._method, self._mode = n, method, mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sh, k = _word_ngrams(batch.column(self._text_col), self._n)
@@ -625,6 +625,10 @@ class ContaminationFlag:
         cum = np.concatenate([[0], np.cumsum(hit)])
         ends = np.cumsum(k)
         n_hits = (cum[ends] - cum[ends - k]).astype(np.int64)
+        if self._mode == "filter":
+            # drop contaminated rows inline, full original schema — the
+            # composable form: no flag-join back onto the corpus
+            return batch.filter(pa.array(n_hits == 0))
         return pa.table({
             self._id_col: batch.column(self._id_col),
             "contaminated": pa.array((n_hits > 0).astype(np.int64)),
@@ -634,15 +638,16 @@ class ContaminationFlag:
 
 def decontaminate(train_ds, benchmark_ds, *, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 8,
-                  method: str = "exact",
+                  method: str = "exact", mode: str = "flag",
                   max_benchmark_ngrams: int = 5_000_000,
                   concurrency=None, batch_size: int | None = 4096):
-    """GPT-3/PaLM-style test-set decontamination: flag every training
-    document that shares at least one word ``n``-gram (default 8, the
-    publicly documented 8-13-gram regime) with the benchmark corpus.
-    Returns one row per training doc: ``(id_col, contaminated 0/1,
-    n_hits)`` — compose with a filter to drop, or keep the flag as a
-    feature.
+    """GPT-3/PaLM-style test-set decontamination: flag (or drop) every
+    training document that shares at least one word ``n``-gram (default
+    8, the publicly documented 8-13-gram regime) with the benchmark
+    corpus.  ``mode="flag"`` returns one row per training doc —
+    ``(id_col, contaminated 0/1, n_hits)``; ``mode="filter"`` returns
+    the training rows with contaminated docs DROPPED, full original
+    schema (the composable form — no flag-join back onto the corpus).
 
     Scale shape: benchmark grams stream to the driver ONCE (loud
     ``max_benchmark_ngrams`` cap — eval suites are MBs, the training
@@ -651,21 +656,24 @@ def decontaminate(train_ds, benchmark_ds, *, text_col: str = "text",
     no shuffle, no join, text never leaves its block."""
     import ray
 
+    if mode not in ("flag", "filter"):
+        raise ValueError(f"mode must be 'flag' or 'filter', got {mode!r}")
     g, _ = benchmark_ngrams(benchmark_ds, text_col=text_col, n=n,
                             method=method,
                             max_benchmark_ngrams=max_benchmark_ngrams)
-    pruned = train_ds.select_columns([id_col, text_col])
+    src = (train_ds.select_columns([id_col, text_col])
+           if mode == "flag" else train_ds)
     if concurrency is None:
         # stateless tasks carrying the benchmark array in the task
         # closure (object-store-backed, cached per worker) — parallelism
         # follows block count, like knn_cosine's default
-        fn = ContaminationFlag(g, text_col, id_col, n, method)
-        return pruned.map_batches(fn, batch_format="pyarrow",
-                                  zero_copy_batch=True,
-                                  batch_size=batch_size)
-    return pruned.map_batches(
+        fn = ContaminationFlag(g, text_col, id_col, n, method, mode)
+        return src.map_batches(fn, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=batch_size)
+    return src.map_batches(
         ContaminationFlag,
-        fn_constructor_args=(ray.put(g), text_col, id_col, n, method),
+        fn_constructor_args=(ray.put(g), text_col, id_col, n, method, mode),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
 

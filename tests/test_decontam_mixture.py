@@ -77,6 +77,23 @@ def test_decontaminate_planted_overlap(ray_session, method):
     assert out["n_hits"].tolist() == [0, 1, 0]
 
 
+def test_decontaminate_filter_mode_keeps_schema(ray_session):
+    import ray.data as rd
+
+    train, bench = _docs_tables()
+    train = train.append_column("extra", pa.array([10, 20, 30]))
+    out = (decontaminate(rd.from_arrow(train), rd.from_arrow(bench),
+                         n=4, mode="filter")
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    # contaminated doc 2 dropped; full original schema preserved
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out.columns.tolist() == ["doc_id", "text", "extra"]
+    assert out["extra"].tolist() == [10, 30]
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(rd.from_arrow(train), rd.from_arrow(bench),
+                      mode="drop")
+
+
 def test_decontaminate_empty_benchmark_and_short_docs(ray_session):
     import ray.data as rd
 
