@@ -253,7 +253,10 @@ def mixture_sample(ds, group_col: str, id_col: str, parts: dict, *,
             f"groups — the plan is driver-side and assumes group "
             f"cardinality ≪ rows; raise max_groups if that truly "
             f"holds.") from e
-    counts = dict(zip(cdf[group_col], cdf["count()"]))
+    # fully-empty input: Ray elides empty blocks and the pulled frame
+    # loses its schema — an empty plan is the correct answer
+    counts = ({} if group_col not in cdf.columns
+              else dict(zip(cdf[group_col], cdf["count()"])))
     bounds = mixture_plan(counts, parts)
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -185,3 +185,22 @@ def test_loud_guards_fire(ray_session):
     with pytest.raises(Exception, match="max_group"):
         edit1_pairs(ray_session.data.from_arrow(docs), text_col="text",
                     id_col="doc_id", max_group=10).to_pandas()
+
+
+def test_hygiene_ops_empty_inputs(ray_session):
+    from featureextraction_jl_ray.stages.split import mixture_sample
+    from featureextraction_jl_ray.stages.text import decontaminate, with_pii_redact
+
+    empty = _empty_docs(ray_session)
+    # empty train side: zero rows either mode
+    bench = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": ["some benchmark words here live now ok fine"]}))
+    assert decontaminate(empty, bench, n=4).to_pandas().shape[0] == 0
+    assert decontaminate(empty, bench, n=4, mode="filter"
+                         ).to_pandas().shape[0] == 0
+    # empty corpus into the mixture: plan is empty, zero rows out
+    out = mixture_sample(empty, "text", "doc_id", {"a": 1}).to_pandas()
+    assert len(out) == 0
+    # redaction of an empty block
+    assert with_pii_redact(empty).to_pandas().shape[0] == 0
