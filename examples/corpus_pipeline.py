@@ -1,7 +1,9 @@
 """End-to-end LLM corpus preparation over the documents table — the
 pipeline a user of the reference engine would run here instead:
 
-    quality funnel (dedup → LM → lang-ID → repetition filter)
+    hygiene pre-flight (8-gram test-set decontamination → source
+        mixture sampling → PII redaction)
+      → quality funnel (dedup → LM → lang-ID → repetition filter)
       → near-dup collapse (exact n-gram Jaccard)
       → chunking (32-token windows, 8-token overlap)
       → sequence packing (≈256-token bins in doc shards)
@@ -37,8 +39,23 @@ from featureextraction_jl_ray.stages.minhash import jaccard_dedup
 from featureextraction_jl_ray.stages.split import hash_split
 from featureextraction_jl_ray.stages.text import chunk_documents, pack_chunks
 
+from featureextraction_jl_ray.pipelines.hygiene import run_corpus_hygiene
+
 docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
 print(f"input docs: {docs.count()}")
+
+# hygiene pre-flight: a held-out benchmark slice decontaminates the
+# corpus, sources rebalance to a target mixture, PII is scrubbed
+# (in production the benchmark is the eval-suite table, not a slice)
+bench = docs.map_batches(
+    lambda b: b.filter((b.column("doc_id").to_numpy() % 7) == 0),
+    batch_format="pyarrow")
+train = docs.map_batches(
+    lambda b: b.filter((b.column("doc_id").to_numpy() % 7) != 0),
+    batch_format="pyarrow")
+parts = {f"src{i}": w for i, w in enumerate([4, 3, 2, 2, 2, 1])}
+docs = run_corpus_hygiene(train, bench, parts)
+print(f"after hygiene pre-flight: {docs.count()}")
 
 kept = run_corpus_filter(docs)          # quality funnel
 kept, _pairs = jaccard_dedup(kept, text_col="text", id_col="doc_id",
