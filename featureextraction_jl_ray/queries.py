@@ -3794,6 +3794,35 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_image_channel_norm(sf_dir):
+    """Corpus-fitted channel normalization (the ImageNet-mean/std
+    pattern): one distributed centered-moments pass over every decoded
+    pixel fits per-channel mean/std — a 7-number partial per batch
+    crosses the wire — then the decode stage standardizes features with
+    the broadcast stats.  Pixels aren't SQL-expressible → rows-only
+    driver check; the fit is pytest-oracled against whole-corpus numpy
+    (stages/codec.py::fit_channel_stats)."""
+    from .stages.codec import fit_channel_stats, with_pixel_features
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"])
+    cs = fit_channel_stats(images)
+    out = with_pixel_features(images, grid=4, channel_stats=cs)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        from .functions.veccol import list_column_to_numpy
+
+        z = list_column_to_numpy(t.column("pix")).astype(np.float64)
+        return pa.table({
+            "image_id": t.column("image_id"),
+            "znorm_mean": pa.array(np.round(z.mean(axis=1), 6)),
+            "znorm_absmax": pa.array(np.round(np.abs(z).max(axis=1), 6)),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_decontaminate_docs(sf_dir):
     """GPT-3/PaLM-style test-set decontamination: flag every training
     document (doc_id % 7 != 0) that shares a word 8-gram with the
@@ -4134,6 +4163,7 @@ QUERIES = {
     "mixture_sample_docs": q_mixture_sample_docs,
     "pii_redact": q_pii_redact,
     "corpus_hygiene": q_corpus_hygiene,
+    "image_channel_norm": q_image_channel_norm,  # rows-only (pixels)
 }
 
 ORACLE_SQL = {

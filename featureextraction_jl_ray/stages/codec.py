@@ -38,6 +38,8 @@ __all__ = [
     "AugmentImages",
     "augment_images",
     "patchify_images",
+    "ChannelStats",
+    "fit_channel_stats",
 ]
 
 try:  # pragma: no cover - PIL absent in this container
@@ -180,14 +182,21 @@ class DecodeImages:
         feature_col: str = "pix",
         verify_phash: bool = False,
         drop_bytes: bool = True,
+        channel_stats=None,
     ):
         self._grid = grid
         self._feature_col = feature_col
         self._verify_phash = verify_phash
         self._drop_bytes = drop_bytes
+        self._cs = channel_stats
 
     def _featurize(self, pix: np.ndarray) -> np.ndarray:
-        """(n, h, w, 3) uint8 → (n, g·g·3) float32 area-mean features."""
+        """(n, h, w, 3) uint8 → (n, g·g·3) float32 area-mean features.
+
+        Default scaling is /255 to [0, 1]; with ``channel_stats`` (a
+        corpus-level :func:`fit_channel_stats` result) each channel is
+        standardized ``(x − mean)/std`` instead — the ImageNet-
+        normalization convention, fitted on THIS corpus."""
         n, h, w, _ = pix.shape
         g = self._grid
         gray = pix.astype(np.float32)
@@ -200,6 +209,10 @@ class DecodeImages:
             rc = np.diff(np.append(ri, h)).reshape(1, g, 1, 1)
             cc = np.diff(np.append(ci, w)).reshape(1, 1, g, 1)
             feat = s / (rc * cc)
+        if self._cs is not None:
+            mean, std = self._cs.mean, self._cs.std
+            feat = (feat - mean.reshape(1, 1, 1, 3)) / std.reshape(1, 1, 1, 3)
+            return feat.reshape(n, g * g * 3).astype(np.float32)
         return (feat / np.float32(255.0)).reshape(n, g * g * 3)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -247,6 +260,7 @@ def with_pixel_features(
     feature_col: str = "pix",
     verify_phash: bool = False,
     drop_bytes: bool = True,
+    channel_stats=None,
     concurrency=None,
     batch_size: int | None = 1024,
 ):
@@ -266,6 +280,7 @@ def with_pixel_features(
         "feature_col": feature_col,
         "verify_phash": verify_phash,
         "drop_bytes": drop_bytes,
+        "channel_stats": channel_stats,
     }
     if concurrency is None:
         stage = DecodeImages(**kwargs)  # stateless: shared callable is fine
@@ -287,6 +302,78 @@ def with_pixel_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ChannelStats:
+    """Corpus-level per-channel pixel statistics on the uint8 scale
+    (``mean``/``std``: shape-(3,) float64; ``n_pixels``: total pixels).
+    Tiny, picklable, broadcast-safe."""
+
+    def __init__(self, mean: np.ndarray, std: np.ndarray, n_pixels: float):
+        self.mean = np.asarray(mean, dtype=np.float64)
+        self.std = np.asarray(std, dtype=np.float64)
+        self.n_pixels = float(n_pixels)
+
+    def __repr__(self):
+        return (f"ChannelStats(mean={self.mean.round(3).tolist()}, "
+                f"std={self.std.round(3).tolist()}, "
+                f"n_pixels={int(self.n_pixels)})")
+
+
+def fit_channel_stats(ds, *, batch_size: int | None = 1024) -> ChannelStats:
+    """Fit CORPUS-level per-channel pixel mean/std — the "compute the
+    dataset's normalization constants" pass every image-training recipe
+    runs once (the ImageNet-mean/std pattern), here distributed: each
+    batch decodes and folds its pixels into one centered (n, mean, M2)
+    partial per channel — a single 7-number row crosses the wire per
+    batch — and the driver Chan-merges the ≤ num_batches partials.
+    Centered partials, not raw sum/sumsq: no catastrophic cancellation
+    at 10¹²-image pixel counts (the moments-layer convention,
+    state/moments.py)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = {"n": 0.0, "mean": np.zeros(3), "M2": np.zeros(3)}
+
+        def per_group(pix, idx):
+            p = pix.reshape(-1, 3).astype(np.float64)
+            cn = float(p.shape[0])
+            if cn == 0.0:
+                return
+            cm = p.mean(axis=0)
+            cm2 = ((p - cm) ** 2).sum(axis=0)
+            d = cm - st["mean"]
+            tot = st["n"] + cn
+            st["M2"] += cm2 + d * d * (st["n"] * cn / tot)
+            st["mean"] += d * (cn / tot)
+            st["n"] = tot
+
+        _map_dim_groups(batch, per_group)
+        return pa.table({
+            "n": pa.array([st["n"]]),
+            "mean": numpy_to_fixed_list_column(
+                st["mean"].reshape(1, 3), pa.float64()),
+            "m2": numpy_to_fixed_list_column(
+                st["M2"].reshape(1, 3), pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=batch_size).to_pandas()
+    n, mean, m2 = 0.0, np.zeros(3), np.zeros(3)
+    for _, row in parts.iterrows():
+        cn = float(row["n"])
+        if cn == 0.0:
+            continue
+        cm = np.asarray(row["mean"], dtype=np.float64)
+        cm2 = np.asarray(row["m2"], dtype=np.float64)
+        d = cm - mean
+        tot = n + cn
+        m2 += cm2 + d * d * (n * cn / tot)
+        mean += d * (cn / tot)
+        n = tot
+    if n == 0.0:
+        raise ValueError("fit_channel_stats saw zero pixels")
+    return ChannelStats(mean, np.sqrt(m2 / n), n)
 
 
 def _map_dim_groups(batch: pa.Table, per_group):

@@ -239,3 +239,45 @@ def test_image_prep_funnel_monotone(ray_session):
     assert len(df) < n_in
     assert not (df.lum_mean <= 32.0).any() and not (df.lum_mean >= 224.0).any()
     assert (df.lum_std > 8.0).all()
+
+
+def test_fit_channel_stats_matches_whole_corpus_numpy(ray_session):
+    import ray
+
+    from featureextraction_jl_ray.stages.codec import (
+        fit_channel_stats,
+        with_pixel_features,
+    )
+
+    dims = [(8, 8), (12, 6), (16, 16), (5, 9), (12, 6), (7, 7)]
+    pix, tbl = _img_table(dims, seed=11)
+    ds = ray.data.from_arrow(tbl).repartition(3)  # partials must merge
+    cs = fit_channel_stats(ds, batch_size=2)
+    allp = np.concatenate([p.reshape(-1, 3) for p in pix]).astype(np.float64)
+    assert cs.n_pixels == allp.shape[0]
+    np.testing.assert_allclose(cs.mean, allp.mean(axis=0), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(cs.std, allp.std(axis=0), rtol=0, atol=1e-9)
+
+    # normalized decode: grid=1 means one area-mean per channel, so the
+    # per-image feature is exactly (channel_mean - mean) / std
+    out = with_pixel_features(ds, grid=1, channel_stats=cs).take_all()
+    got = {r["image_id"]: np.asarray(r["pix"], dtype=np.float64) for r in out}
+    for i, p in enumerate(pix):
+        want = (p.reshape(-1, 3).mean(axis=0) - cs.mean) / cs.std
+        np.testing.assert_allclose(got[f"img_{i}"], want, atol=1e-5)
+
+
+def test_fit_channel_stats_zero_pixels_is_loud(ray_session):
+    import ray
+
+    from featureextraction_jl_ray.stages.codec import fit_channel_stats
+
+    empty = pa.table({
+        "image_id": pa.array([], type=pa.string()),
+        "bytes": pa.array([], type=pa.binary()),
+        "w": pa.array([], type=pa.int32()),
+        "h": pa.array([], type=pa.int32()),
+        "fmt": pa.array([], type=pa.string()),
+    })
+    with pytest.raises(ValueError, match="zero pixels"):
+        fit_channel_stats(ray.data.from_arrow(empty))
