@@ -3823,6 +3823,34 @@ def q_image_channel_norm(sf_dir):
                            zero_copy_batch=True)
 
 
+def q_grouped_pca_embeddings(sf_dir):
+    """Per-group PCA-whitening — the namesake kernels composed
+    per-entity: each label fits its OWN basis inside one blob-packed
+    exchange (fit → eigh → GEMM task-local, k=4).  Eigendecompositions
+    aren't SQL → rows-only; per-group whitened-covariance ≈ I and
+    rank-deficiency padding are pytest-oracled
+    (tests/test_grouped_pca.py)."""
+    from .stages.transform import grouped_pca_transform
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "label", "embedding"])
+    out = grouped_pca_transform(ds, "label", "embedding", k=4,
+                                mode="pca_whiten", num_buckets=8)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        from .functions.veccol import list_column_to_numpy
+
+        z = list_column_to_numpy(t, "z")
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "label": t.column("label"),
+            "z_norm": pa.array(np.round(np.linalg.norm(z, axis=1), 6)),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_decontaminate_docs(sf_dir):
     """GPT-3/PaLM-style test-set decontamination: flag every training
     document (doc_id % 7 != 0) that shares a word 8-gram with the
@@ -4164,6 +4192,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "corpus_hygiene": q_corpus_hygiene,
     "image_channel_norm": q_image_channel_norm,  # rows-only (pixels)
+    "grouped_pca_embeddings": q_grouped_pca_embeddings,  # rows-only (eigh)
 }
 
 ORACLE_SQL = {

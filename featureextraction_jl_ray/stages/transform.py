@@ -18,7 +18,7 @@ import ray
 from ..functions.veccol import list_column_to_numpy, numpy_to_fixed_list_column
 from ..state.pca import PCAModel
 
-__all__ = ["WhitenTransform", "apply_pca_transform"]
+__all__ = ["WhitenTransform", "apply_pca_transform", "grouped_pca_transform"]
 
 
 class WhitenTransform:
@@ -100,3 +100,85 @@ def apply_pca_transform(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+def grouped_pca_transform(
+    ds,
+    key_cols,
+    vector_col: str,
+    *,
+    k: int,
+    mode: str = "pca_whiten",
+    out_col: str = "z",
+    id_cols=None,
+    num_buckets: int = 64,
+    max_group_rows: int = 2_000_000,
+    tol: float = 1e-12,
+    seed: int = 0,
+):
+    """PER-GROUP PCA/whitening — the north-star kernels composed
+    per-entity: every key (source / domain / user) fits its OWN
+    :class:`~..state.pca.PCAModel` and transforms its vectors in that
+    basis ("normalize each domain in its own subspace"), instead of one
+    global basis for the whole corpus.
+
+    Scale shape: ONE blob-packed exchange co-locates each group
+    (`bucketed_map_groups`); fit → eigh → GEMM all run inside the bucket
+    task, so per-group model state never leaves the task and nothing
+    accumulates on the driver.  Bounded-group contract (like the other
+    per-key operators): a group must fit in a task — a LOUD
+    ``max_group_rows`` guard trips otherwise; unbounded groups want the
+    global `fit_pca` + broadcast `apply_pca_transform` instead.
+
+    ``k`` is explicit and the output width is exactly ``k`` for every
+    group: a rank-deficient group (fewer rows than ``k``, or collapsed
+    variance) zero-pads its trailing dimensions, keeping the output
+    column fixed-width for downstream GEMMs.
+    """
+    from ..functions.veccol import list_column_to_numpy
+    from ..state.pca import fit_pca_matrix
+    from .partition import bucketed_map_groups
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    carry = list(id_cols) if id_cols is not None else [
+        c for c in ds.schema().names if c != vector_col]
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.select(carry).append_column(
+                out_col, numpy_to_fixed_list_column(
+                    np.empty((0, k)), pa.float32()))
+        X = list_column_to_numpy(tbl, vector_col)
+        Z = np.zeros((n, k), dtype=np.float64)
+        keys = [tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in key_cols]
+        if len(keys) == 1:
+            uniq, codes = np.unique(keys[0], return_inverse=True)
+            n_groups = len(uniq)
+        else:
+            import pandas as pd
+            codes, _ = pd.factorize(pd.MultiIndex.from_arrays(keys))
+            n_groups = int(codes.max()) + 1
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(n_groups + 1))
+        for gi in range(n_groups):
+            idx = order[bounds[gi]:bounds[gi + 1]]
+            if len(idx) > max_group_rows:
+                raise RuntimeError(
+                    f"grouped_pca_transform: a group has {len(idx)} rows > "
+                    f"max_group_rows={max_group_rows}; per-group fits are "
+                    f"task-local — use the global fit_pca + "
+                    f"apply_pca_transform for unbounded groups.")
+            Xg = X[idx]
+            model = fit_pca_matrix(Xg, k=min(k, Xg.shape[0], Xg.shape[1]),
+                                   tol=tol)
+            Zg = model.transform(Xg, mode=mode)
+            Z[idx, :Zg.shape[1]] = Zg  # rank-deficient: trailing dims stay 0
+        return tbl.select(carry).append_column(
+            out_col, numpy_to_fixed_list_column(Z, pa.float32()))
+
+    pruned = ds.select_columns(
+        list(dict.fromkeys(carry + key_cols + [vector_col])))
+    return bucketed_map_groups(pruned, key_cols, per_bucket,
+                               num_buckets=num_buckets, seed=seed)
