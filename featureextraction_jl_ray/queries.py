@@ -4110,13 +4110,24 @@ QUERIES = {
     "minmax_bin_events": q_minmax_bin_events,
     "qbin_winsor_events": q_qbin_winsor_events,
     "onehot_events": q_onehot_events,
-    "agg_lineitem": q_agg_lineitem,
+    # canaries: the two paths CHANGED this round (range_join blob
+    # exchange, hash-join composite probe) stay in-window; the round-4
+    # hygiene quartet (never driver-checked, locally hash-exact at
+    # sf0.001 AND sf0.01) takes the other four slots from multi-round-
+    # green canaries whose changed-path coverage other in-window rows
+    # already provide (flagship_core = as-of + windows end-to-end;
+    # minhash/phash/embedding near-dup = the edited collapse paths)
     "hash_join_agg": q_hash_join_agg,
-    "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "decontaminate_docs": q_decontaminate_docs,
+    "mixture_sample_docs": q_mixture_sample_docs,
+    "pii_redact": q_pii_redact,
+    "corpus_hygiene": q_corpus_hygiene,
+    # --- below here: outside the driver window (oracled, driver-green in r1-r3) ---
+    "agg_lineitem": q_agg_lineitem,
+    "asof_join": q_asof_join,
     "dedup_events": q_dedup_events,
     "sessionize": q_sessionize,
-    # --- below here: outside the driver window (oracled, driver-green in r1-r3) ---
     "rollup_lineitem": q_rollup_lineitem,
     "cube_events": q_cube_events,
     "part_brand_stats": q_part_brand_stats,
@@ -4187,10 +4198,6 @@ QUERIES = {
     "full_outer_join": q_full_outer_join,
     "string_agg_types": q_string_agg_types,
     "dup_ngram_fraction": q_dup_ngram_fraction,
-    "decontaminate_docs": q_decontaminate_docs,
-    "mixture_sample_docs": q_mixture_sample_docs,
-    "pii_redact": q_pii_redact,
-    "corpus_hygiene": q_corpus_hygiene,
     "image_channel_norm": q_image_channel_norm,  # rows-only (pixels)
     "grouped_pca_embeddings": q_grouped_pca_embeddings,  # rows-only (eigh)
 }
