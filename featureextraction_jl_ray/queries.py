@@ -3983,6 +3983,46 @@ FROM r4
 """
 
 
+def q_hashed_cross_events(sf_dir):
+    """Hashed feature cross (wide-and-deep crossed_column) of
+    user_id × hour-of-day into 512 buckets: mixed-radix fold →
+    SQL-mirrored fmix32 → modulo, one stateless zero-exchange pass —
+    the unbounded-cardinality sibling of the vocab cross
+    (stages/encode.py::hashed_cross).  ORACLED bit-exactly through the
+    shared hash CTE."""
+    from .stages.encode import hashed_cross
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def add_hr(t: pa.Table) -> pa.Table:
+        hr = pc.cast(pc.hour(t.column("ts")), pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "hr": hr})
+
+    ds = ds.map_batches(add_hr, batch_format="pyarrow", zero_copy_batch=True)
+    return hashed_cross(ds, ["user_id", "hr"], [24], num_buckets=512,
+                        out_col="cross_bucket")
+
+
+def _hashed_cross_sql() -> str:
+    from .stages.split import sql_hash_cte
+
+    cte = sql_hash_cte(
+        "(SELECT event_id, user_id, CAST(EXTRACT(hour FROM ts) AS BIGINT) "
+        "AS hr, user_id * 24 + CAST(EXTRACT(hour FROM ts) AS BIGINT) AS ck "
+        "FROM events)", "ck", "event_id, user_id, hr")
+    return f"""
+WITH {cte.strip()}
+SELECT event_id, user_id, hr, CAST(h % 512 AS BIGINT) AS cross_bucket
+FROM __hx
+"""
+
+
+SQL_HASHED_CROSS_EVENTS = _hashed_cross_sql()
+
+
 def q_corpus_hygiene(sf_dir):
     """Composed LLM corpus pre-flight: decontaminate (drop train docs —
     doc_id % 7 != 0 — sharing a word 8-gram with the doc_id % 7 == 0
@@ -4198,6 +4238,7 @@ QUERIES = {
     "full_outer_join": q_full_outer_join,
     "string_agg_types": q_string_agg_types,
     "dup_ngram_fraction": q_dup_ngram_fraction,
+    "hashed_cross_events": q_hashed_cross_events,
     "image_channel_norm": q_image_channel_norm,  # rows-only (pixels)
     "grouped_pca_embeddings": q_grouped_pca_embeddings,  # rows-only (eigh)
 }
@@ -4307,4 +4348,5 @@ ORACLE_SQL = {
     "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "pii_redact": SQL_PII_REDACT,
     "corpus_hygiene": SQL_CORPUS_HYGIENE,
+    "hashed_cross_events": SQL_HASHED_CROSS_EVENTS,
 }

@@ -18,7 +18,8 @@ import pyarrow as pa
 from .groupagg import grouped_aggregate
 from .joins import broadcast_join
 
-__all__ = ["fit_target_encoding", "target_encode", "frequency_encode", "cross_encode", "group_share"]
+__all__ = ["fit_target_encoding", "target_encode", "frequency_encode",
+           "cross_encode", "hashed_cross", "group_share"]
 
 
 def _collect_small(ds) -> pa.Table:
@@ -132,6 +133,51 @@ def cross_encode(ds, col_a: str, col_b: str, *, out_col: str | None = None,
         cross = pc.add(pc.multiply(pc.cast(ia, pa.int64()), pa.scalar(nb)),
                        pc.cast(ib, pa.int64()))
         return t.append_column(out_col, cross)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hashed_cross(ds, cols, radices, *, num_buckets: int,
+                 out_col: str | None = None, seed: int | None = None):
+    """HASHED feature cross — :func:`cross_encode`'s scale sibling for
+    unbounded-cardinality key combinations (wide-and-deep
+    ``crossed_column``): ``bucket = fmix32(mixed-radix fold) %
+    num_buckets``.  No vocabulary pass, O(1) state, one stateless
+    zero-exchange ``map_batches``; collisions are the accepted trade
+    (size ``num_buckets`` ≫ active crosses).
+
+    ``cols`` are INT columns; ``radices[i]`` bounds ``cols[i+1]``
+    (``0 ≤ v < radix``, checked LOUDLY per batch — a silent out-of-range
+    value would alias a different cross), so the fold
+    ``((c0·r1 + c1)·r2 + c2)…`` is collision-free before the hash and
+    the SQL oracle reproduces the bucket bit-exactly through the shared
+    fmix32 CTE (`split.sql_hash_cte`).  String categories: dictionary-
+    encode to ints first, or use `cross_encode`."""
+    from .split import _DEFAULT_SEED, hash_u32
+
+    cols = list(cols)
+    radices = list(radices)
+    if len(radices) != len(cols) - 1:
+        raise ValueError("need one radix per column after the first")
+    if int(np.prod([float(r) for r in radices])) and \
+            np.prod([float(r) for r in radices]) > 2**40:
+        raise ValueError("radix product too large — fold could overflow "
+                         "int64 once multiplied by the leading key")
+    out_col = out_col or ("_x_".join(cols) + "_bucket")
+    seed = _DEFAULT_SEED if seed is None else seed
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t.column(cols[0]).to_numpy(zero_copy_only=False).astype(np.int64)
+        for c, r in zip(cols[1:], radices):
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(v) and ((v < 0).any() or (v >= r).any()):
+                raise ValueError(
+                    f"hashed_cross: column {c!r} has values outside "
+                    f"[0, {r}) — wrong radix silently aliases crosses")
+            key = key * np.int64(r) + v
+        b = (hash_u32(key, seed=seed) %
+             np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column(out_col, pa.array(b))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from featureextraction_jl_ray.stages.encode import (
@@ -161,3 +162,28 @@ def test_melt_pivot_roundtrip(ray_session):
            .sort_values("k", ignore_index=True))
     np.testing.assert_allclose(wide.p_a_sum, ref.a, rtol=1e-9)
     np.testing.assert_allclose(wide.p_b_sum, ref.b, rtol=1e-9)
+
+
+def test_hashed_cross_fold_and_radix_guard(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.encode import hashed_cross
+    from featureextraction_jl_ray.stages.split import hash_u32
+
+    t = pa.table({
+        "a": pa.array([0, 1, 5, 1 << 40], type=pa.int64()),
+        "b": pa.array([0, 23, 7, 11], type=pa.int64()),
+    })
+    out = (hashed_cross(rd.from_arrow(t), ["a", "b"], [24], num_buckets=64)
+           .to_pandas())
+    key = t.column("a").to_numpy() * 24 + t.column("b").to_numpy()
+    want = (hash_u32(key) % np.uint64(64)).astype(np.int64)
+    assert out["a_x_b_bucket"].tolist() == want.tolist()
+    # out-of-radix value must be LOUD, not a silent alias
+    bad = pa.table({"a": pa.array([1], type=pa.int64()),
+                    "b": pa.array([24], type=pa.int64())})
+    with pytest.raises(Exception, match="radix"):
+        hashed_cross(rd.from_arrow(bad), ["a", "b"], [24],
+                     num_buckets=64).to_pandas()
+    with pytest.raises(ValueError, match="one radix"):
+        hashed_cross(rd.from_arrow(bad), ["a", "b"], [], num_buckets=4)
