@@ -159,8 +159,8 @@ def hashed_cross(ds, cols, radices, *, num_buckets: int,
     radices = list(radices)
     if len(radices) != len(cols) - 1:
         raise ValueError("need one radix per column after the first")
-    if int(np.prod([float(r) for r in radices])) and \
-            np.prod([float(r) for r in radices]) > 2**40:
+    if float(np.prod([float(r) for r in radices or [1]])) > 2**40:
+        # leaves ≥ 2²³ of int64 headroom for the leading key's values
         raise ValueError("radix product too large — fold could overflow "
                          "int64 once multiplied by the leading key")
     out_col = out_col or ("_x_".join(cols) + "_bucket")
