@@ -776,6 +776,44 @@ FROM sh JOIN cnt USING (s) GROUP BY sh.doc_id
 """
 
 
+def q_span_dedup_docs(sf_dir):
+    """Sub-document exact-span dedup (RefinedWeb "exact substring"
+    family at 5-word-window granularity): every distinct span survives
+    exactly once corpus-wide — first occurrence by (doc_id, span_idx) —
+    and documents are reassembled from their surviving spans.  One fused
+    vectorized explode, the salted two-stage winner reduce, one
+    co-partitioned reassembly exchange (stages/dedup.py::span_dedup)."""
+    from .stages.dedup import span_dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return span_dedup(ds, span_words=5, num_buckets=16)
+
+
+SQL_SPAN_DEDUP_DOCS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(ws[i*5+1 : i*5+5], ' ') AS span_text
+  FROM words CROSS JOIN LATERAL
+       (SELECT unnest(range(0, (len(ws) + 4) // 5)) AS i) t
+),
+ranked AS (
+  SELECT doc_id, span_idx, span_text,
+         row_number() OVER (PARTITION BY span_text
+                            ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       string_agg(span_text, ' ' ORDER BY span_idx) AS text_dedup,
+       count(*) AS n_spans
+FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 def q_string_agg_types(sf_dir):
     """Per-user ordered DISTINCT concatenation of event types — SQL's
     string_agg(DISTINCT x, ',' ORDER BY x).  Ordered concat isn't
@@ -4238,6 +4276,7 @@ QUERIES = {
     "full_outer_join": q_full_outer_join,
     "string_agg_types": q_string_agg_types,
     "dup_ngram_fraction": q_dup_ngram_fraction,
+    "span_dedup_docs": q_span_dedup_docs,
     "hashed_cross_events": q_hashed_cross_events,
     "image_channel_norm": q_image_channel_norm,  # rows-only (pixels)
     "grouped_pca_embeddings": q_grouped_pca_embeddings,  # rows-only (eigh)
@@ -4344,6 +4383,7 @@ ORACLE_SQL = {
     "full_outer_join": SQL_FULL_OUTER_JOIN,
     "string_agg_types": SQL_STRING_AGG_TYPES,
     "dup_ngram_fraction": SQL_DUP_NGRAM_FRACTION,
+    "span_dedup_docs": SQL_SPAN_DEDUP_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "pii_redact": SQL_PII_REDACT,

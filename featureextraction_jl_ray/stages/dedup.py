@@ -353,6 +353,64 @@ def exact_dedup(
     return rebucketed.groupby(_BUCKET).map_groups(stage2, batch_format="pyarrow")
 
 
+def span_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               span_words: int = 5, out_col: str = "text_dedup",
+               num_salts: int = 16, num_buckets: int = 64):
+    """Sub-document exact-span deduplication (the granular cousin of
+    doc-level ``exact_dedup`` — RefinedWeb / "exact substring dedup"
+    family, at non-overlapping word-window granularity): split each
+    document into consecutive ``span_words``-word spans (last span may
+    be shorter), keep only the globally FIRST occurrence of each
+    distinct span text — first = smallest ``(id, span_idx)`` — and
+    reassemble every document from its surviving spans in order.
+    Documents whose every span occurred earlier elsewhere disappear;
+    boilerplate repeated across documents survives exactly once,
+    corpus-wide.
+
+    Output: ``(id_col, out_col, n_spans)`` — one row per surviving
+    document, ``n_spans`` = its surviving span count.
+
+    Shape at scale: the explode is a fused stateless ``map_batches``
+    (vectorized ListArray window build + C ``binary_join``); the winner
+    selection reuses :func:`exact_dedup`'s two-stage salted reduce keyed
+    on span text (hot boilerplate spans are exactly the skewed-key case
+    the salt stage exists for); reassembly is one blob-packed exchange
+    co-partitioned on ``id_col``.  Span text rides the dedup exchange —
+    the wire cost is ~the corpus bytes, the same as any doc-level
+    shuffle of the text column; at 100 TB you would dedup on a 64-bit
+    ``stable_hash_array`` of the span instead (8 B/row exchange) and
+    semi-join survivors back, trading one more exchange for ~10× fewer
+    wire bytes.
+    """
+    from .partition import bucketed_map_groups
+    from .text import _word_spans
+
+    def explode(batch: pa.Table) -> pa.Table:
+        span_text, row_of, idx = _word_spans(batch.column(text_col),
+                                             span_words)
+        ids = batch.column(id_col).take(pa.array(row_of, type=pa.int64()))
+        return pa.table({id_col: ids,
+                         "span_idx": pa.array(idx, type=pa.int64()),
+                         "span_text": span_text})
+
+    spans = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+    kept = exact_dedup(spans, "span_text", order_cols=[id_col, "span_idx"],
+                       num_salts=num_salts, num_buckets=num_buckets)
+
+    def reassemble(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        df = df.sort_values([id_col, "span_idx"], kind="mergesort")
+        g = df.groupby(id_col, sort=False)
+        out = g["span_text"].agg(" ".join).rename(out_col).to_frame()
+        out["n_spans"] = g.size().astype(np.int64)
+        return pandas_to_arrow(out.reset_index())
+
+    return bucketed_map_groups(kept, id_col, reassemble,
+                               num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # Hamming-ball near-dup on 64-bit hashes (phash, simhash)
 # ---------------------------------------------------------------------------

@@ -547,6 +547,61 @@ def _word_ngrams(texts, n: int):
     return sh, k
 
 
+def _word_spans(texts, w: int):
+    """Vectorized NON-overlapping word windows ("spans") over an Arrow
+    string column: returns ``(span_text, row_of_span, span_idx)`` where
+    ``span_text`` is a pyarrow StringArray of each row's consecutive
+    ``w``-word chunks in order (last chunk may be shorter),
+    ``row_of_span[i]`` is the batch row index span i came from and
+    ``span_idx[i]`` its 0-based position within that row.
+
+    Tokenization matches :func:`_word_ngrams` / the SQL oracles'
+    ``regexp_extract_all(t, '\\S+')`` (empty tokens from messy
+    whitespace filtered, per-row counts recomputed), but does NOT
+    lowercase — spans are reassembled back into document text and must
+    round-trip the original bytes.  Fully vectorized: span boundaries
+    tile the flat token array exactly (end of span i == start of span
+    i+1), so the spans are one ``ListArray.from_arrays`` over the flat
+    tokens + a C-level ``binary_join``.
+    """
+    toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    lens_raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat_all = pc.list_flatten(toks)
+    if isinstance(flat_all, pa.ChunkedArray):
+        flat_all = flat_all.combine_chunks()
+    keep = pc.not_equal(flat_all, "")
+    mask = keep.to_numpy(zero_copy_only=False)
+    flat = flat_all.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_rows = len(lens_raw)
+    empty = (pa.array([], type=pa.string()), np.empty(0, np.int64),
+             np.empty(0, np.int64))
+    if n_rows == 0:
+        return empty
+    row_of_tok = np.repeat(np.arange(n_rows), lens_raw)
+    lens = np.bincount(row_of_tok, weights=mask,
+                       minlength=n_rows).astype(np.int64)
+    n_spans = -(-lens // w)
+    tot = int(n_spans.sum())
+    if tot == 0:
+        return empty
+    n_tok = int(lens.sum())
+    if n_tok >= 2**31:  # int32 list offsets; blocks never get near this
+        raise RuntimeError(
+            f"_word_spans: {n_tok} tokens in one batch exceeds int32 "
+            "offsets; lower the block size")
+    row_of_span = np.repeat(np.arange(n_rows), n_spans)
+    span_idx = np.arange(tot) - np.repeat(np.cumsum(n_spans) - n_spans,
+                                          n_spans)
+    tok_start = np.cumsum(lens) - lens
+    span_start = tok_start[row_of_span] + span_idx * w
+    offsets = np.append(span_start, n_tok).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+    span_text = pc.binary_join(lists, " ")
+    return span_text, row_of_span, span_idx
+
+
 def benchmark_ngrams(benchmark_ds, *, text_col: str = "text", n: int = 8,
                      method: str = "exact",
                      max_benchmark_ngrams: int = 5_000_000):

@@ -14,6 +14,7 @@ from featureextraction_jl_ray.stages.dedup import (
     hamming_dedup,
     hamming_near_dup_pairs,
     popcount64,
+    span_dedup,
 )
 from featureextraction_jl_ray.stages.groupagg import grouped_aggregate, grouped_topn
 from featureextraction_jl_ray.stages.minhash import (
@@ -54,6 +55,47 @@ def test_exact_dedup_skewed_matches_oracle(ray_session, sf_dir):
         .to_pandas()
     )
     assert set(got.event_id) == set(got1.event_id)
+
+
+def test_span_dedup_semantics(ray_session):
+    """Duplicate spans collapse to the (doc_id, span_idx)-first copy,
+    fully-duplicated documents vanish, surviving docs reassemble their
+    remaining spans in order (whitespace normalized to single spaces)."""
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b c d e f g h i j",   # spans: "a b c d e" | "f g h i j"
+            "a b c d e x y z w v",   # span 0 duplicates doc 1's span 0
+            "f g h i j",             # entirely covered by doc 1's span 1
+            "  p  q \t r ",          # messy whitespace, short tail span
+        ],
+    })
+    out = (span_dedup(ray_session.data.from_pandas(df), span_words=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.doc_id.tolist() == [1, 2, 4]
+    assert out.text_dedup.tolist() == [
+        "a b c d e f g h i j", "x y z w v", "p q r"]
+    assert out.n_spans.tolist() == [2, 1, 1]
+
+
+def test_span_dedup_cross_doc_boilerplate_kept_once(ray_session):
+    """Boilerplate repeated across MANY docs (the skewed-key case the
+    salted reduce exists for) survives exactly once corpus-wide."""
+    boiler = "subscribe to our newsletter for daily updates today"
+    df = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [f"unique{i} body{i} words{i} here{i} now{i} " + boiler
+                 for i in range(40)],
+    })
+    out = (span_dedup(ray_session.data.from_pandas(df), span_words=5,
+                      num_salts=4, num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 40
+    joined = " ".join(out.text_dedup)
+    assert joined.count(boiler) == 1          # kept once, corpus-wide
+    assert out.loc[0, "text_dedup"].endswith(boiler)  # in the FIRST doc
+    # doc 0: its unique span + the 8-word boilerplate's two spans
+    assert out.n_spans.tolist() == [3] + [1] * 39
 
 
 def test_phash_near_dup_skew_cluster_collapses(ray_session):

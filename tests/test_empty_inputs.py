@@ -187,6 +187,17 @@ def test_loud_guards_fire(ray_session):
                     id_col="doc_id", max_group=10).to_pandas()
 
 
+def test_span_dedup_empty_and_blank_inputs(ray_session):
+    from featureextraction_jl_ray.stages.dedup import span_dedup
+
+    assert span_dedup(_empty_docs(ray_session)).to_pandas().shape[0] == 0
+    # null / whitespace-only docs contribute zero spans and disappear
+    blank = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array([None, "   \t "], type=pa.string())}))
+    assert span_dedup(blank).to_pandas().shape[0] == 0
+
+
 def test_hygiene_ops_empty_inputs(ray_session):
     from featureextraction_jl_ray.stages.split import mixture_sample
     from featureextraction_jl_ray.stages.text import decontaminate, with_pii_redact

@@ -11,7 +11,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from featureextraction_jl_ray.stages.split import mixture_plan
-from featureextraction_jl_ray.stages.text import _word_ngrams
+from featureextraction_jl_ray.stages.text import _word_ngrams, _word_spans
 
 # words plus whitespace of every stripe (spaces, tabs, newlines, runs)
 _text = st.text(
@@ -31,6 +31,24 @@ def test_word_ngrams_property(texts, n):
         want_k.append(len(grams))
     assert list(got_sh) == want_sh
     assert got_k.tolist() == want_k
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.one_of(st.none(), _text), min_size=0, max_size=8),
+       st.integers(min_value=1, max_value=6))
+def test_word_spans_property(texts, w):
+    got_text, got_row, got_idx = _word_spans(
+        pa.array(texts, type=pa.string()), w)
+    want_text, want_row, want_idx = [], [], []
+    for r, t in enumerate(texts):
+        toks = ("" if t is None else t).split()  # NO lowercase — spans
+        for j in range(0, -(-len(toks) // w)):   # round-trip the bytes
+            want_text.append(" ".join(toks[j * w:(j + 1) * w]))
+            want_row.append(r)
+            want_idx.append(j)
+    assert got_text.to_pylist() == want_text
+    assert got_row.tolist() == want_row
+    assert got_idx.tolist() == want_idx
 
 
 @settings(max_examples=120, deadline=None)
