@@ -242,6 +242,39 @@ FROM events GROUP BY event_type
 """
 
 
+def q_user_value_shape(sf_dir):
+    """Per-user distribution-SHAPE features: sample-adjusted skewness
+    (G1) and excess kurtosis (G2) of event values — the Excel/pandas/
+    DuckDB convention, composed from mergeable centered-moment partials
+    (n, mean, M2, M3, M4) shifted to the grand mean with the exact
+    binomial expansion, so one partial row per key per batch rides the
+    exchange.  Outputs pin to the 1e-6 grid for the hash compare."""
+    from .stages.groupagg import grouped_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+    out = grouped_aggregate(
+        ds,
+        "user_id",
+        {
+            "skew_value": ("value", "skew"),
+            "kurt_value": ("value", "kurt"),
+            "n": ("value", "count"),
+        },
+        num_buckets=8,
+    )
+    return _round_cols(out, {"skew_value": 6, "kurt_value": 6})
+
+
+SQL_USER_VALUE_SHAPE = """
+SELECT user_id,
+       ROUND(skewness(value), 6) AS skew_value,
+       ROUND(kurtosis(value), 6) AS kurt_value,
+       count(value) AS n
+FROM events GROUP BY user_id
+"""
+
+
 def q_count_distinct_users(sf_dir):
     """Exact per-key COUNT(DISTINCT) in two exchanges: hash(key, value)
     collapse (hot keys spread because the value joins the hash — no
@@ -4210,6 +4243,7 @@ QUERIES = {
     "cube_events": q_cube_events,
     "part_brand_stats": q_part_brand_stats,
     "agg_events_var": q_agg_events_var,
+    "user_value_shape": q_user_value_shape,
     "count_distinct_users": q_count_distinct_users,
     "count_distinct_users_hll": q_count_distinct_users_hll,
     "event_quantiles": q_event_quantiles,
@@ -4309,6 +4343,7 @@ ORACLE_SQL = {
     "cube_events": SQL_CUBE_EVENTS,
     "part_brand_stats": SQL_PART_BRAND_STATS,
     "agg_events_var": SQL_AGG_EVENTS_VAR,
+    "user_value_shape": SQL_USER_VALUE_SHAPE,
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "count_distinct_users_hll": SQL_COUNT_DISTINCT_USERS,
     "event_quantiles": SQL_EVENT_QUANTILES,

@@ -26,16 +26,20 @@ __all__ = ["grouped_aggregate", "grouped_topn", "grouped_count_distinct",
            "pivot_aggregate", "rollup_aggregate", "cube_aggregate",
            "grouped_vector_mean", "grouped_ols", "grouped_string_agg"]
 
-_PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std"}
+_PARTIALIZABLE = {"sum", "count", "min", "max", "mean", "var", "std",
+                  "skew", "kurt"}
 
 
 def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buckets: int = 64):
     """Grouped aggregates with map-side partial aggregation.
 
     ``aggs``: {out_name: (col, fn)} with fn ∈ sum/count/min/max/mean/
-    var/std (var/std are SAMPLE variance/stddev, ddof=1, composed from
-    (Σx, Σx², n) partials — the sum-of-squares form loses precision when
-    |mean| ≫ stddev; pin outputs to a rounding grid when hash-comparing).
+    var/std/skew/kurt (var/std are SAMPLE variance/stddev, ddof=1;
+    skew/kurt are the sample-adjusted G1 / excess-G2 statistics — the
+    Excel/pandas/DuckDB convention, NULL below n=3 / n=4 or at zero
+    variance — composed from centered-moment partials (n, mean, M2, M3,
+    M4) shifted to the grand mean with the exact binomial expansion;
+    pin outputs to a rounding grid when hash-comparing).
     Example: {"sum_qty": ("l_quantity", "sum"), "n": ("l_orderkey", "count")}
 
     3-tuple form {out_name: (value_col, "argmin"|"argmax", order_col)}
@@ -75,6 +79,13 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
             partial_cols[f"__m_{name}"] = (col, "mean")
             partial_cols[f"__w_{name}"] = (col, "m2")
             partial_cols[f"__c_{name}"] = (col, "count")
+        elif fn in ("skew", "kurt"):
+            partial_cols[f"__m_{name}"] = (col, "mean")
+            partial_cols[f"__w_{name}"] = (col, "m2")
+            partial_cols[f"__h_{name}"] = (col, "m3")
+            if fn == "kurt":
+                partial_cols[f"__k_{name}"] = (col, "m4")
+            partial_cols[f"__c_{name}"] = (col, "count")
         else:
             partial_cols[name] = (col, fn)
 
@@ -95,6 +106,18 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
             if fn == "m2":
                 # within-batch centered sum of squares: n·var(ddof=0)
                 out[name] = g[col].var(ddof=0) * g[col].count()
+            elif fn in ("m3", "m4"):
+                # within-batch centered power sums Σ(x−mean)^p — one C
+                # transform + one C groupby-sum, no Python per group
+                d = (df[col] - g[col].transform("mean")).to_numpy(
+                    dtype=np.float64)
+                p = 3 if fn == "m3" else 4
+                out[name] = (
+                    pd.Series(d ** p, index=df.index)
+                    .groupby([df[k] for k in key_cols], sort=False,
+                             dropna=False)
+                    .sum()
+                )
             else:
                 out[name] = getattr(g[col], fn)()
         for name, (vcol, ocol, kind) in arg_aggs.items():
@@ -112,8 +135,8 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
         g = df.groupby(key_cols, sort=False, dropna=False)
         out = pd.DataFrame(index=g.size().index)
         for name, (_, fn) in partial_cols.items():
-            if fn in ("mean", "m2"):
-                continue  # var/std components — Chan merge below
+            if fn in ("mean", "m2", "m3", "m4"):
+                continue  # var/std/skew/kurt components — merged below
             out[name] = getattr(g[name], _MERGE[fn])()
         # Chan merge needs per-partial-row group means → compute while out
         # is still indexed by the group keys (alignment by index)
@@ -140,6 +163,53 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
                 v = np.where(n > 1, m2.to_numpy() / (n - 1), np.nan)
             out[name] = pd.Series(np.sqrt(v) if fn == "std" else v,
                                   index=m2.index)
+        for name, (col, fn) in plain.items():
+            if fn not in ("skew", "kurt"):
+                continue
+            c = df[f"__c_{name}"].to_numpy(dtype=np.float64)
+            m = df[f"__m_{name}"].to_numpy(dtype=np.float64)
+            w = df[f"__w_{name}"].to_numpy(dtype=np.float64)
+            h = df[f"__h_{name}"].to_numpy(dtype=np.float64)
+            nm = pd.Series(np.where(c > 0, c * m, 0.0), index=df.index)
+            cs = pd.Series(c, index=df.index)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                grand = (
+                    nm.groupby(gk, sort=False, dropna=False).transform("sum")
+                    / cs.groupby(gk, sort=False, dropna=False).transform("sum")
+                ).to_numpy()
+                d = m - grand
+                # shift each partial's centered moments to the grand mean
+                # (binomial expansion: Σ(x−g)^p = Σ_q C(p,q) δ^(p−q) Σ(x−m)^q)
+                s2 = np.where(c > 0, w + c * d ** 2, 0.0)
+                if fn == "skew":
+                    sp = np.where(c > 0, h + 3.0 * d * w + c * d ** 3, 0.0)
+                else:
+                    k4 = df[f"__k_{name}"].to_numpy(dtype=np.float64)
+                    sp = np.where(
+                        c > 0,
+                        k4 + 4.0 * d * h + 6.0 * d ** 2 * w + c * d ** 4,
+                        0.0,
+                    )
+                g2 = pd.Series(s2, index=df.index).groupby(
+                    gk, sort=False, dropna=False).sum()
+                gp = pd.Series(sp, index=df.index).groupby(
+                    gk, sort=False, dropna=False).sum()
+                n = out[f"__c_{name}"].to_numpy().astype(np.float64)
+                m2t = g2.to_numpy()
+                mpt = gp.to_numpy()
+                if fn == "skew":
+                    ok = (n >= 3) & (m2t > 0)
+                    g1 = np.where(ok, (mpt / n) / np.maximum(m2t / n, 1e-300) ** 1.5, np.nan)
+                    val = np.where(ok, g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0), np.nan)
+                else:
+                    ok = (n >= 4) & (m2t > 0)
+                    pg2 = np.where(ok, (mpt / n) / np.maximum(m2t / n, 1e-300) ** 2 - 3.0, np.nan)
+                    val = np.where(
+                        ok,
+                        ((n + 1.0) * pg2 + 6.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0)),
+                        np.nan,
+                    )
+            out[name] = pd.Series(val, index=g2.index)
         for name, (_, __, kind) in arg_aggs.items():
             # merge = same lexicographic extremum over the partial pairs
             _arg_select(df, out, name, f"__o_{name}", name, kind)
@@ -149,7 +219,7 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
             if fn == "mean":
                 out[name] = out[f"__s_{name}"] / out[f"__c_{name}"]
                 out = out.drop(columns=[f"__s_{name}", f"__c_{name}"])
-            elif fn in ("var", "std"):
+            elif fn in ("var", "std", "skew", "kurt"):
                 out = out.drop(columns=[f"__c_{name}"])
         return pandas_to_arrow(out)
 

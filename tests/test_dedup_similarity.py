@@ -751,3 +751,43 @@ def test_pq_roundtrip_error_bounded():
     # cosine between original and reconstruction stays high
     cos = (X * _normalize(Xr)).sum(axis=1)
     assert cos.mean() > 0.95 and cos.min() > 0.8
+
+
+def test_grouped_skew_kurt_match_duckdb(ray_session, sf_dir):
+    """Sample-adjusted G1 skewness / excess-G2 kurtosis from mergeable
+    centered-moment partials (n, mean, M2, M3, M4) — vs DuckDB's
+    skewness()/kurtosis(), including the NULL contract (n<3 / n<4 /
+    zero variance) and invariance to partition count."""
+    ev = f"{sf_dir}/events.parquet"
+    for nparts in (2, 17):
+        ds = ray_session.data.read_parquet(ev).repartition(nparts)
+        got = grouped_aggregate(
+            ds, ["event_type"],
+            {"sk": ("value", "skew"), "ku": ("value", "kurt")},
+            num_buckets=4,
+        ).to_pandas().sort_values("event_type", ignore_index=True)
+        want = duckdb.sql(
+            f"SELECT event_type, skewness(value) sk, kurtosis(value) ku "
+            f"FROM '{ev}' GROUP BY 1 ORDER BY 1"
+        ).fetchdf()
+        np.testing.assert_allclose(got.sk, want.sk, rtol=1e-9)
+        np.testing.assert_allclose(got.ku, want.ku, rtol=1e-9)
+
+    # edge groups: n=2 (skew+kurt NULL), n=3 (kurt NULL), constant (both NULL)
+    import pandas as pd
+    import ray as _ray
+
+    edge = pd.DataFrame({
+        "k": [0, 0, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3],
+        "v": [1.0, 2.0, 1.0, 2.0, 4.0, 7.0, 7.0, 7.0, 7.0, 1.0, 3.0, 9.0, 27.0],
+    })
+    got = grouped_aggregate(
+        _ray.data.from_pandas(edge).repartition(5), "k",
+        {"sk": ("v", "skew"), "ku": ("v", "kurt")}, num_buckets=2,
+    ).to_pandas().set_index("k").sort_index()
+    want = duckdb.query_df(
+        edge, "t",
+        "SELECT k, skewness(v) sk, kurtosis(v) ku FROM t GROUP BY k ORDER BY k",
+    ).df().set_index("k")
+    np.testing.assert_allclose(got.sk, want.sk, rtol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(got.ku, want.ku, rtol=1e-9, equal_nan=True)
