@@ -2493,6 +2493,24 @@ def q_knn_ivfpq(sf_dir):
     return out[["query_id", "vec_id", "score"]].copy()
 
 
+def q_kmeans_clusters(sf_dir):
+    """Distributed Lloyd k-means over the full embeddings table
+    (spherical/cosine): deterministic content-hash-sample init, then
+    full-pass refinement iterations where each block ships only a
+    (k counts, k×d sums) partial row — the IVF coarse-quantizer /
+    corpus-clustering scale path.  Rows-only: iterative refinement
+    isn't SQL; centroid math is pytest-oracled vs an in-memory
+    NumPy Lloyd on the same init (tests/test_dedup_similarity.py)."""
+    from .stages.similarity import assign_clusters, kmeans_fit_distributed
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    C = kmeans_fit_distributed(ds, "embedding", 8, id_col="vec_id",
+                               iters=5, metric="cosine")
+    out = assign_clusters(ds, C, vector_col="embedding", out_col="cluster")
+    return out.select_columns(["vec_id", "cluster"])
+
+
 def q_knn_filtered(sf_dir):
     """FILTERED similarity search (search within a segment): the
     predicate rides the scan, so only matching rows are scored — no
@@ -4307,6 +4325,7 @@ QUERIES = {
     "tfidf_docs": q_tfidf_docs,
     "chunk_documents_bpe": q_chunk_documents_bpe,
     "knn_ivfpq": q_knn_ivfpq,
+    "kmeans_clusters": q_kmeans_clusters,
     "full_outer_join": q_full_outer_join,
     "string_agg_types": q_string_agg_types,
     "dup_ngram_fraction": q_dup_ngram_fraction,

@@ -35,6 +35,8 @@ __all__ = [
     "embedding_near_dup_pairs",
     "embedding_dedup",
     "kmeans_fit",
+    "kmeans_fit_distributed",
+    "assign_clusters",
     "ScalarQuantizer",
     "fit_scalar_quantizer",
     "quantize_embeddings",
@@ -146,6 +148,152 @@ def kmeans_fit(X: np.ndarray, n_clusters: int, *, iters: int = 10, seed: int = 4
                 C[c] = X[m].mean(axis=0)
         C = _normalize(C)
     return C
+
+
+def _assign_to_centroids(X: np.ndarray, C: np.ndarray, metric: str) -> np.ndarray:
+    if metric == "cosine":
+        return (X @ C.T).argmax(axis=1)
+    # l2: argmin ‖x−c‖² = argmin(−2·x·c + ‖c‖²) — one GEMM, no n×k temp
+    return (-2.0 * (X @ C.T) + (C * C).sum(axis=1)).argmin(axis=1)
+
+
+def kmeans_fit_distributed(
+    ds,
+    vector_col: str,
+    n_clusters: int,
+    *,
+    id_col: str | None = None,
+    iters: int = 10,
+    seed: int = 42,
+    metric: str = "cosine",
+    sample_rows: int = 2000,
+    tol: float = 1e-6,
+    fan_in: int = 64,
+) -> np.ndarray:
+    """Lloyd k-means over the FULL dataset — the scale path behind IVF
+    coarse quantizers and corpus clustering.
+
+    Init = deterministic in-memory k-means on a content-hash sample
+    (the ``build_ivf_index`` recipe).  Each refinement iteration is ONE
+    streaming pass: a stateless ``map_batches`` assigns rows to the
+    broadcast centroids (``ray.put`` once per iteration, read per task
+    from the object store) and emits one (k counts, k×d sums) partial
+    row per block via a C-speed sorted ``np.add.reduceat``; a second
+    ``map_batches(batch_size=fan_in)`` coalesces partials WITHOUT an
+    exchange (the moments fan-in pattern) and the driver merges the
+    ≤ partials/fan_in survivors — nothing but k×d-float rows ever
+    leaves the tasks.  Empty clusters keep their previous centroid.
+    Stops early when the max centroid shift drops below ``tol``.
+
+    ``metric="cosine"`` is spherical k-means (rows and centroids
+    L2-normalized, assignment by max dot — matches ``knn_cosine`` /
+    IVF); ``metric="l2"`` is plain Euclidean Lloyd.  Cost: ``iters``
+    full passes over ``ds`` — project the vector column first
+    (``select_columns``) so only vectors stream.
+    """
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    vec = ds.select_columns([vector_col] + ([id_col] if id_col else []))
+    cnt_rows = vec.count()
+    frac = min(1.0, sample_rows / max(cnt_rows, 1))
+    if id_col is not None:
+        cut = np.uint64(int(frac * (1 << 32)))
+
+        def hash_sample(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            h = stable_hash_array(ids, seed=seed) >> np.uint64(32)
+            return batch.filter(pa.array(h < cut))
+
+        sample = vec.map_batches(
+            hash_sample, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas().sort_values(id_col, ignore_index=True)
+    else:
+        sample = vec.random_sample(frac, seed=seed).to_pandas()
+    Xs = np.stack(sample[vector_col].to_numpy()).astype(np.float64)
+    if metric == "cosine":
+        C = kmeans_fit(Xs, n_clusters, seed=seed)
+    else:
+        C = _lloyd(Xs, n_clusters, seed=seed)
+    k, d = C.shape
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        cnts = np.asarray(
+            tbl.column("cnt").combine_chunks().flatten()
+        ).reshape(-1, k).sum(axis=0)
+        sums = np.asarray(
+            tbl.column("sum").combine_chunks().flatten()
+        ).reshape(-1, k * d).sum(axis=0)
+        return pa.table({
+            "cnt": pa.array([cnts.tolist()], type=pa.list_(pa.int64())),
+            "sum": pa.array([sums.tolist()], type=pa.list_(pa.float64())),
+        })
+
+    for _ in range(iters):
+        C_ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            Ct = ray.get(C_ref)
+            S = np.zeros((k, d))
+            cnt = np.zeros(k, dtype=np.int64)
+            if batch.num_rows:
+                X = list_column_to_numpy(batch, vector_col).astype(np.float64)
+                if metric == "cosine":
+                    X = _normalize(X)
+                a = _assign_to_centroids(X, Ct, metric)
+                order = np.argsort(a, kind="stable")
+                Xo, ao = X[order], a[order]
+                starts = np.flatnonzero(np.r_[True, ao[1:] != ao[:-1]])
+                S[ao[starts]] = np.add.reduceat(Xo, starts, axis=0)
+                cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cnt": pa.array([cnt.tolist()], type=pa.list_(pa.int64())),
+                "sum": pa.array([S.ravel().tolist()], type=pa.list_(pa.float64())),
+            })
+
+        merged = (
+            vec.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+            .map_batches(merge, batch_format="pyarrow", batch_size=fan_in)
+        )
+        final = pa.concat_tables([
+            b for b in merged.iter_batches(batch_size=None, batch_format="pyarrow")
+        ])
+        cnts = np.asarray(final.column("cnt").combine_chunks().flatten()
+                          ).reshape(-1, k).sum(axis=0)
+        sums = np.asarray(final.column("sum").combine_chunks().flatten()
+                          ).reshape(-1, k * d).sum(axis=0).reshape(k, d)
+        nonempty = cnts > 0
+        C_new = C.copy()
+        C_new[nonempty] = sums[nonempty] / cnts[nonempty, None]
+        if metric == "cosine":
+            C_new = _normalize(C_new)
+        shift = float(np.abs(C_new - C).max())
+        C = C_new
+        if shift < tol:
+            break
+    return C
+
+
+def assign_clusters(ds, centroids: np.ndarray, *, vector_col: str,
+                    out_col: str = "cluster", metric: str = "cosine"):
+    """Attach the nearest-centroid id as ``out_col`` — one stateless
+    GEMM per batch; the centroid matrix rides the task closure
+    (deserialized once per worker), so parallelism follows the block
+    count exactly as ``build_ivf_index``'s assign pass."""
+    C = np.asarray(centroids, dtype=np.float64)
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], type=pa.int64()))
+        X = list_column_to_numpy(batch, vector_col).astype(np.float64)
+        if metric == "cosine":
+            X = _normalize(X)
+        a = _assign_to_centroids(X, C, metric).astype(np.int64)
+        return batch.append_column(out_col, pa.array(a))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class IvfIndex:

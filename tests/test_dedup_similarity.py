@@ -791,3 +791,82 @@ def test_grouped_skew_kurt_match_duckdb(ray_session, sf_dir):
     ).df().set_index("k")
     np.testing.assert_allclose(got.sk, want.sk, rtol=1e-9, equal_nan=True)
     np.testing.assert_allclose(got.ku, want.ku, rtol=1e-9, equal_nan=True)
+
+
+def test_kmeans_distributed_matches_inmemory_lloyd(ray_session):
+    """Full-pass distributed Lloyd == in-memory NumPy Lloyd from the SAME
+    init (sample_rows ≥ n ⇒ init is the deterministic id-sorted full-data
+    fit), planted blobs recovered, centroids invariant to partition count."""
+    import ray as _ray
+    from featureextraction_jl_ray.stages.similarity import (
+        _assign_to_centroids,
+        _normalize,
+        assign_clusters,
+        kmeans_fit,
+        kmeans_fit_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(4, 8) * 9.0
+    lab = rng.integers(0, 4, 2500)
+    X = centers[lab] + rng.normal(0, 0.4, (2500, 8))
+    df = pd.DataFrame({"vid": np.arange(2500), "emb": list(X.astype(np.float32))})
+
+    got = kmeans_fit_distributed(
+        _ray.data.from_pandas(df).repartition(9), "emb", 4,
+        id_col="vid", iters=6, metric="cosine", sample_rows=10**9,
+    )
+    # reference: same init (full data, id-sorted), plain NumPy refinement
+    Xf = np.stack(df.sort_values("vid")["emb"].to_numpy()).astype(np.float64)
+    C = kmeans_fit(Xf, 4, seed=42)
+    Xn = _normalize(Xf)
+    for _ in range(6):
+        a = _assign_to_centroids(Xn, C, "cosine")
+        C_new = C.copy()
+        for c in range(4):
+            m = a == c
+            if m.any():
+                C_new[c] = Xn[m].mean(axis=0)
+        C_new = _normalize(C_new)
+        if np.abs(C_new - C).max() < 1e-6:
+            C = C_new
+            break
+        C = C_new
+    np.testing.assert_allclose(got, C, atol=1e-9)
+
+    # partition invariance
+    got2 = kmeans_fit_distributed(
+        _ray.data.from_pandas(df).repartition(2), "emb", 4,
+        id_col="vid", iters=6, metric="cosine", sample_rows=10**9,
+    )
+    np.testing.assert_allclose(got, got2, atol=1e-12)
+
+    # planted blobs recovered: assignment purity ≈ 1
+    out = assign_clusters(
+        _ray.data.from_pandas(df), got, vector_col="emb", out_col="cl"
+    ).to_pandas().sort_values("vid")
+    tab = pd.crosstab(pd.Series(lab, name="lab"), out.cl.to_numpy())
+    assert tab.max(axis=1).sum() / 2500 >= 0.99
+
+    # l2 metric: distributed refinement == NumPy Lloyd from the same init
+    # (planted-center recovery is init-dependent — Lloyd local optima —
+    # so the oracle is step-for-step equivalence, not the global optimum)
+    from featureextraction_jl_ray.stages.similarity import _lloyd
+
+    got_l2 = kmeans_fit_distributed(
+        _ray.data.from_pandas(df).repartition(5), "emb", 4,
+        id_col="vid", iters=6, metric="l2", sample_rows=10**9,
+    )
+    C = _lloyd(Xf, 4, seed=42)
+    for _ in range(6):
+        a = _assign_to_centroids(Xf, C, "l2")
+        C_new = C.copy()
+        for c in range(4):
+            m = a == c
+            if m.any():
+                C_new[c] = Xf[m].mean(axis=0)
+        if np.abs(C_new - C).max() < 1e-6:
+            C = C_new
+            break
+        C = C_new
+    np.testing.assert_allclose(got_l2, C, atol=1e-9)
