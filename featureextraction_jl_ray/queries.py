@@ -2074,6 +2074,54 @@ WINDOW w AS (PARTITION BY pack_shard ORDER BY doc_id, chunk_id
 SQL_PACK_CHUNKS = _pack_chunks_sql()
 
 
+def q_bm25_search(sf_dir):
+    """BM25 keyword retrieval (Robertson–Spärck Jones, Lucene
+    ln(1+(N−df+0.5)/(df+0.5)) idf): fit pass streams one
+    (n, Σlen, df[q]) partial per block for the QUERY terms only (never
+    a vocabulary), score pass is stateless and emits only matching
+    docs — text never shuffles.  Returns every match (no top-k cut, so
+    the oracle compare has no tie hazard); scores pin to the 1e-6
+    grid."""
+    from .stages.vectorize import bm25_score
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = bm25_score(ds, ["vector", "merge", "scan"],
+                     text_col="text", id_col="doc_id")
+    return _round_cols(out, {"score": 6})
+
+
+SQL_BM25_SEARCH = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+), st AS (
+  SELECT count(*) AS n, sum(len(ws)) AS total_len FROM tok
+), tf AS (
+  SELECT doc_id, len(ws) AS dl,
+         len(list_filter(ws, x -> x = 'vector')) AS tf0,
+         len(list_filter(ws, x -> x = 'merge'))  AS tf1,
+         len(list_filter(ws, x -> x = 'scan'))   AS tf2
+  FROM tok
+), dfs AS (
+  SELECT count(*) FILTER (WHERE tf0 > 0) AS df0,
+         count(*) FILTER (WHERE tf1 > 0) AS df1,
+         count(*) FILTER (WHERE tf2 > 0) AS df2
+  FROM tf
+)
+SELECT tf.doc_id,
+       ROUND(
+           ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+             / (tf0 + 1.2 * (0.25 + 0.75 * dl / (CAST(total_len AS DOUBLE) / n)))
+         + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+             / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(total_len AS DOUBLE) / n)))
+         + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+             / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(total_len AS DOUBLE) / n))),
+       6) AS score
+FROM tf, st, dfs
+WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+"""
+
+
 def q_doc_keywords(sf_dir):
     """Per-document top-3 TF-IDF keywords — a pure COMPOSITION of
     existing operators: token explode → (doc, term) tf counts → term df
@@ -4304,6 +4352,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "doc_ratios": q_doc_ratios,
     "explode_tokens": q_explode_tokens,
+    "bm25_search": q_bm25_search,
     "embed_stats": q_embed_stats,
     # --- rows-only (non-SQL-expressible; math covered by pytest oracles) ---
     "event_quantiles_sketch": q_event_quantiles_sketch,
@@ -4413,6 +4462,7 @@ ORACLE_SQL = {
     "doc_lm_score": SQL_DOC_LM_SCORE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "doc_keywords": SQL_DOC_KEYWORDS,
+    "bm25_search": SQL_BM25_SEARCH,
     "pack_chunks": SQL_PACK_CHUNKS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,

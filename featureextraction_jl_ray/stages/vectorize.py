@@ -151,3 +151,101 @@ def tfidf_vectorize(ds, text_col: str = "text", *, dim: int = 256,
     return hashed_bow(ds, text_col, dim=dim, out_col=out_col, norm="l2",
                       idf=idf, seed=seed, drop_text=drop_text,
                       batch_size=batch_size)
+
+
+def _query_term_counts(texts: pd.Series, terms: list[str]):
+    """(doc_len int64[n], tf int64[n, q]) with '\\S+' tokenization —
+    the SQL-mirrorable convention (regexp_extract_all(lower(t), '\\S+')).
+    One C findall + explode, then one bincount pass per query term."""
+    toks = texts.str.lower().str.findall(r"\S+")
+    n = len(texts)
+    lens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    tf = np.zeros((n, len(terms)), dtype=np.int64)
+    flat = toks.explode()
+    flat = flat[flat.notna()]
+    if len(flat):
+        doc_idx = flat.index.to_numpy(dtype=np.int64)
+        arr = flat.to_numpy(dtype=object)
+        for j, t in enumerate(terms):
+            m = arr == t
+            if m.any():
+                tf[:, j] = np.bincount(doc_idx[m], minlength=n)
+    return lens, tf
+
+
+def fit_bm25_stats(ds, terms, *, text_col: str = "text", fan_in: int = 64):
+    """Corpus statistics BM25 needs, in one streaming pass: total doc
+    count, total token count (→ average doc length) and per-QUERY-TERM
+    document frequency.  The partial is one (1 + 1 + q)-int row per
+    block, coalesced with the moments fan-in pattern — only the handful
+    of query terms is counted, never a vocabulary."""
+    terms = [t.lower() for t in terms]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas().reset_index(drop=True)
+        lens, tf = _query_term_counts(texts, terms)
+        return pa.table({
+            "n": pa.array([batch.num_rows], type=pa.int64()),
+            "len": pa.array([int(lens.sum())], type=pa.int64()),
+            "df": pa.array([(tf > 0).sum(axis=0).astype(np.int64).tolist()],
+                           type=pa.list_(pa.int64())),
+        })
+
+    def merge(batch: pa.Table) -> pa.Table:
+        dfs = np.asarray(batch.column("df").to_pylist(), dtype=np.int64)
+        return pa.table({
+            "n": pa.array([int(sum(batch.column("n").to_pylist()))], type=pa.int64()),
+            "len": pa.array([int(sum(batch.column("len").to_pylist()))], type=pa.int64()),
+            "df": pa.array([dfs.sum(axis=0).tolist()], type=pa.list_(pa.int64())),
+        })
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    merged = partials.map_batches(merge, batch_format="pyarrow", batch_size=fan_in)
+    final = merge(pa.concat_tables(
+        list(merged.iter_batches(batch_size=None, batch_format="pyarrow"))
+    ))
+    n = int(final.column("n").to_pylist()[0])
+    total_len = int(final.column("len").to_pylist()[0])
+    df = np.asarray(final.column("df").to_pylist()[0], dtype=np.float64)
+    return n, total_len, df
+
+
+def bm25_score(ds, terms, *, text_col: str = "text", id_col: str = "doc_id",
+               k1: float = 1.2, b: float = 0.75, fan_in: int = 64):
+    """BM25 relevance of every document to a bag-of-words query
+    (Robertson–Spärck Jones; the Lucene ``ln(1 + (N−df+0.5)/(df+0.5))``
+    idf variant, so scores stay positive at df > N/2).
+
+    Two streaming passes: :func:`fit_bm25_stats` (tiny mergeable
+    partials), then a stateless scoring ``map_batches`` that keeps only
+    docs matching ≥1 term — the corpus text never shuffles and the
+    output is bounded by the match set.  Returns a Dataset
+    ``(id_col, score)``; compose with ``sort().limit(k)`` or the kNN
+    top-k merge for retrieval."""
+    terms = [t.lower() for t in terms]
+    n, total_len, df = fit_bm25_stats(ds, terms, text_col=text_col, fan_in=fan_in)
+    avglen = total_len / n if n else 1.0
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas().reset_index(drop=True)
+        lens, tf = _query_term_counts(texts, terms)
+        tff = tf.astype(np.float64)
+        denom = tff + k1 * (1.0 - b + b * lens[:, None] / avglen)
+        s = (idf[None, :] * tff * (k1 + 1.0) / denom).sum(axis=1)
+        keep = tf.sum(axis=1) > 0
+        ids = batch.column(id_col).to_pandas().reset_index(drop=True)
+        return pa.table({
+            id_col: pa.array(ids[keep].to_numpy()),
+            "score": pa.array(s[keep], type=pa.float64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+__all__.append("bm25_score")
+__all__.append("fit_bm25_stats")

@@ -214,3 +214,49 @@ def test_dup_ngram_fraction_planted(ray_session):
            .to_pandas().set_index("doc_id")["dup_ngram_frac"].to_dict())
     want = {0: 1.0, 1: round(1 / 3, 6), 2: 0.0, 3: 1.0}
     assert got == want, got
+
+
+def test_bm25_matches_numpy_reference(ray_session, sf_dir):
+    """bm25_score == a whole-corpus NumPy BM25 (same '\\S+' tokens,
+    Lucene idf), invariant to partition count; fit stats exact."""
+    import duckdb
+
+    from featureextraction_jl_ray.stages.vectorize import (
+        bm25_score,
+        fit_bm25_stats,
+    )
+
+    doc = f"{sf_dir}/documents.parquet"
+    texts = duckdb.sql(f"SELECT doc_id, text FROM '{doc}' ORDER BY doc_id").fetchdf()
+    terms = ["vector", "merge", "scan"]
+    toks = texts.text.str.lower().str.findall(r"\S+")
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    tf = np.stack([[t.count(q) for q in terms] for t in toks]).astype(np.float64)
+    N = len(texts)
+    df = (tf > 0).sum(axis=0)
+    idf = np.log(1.0 + (N - df + 0.5) / (df + 0.5))
+    avglen = lens.sum() / N
+    denom = tf + 1.2 * (1.0 - 0.75 + 0.75 * lens[:, None] / avglen)
+    want = (idf[None, :] * tf * 2.2 / denom).sum(axis=1)
+    keep = tf.sum(axis=1) > 0
+
+    for nparts in (2, 9):
+        ds = ray_session.data.read_parquet(doc).repartition(nparts)
+        n, total_len, df_got = fit_bm25_stats(ds, terms, text_col="text")
+        assert n == N and total_len == lens.sum()
+        assert (df_got == df).all()
+        got = bm25_score(ds, terms, text_col="text", id_col="doc_id"
+                         ).to_pandas().sort_values("doc_id", ignore_index=True)
+        assert len(got) == int(keep.sum())
+        np.testing.assert_allclose(
+            got.score, want[keep], rtol=1e-12)
+
+    # retrieval composition: top-k by (score desc, id asc)
+    top = (
+        bm25_score(ray_session.data.read_parquet(doc), terms,
+                   text_col="text", id_col="doc_id")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(5).to_pandas()
+    )
+    order = np.lexsort((texts.doc_id.to_numpy()[keep], -want[keep]))
+    assert top.doc_id.tolist() == texts.doc_id.to_numpy()[keep][order][:5].tolist()
