@@ -2385,6 +2385,52 @@ FROM flat GROUP BY grp, pos
 """
 
 
+def q_embedding_outliers(sf_dir):
+    """Embedding-space outlier signal: cosine similarity of every row to
+    its OWN group centroid (vec_id&7 as the group key) — corpus filters
+    threshold this to drop mislabeled/junk rows.  Fit = one
+    grouped_vector_mean exchange; centroids broadcast once; apply is
+    stateless and the corpus never shuffles.  1e-6 grid (numpy
+    scatter-add centroid + pairwise dot vs SQL sequential sums)."""
+    from .stages.similarity import embedding_outlier_scores
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def key(t: pa.Table) -> pa.Table:
+        g = pc.cast(pc.bit_wise_and(t.column("vec_id"), pa.scalar(7)),
+                    pa.int64())
+        return t.append_column("grp", g)
+
+    ds = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    out = embedding_outlier_scores(ds, key_col="grp", vector_col="embedding",
+                                   id_col="vec_id", num_buckets=4)
+    return _round_cols(out, {"centroid_sim": 6})
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH flat AS (
+  SELECT vec_id, vec_id & 7 AS grp,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), cent AS (
+  SELECT grp, pos, avg(v) AS c FROM flat GROUP BY grp, pos
+), agg AS (
+  SELECT f.vec_id, f.grp,
+         sum(f.v * c.c) AS dot,
+         sum(f.v * f.v) AS vv
+  FROM flat f JOIN cent c ON f.grp = c.grp AND f.pos = c.pos
+  GROUP BY f.vec_id, f.grp
+), cn AS (
+  SELECT grp, sum(c * c) AS cc FROM cent GROUP BY grp
+)
+SELECT a.vec_id, a.grp,
+       ROUND(a.dot / (sqrt(a.vv) * sqrt(cn.cc)), 6) AS centroid_sim
+FROM agg a JOIN cn ON a.grp = cn.grp
+"""
+
+
 def q_pca_eigvals(sf_dir):
     from .state.pca import fit_pca
 
@@ -4353,6 +4399,7 @@ QUERIES = {
     "doc_ratios": q_doc_ratios,
     "explode_tokens": q_explode_tokens,
     "bm25_search": q_bm25_search,
+    "embedding_outliers": q_embedding_outliers,
     "embed_stats": q_embed_stats,
     # --- rows-only (non-SQL-expressible; math covered by pytest oracles) ---
     "event_quantiles_sketch": q_event_quantiles_sketch,
@@ -4463,6 +4510,7 @@ ORACLE_SQL = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "doc_keywords": SQL_DOC_KEYWORDS,
     "bm25_search": SQL_BM25_SEARCH,
+    "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "pack_chunks": SQL_PACK_CHUNKS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,

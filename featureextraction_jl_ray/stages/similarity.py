@@ -1019,3 +1019,62 @@ def knn_cosine_ivfpq(
         _BruteForceScore(np.atleast_2d(queries), vector_col, id_col, k),
         batch_format="pyarrow", zero_copy_batch=True)
     return _merge_topk(exact_partials, id_col, k)
+
+
+def embedding_outlier_scores(ds, *, key_col: str, vector_col: str,
+                             id_col: str, out_col: str = "centroid_sim",
+                             num_buckets: int = 16, max_keys: int = 100_000):
+    """Per-row cosine similarity to the row's OWN group centroid — the
+    embedding-space outlier signal corpus filters threshold on (rows far
+    from their class/source centroid are mislabeled or junk).
+
+    Fit = one ``grouped_vector_mean`` exchange (a (Σvec, n) partial per
+    key per batch); the centroid table is bounded by the number of keys
+    (loud ``max_keys`` guard, the encoder-fit contract) and broadcast
+    once via ``ray.put``.  Apply is a stateless per-batch GEMM-free
+    gather + row dot — the corpus never shuffles.  Zero-norm rows or
+    centroids yield NaN (mirror SQL NULL division).
+    """
+    from .groupagg import grouped_vector_mean
+
+    cent = grouped_vector_mean(ds, key_col, vector_col,
+                               num_buckets=num_buckets).to_pandas()
+    if len(cent) > max_keys:
+        raise ValueError(
+            f"embedding_outlier_scores: {len(cent)} group centroids exceed "
+            f"max_keys={max_keys}; the centroid table is driver-bounded by "
+            f"design — raise max_keys only if #groups × dim floats fit "
+            f"comfortably in driver + worker memory"
+        )
+    keys = cent[key_col].to_numpy()
+    C = np.stack(cent["centroid"].to_numpy()).astype(np.float64)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    code_of = pd.Series(np.arange(len(keys), dtype=np.int64), index=keys)
+    state_ref = ray.put((code_of, C, cnorm))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:
+            return pa.table({id_col: ids, key_col: batch.column(key_col),
+                             out_col: pa.array([], type=pa.float64())})
+        code_map, Cm, cn = ray.get(state_ref)
+        X = list_column_to_numpy(batch, vector_col).astype(np.float64)
+        codes = code_map.reindex(kv).to_numpy()
+        if np.isnan(codes.astype(np.float64)).any():
+            raise ValueError("embedding_outlier_scores: key absent from "
+                             "the fitted centroid table")
+        codes = codes.astype(np.int64)
+        c = Cm[codes]
+        dot = (X * c).sum(axis=1)
+        xn = np.sqrt((X * X).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sim = dot / (xn * cn[codes])
+        return pa.table({id_col: ids, key_col: batch.column(key_col),
+                         out_col: pa.array(sim, type=pa.float64())})
+
+    return ds.select_columns([id_col, key_col, vector_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+__all__.append("embedding_outlier_scores")

@@ -870,3 +870,44 @@ def test_kmeans_distributed_matches_inmemory_lloyd(ray_session):
             break
         C = C_new
     np.testing.assert_allclose(got_l2, C, atol=1e-9)
+
+
+def test_embedding_outlier_scores(ray_session):
+    """Planted off-centroid vector gets the lowest similarity in its
+    group; scores match a NumPy whole-corpus reference; unknown keys
+    raise loudly."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.similarity import (
+        embedding_outlier_scores,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (2, 16))
+    lab = rng.integers(0, 2, 400)
+    X = base[lab] + rng.normal(0, 0.05, (400, 16))
+    X[7] = -base[lab[7]] * 3.0  # the planted outlier, anti-aligned
+    df = pd.DataFrame({"vid": np.arange(400), "grp": lab,
+                       "emb": list(X.astype(np.float32))})
+    out = embedding_outlier_scores(
+        _ray.data.from_pandas(df).repartition(6), key_col="grp",
+        vector_col="emb", id_col="vid",
+    ).to_pandas().sort_values("vid", ignore_index=True)
+
+    Xd = np.stack(df.emb.to_numpy()).astype(np.float64)
+    want = np.empty(400)
+    for g in (0, 1):
+        m = lab == g
+        c = Xd[m].mean(axis=0)
+        want[m] = (Xd[m] @ c) / (np.linalg.norm(Xd[m], axis=1) * np.linalg.norm(c))
+    np.testing.assert_allclose(out.centroid_sim, want, atol=1e-9)
+    assert out.loc[out.grp == lab[7], "centroid_sim"].idxmin() == 7
+
+    # loud max_keys guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_keys"):
+        embedding_outlier_scores(
+            _ray.data.from_pandas(df), key_col="vid", vector_col="emb",
+            id_col="vid", max_keys=10,
+        )
