@@ -242,6 +242,39 @@ FROM events GROUP BY event_type
 """
 
 
+def q_csv_ingest(sf_dir):
+    """Interchange-format ingest parity (S-family widening): events →
+    write_csv → read_table(fmt='csv') → grouped aggregate equals the
+    same aggregate over the parquet source.  Integer/string columns
+    only (exact through text serialization); the reader docstring
+    steers scale re-reads to parquet/lance — csv carries no row-group
+    pruning."""
+    import shutil
+
+    from .sources.io import read_table, write_table
+    from .stages.groupagg import grouped_aggregate
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out_dir = f"/tmp/fx_csv_ingest_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    write_table(ds, out_dir, fmt="csv")
+    back = read_table(out_dir, fmt="csv", columns=["user_id", "event_type"])
+    return grouped_aggregate(
+        back, "event_type",
+        {"n": ("user_id", "count"), "user_sum": ("user_id", "sum")},
+        num_buckets=4,
+    )
+
+
+SQL_CSV_INGEST = """
+SELECT event_type, count(user_id) AS n,
+       CAST(sum(user_id) AS BIGINT) AS user_sum
+FROM events GROUP BY event_type
+"""
+
+
 def q_user_value_shape(sf_dir):
     """Per-user distribution-SHAPE features: sample-adjusted skewness
     (G1) and excess kurtosis (G2) of event values — the Excel/pandas/
@@ -4356,6 +4389,7 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "agg_events_var": q_agg_events_var,
     "user_value_shape": q_user_value_shape,
+    "csv_ingest": q_csv_ingest,
     "count_distinct_users": q_count_distinct_users,
     "count_distinct_users_hll": q_count_distinct_users_hll,
     "event_quantiles": q_event_quantiles,
@@ -4459,6 +4493,7 @@ ORACLE_SQL = {
     "part_brand_stats": SQL_PART_BRAND_STATS,
     "agg_events_var": SQL_AGG_EVENTS_VAR,
     "user_value_shape": SQL_USER_VALUE_SHAPE,
+    "csv_ingest": SQL_CSV_INGEST,
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "count_distinct_users_hll": SQL_COUNT_DISTINCT_USERS,
     "event_quantiles": SQL_EVENT_QUANTILES,

@@ -56,11 +56,21 @@ __all__ = [
 
 
 def read_table(uri: str, *, fmt: str = "parquet", columns=None, **kw):
-    """Dataset reader with column pruning; fmt ∈ {parquet, lance}."""
+    """Dataset reader with column pruning; fmt ∈ {parquet, lance, csv,
+    json}.  csv/json (ndjson lines) exist for interchange ingest; they
+    carry no statistics or row-group pruning, so columns are dropped
+    AFTER parsing (a Projection over the read task) — convert to
+    parquet/lance for anything re-read at scale."""
     import ray.data as rd
 
     if fmt == "parquet":
         return rd.read_parquet(uri, columns=columns, **kw)
+    if fmt == "csv":
+        ds = rd.read_csv(uri, **kw)
+        return ds.select_columns(list(columns)) if columns else ds
+    if fmt == "json":
+        ds = rd.read_json(uri, **kw)
+        return ds.select_columns(list(columns)) if columns else ds
     if fmt == "lance":
         try:
             import lance  # noqa: F401
@@ -77,6 +87,10 @@ def read_table(uri: str, *, fmt: str = "parquet", columns=None, **kw):
 def write_table(ds, uri: str, *, fmt: str = "parquet", **kw):
     if fmt == "parquet":
         return ds.write_parquet(uri, **kw)
+    if fmt == "csv":
+        return ds.write_csv(uri, **kw)
+    if fmt == "json":
+        return ds.write_json(uri, **kw)
     if fmt == "lance":
         try:
             import lance  # noqa: F401
