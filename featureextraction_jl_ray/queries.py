@@ -2464,6 +2464,56 @@ FROM agg a JOIN cn ON a.grp = cn.grp
 """
 
 
+def q_aspect_bucket_pack(sf_dir):
+    """Aspect-ratio bucketing + pixel-budget batch packing (the SDXL-
+    style multimodal-training prep: batches stay dimension-homogeneous
+    and payloads never shuffle — only (id, bucket, w, h) ride the
+    exchange).  Dims derive from event_id with integer arithmetic so
+    the bucket CASE, the int64 pixel cumsum, and the floor-division bin
+    are all bit-exact in SQL; num_shards=1 pins the SQL-mirrorable
+    ordering (the sharded scale path is pytest-verified)."""
+    from .stages.codec import pack_images_by_pixels, with_aspect_bucket
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def dims(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        w = 32 + e % 97
+        h = 32 + (e * 7) % 53
+        return pa.table({"event_id": pa.array(e), "w": pa.array(w),
+                         "h": pa.array(h)})
+
+    ds = with_aspect_bucket(ds.map_batches(dims, batch_format="pyarrow",
+                                           zero_copy_batch=True))
+    out = pack_images_by_pixels(ds, budget=50_000, id_col="event_id",
+                                num_shards=1)
+    return out.select_columns(
+        ["event_id", "aspect_bucket", "n_pixels", "pack_bin"])
+
+
+SQL_ASPECT_BUCKET_PACK = """
+WITH dims AS (
+  SELECT event_id,
+         32 + event_id % 97 AS w,
+         32 + (event_id * 7) % 53 AS h
+  FROM events
+), bk AS (
+  SELECT event_id, CAST(w AS BIGINT) * h AS n_pixels,
+         CASE WHEN CAST(w AS DOUBLE) / h < 0.5  THEN 0
+              WHEN CAST(w AS DOUBLE) / h < 0.8  THEN 1
+              WHEN CAST(w AS DOUBLE) / h < 1.25 THEN 2
+              WHEN CAST(w AS DOUBLE) / h < 2.0  THEN 3
+              ELSE 4 END AS aspect_bucket
+  FROM dims
+)
+SELECT event_id, aspect_bucket, n_pixels,
+       CAST((sum(n_pixels) OVER (PARTITION BY aspect_bucket ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_pixels) // 50000 AS BIGINT) AS pack_bin
+FROM bk
+"""
+
+
 def q_pca_eigvals(sf_dir):
     from .state.pca import fit_pca
 
@@ -4434,6 +4484,7 @@ QUERIES = {
     "explode_tokens": q_explode_tokens,
     "bm25_search": q_bm25_search,
     "embedding_outliers": q_embedding_outliers,
+    "aspect_bucket_pack": q_aspect_bucket_pack,
     "embed_stats": q_embed_stats,
     # --- rows-only (non-SQL-expressible; math covered by pytest oracles) ---
     "event_quantiles_sketch": q_event_quantiles_sketch,
@@ -4546,6 +4597,7 @@ ORACLE_SQL = {
     "doc_keywords": SQL_DOC_KEYWORDS,
     "bm25_search": SQL_BM25_SEARCH,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
+    "aspect_bucket_pack": SQL_ASPECT_BUCKET_PACK,
     "pack_chunks": SQL_PACK_CHUNKS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,

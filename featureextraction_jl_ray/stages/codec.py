@@ -666,3 +666,78 @@ def patchify_images(ds, *, patch: int = 8, stride: int | None = None,
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def with_aspect_bucket(ds, *, w_col: str = "w", h_col: str = "h",
+                       thresholds=(0.5, 0.8, 1.25, 2.0),
+                       out_col: str = "aspect_bucket"):
+    """Aspect-ratio bucketing (the SDXL-style multimodal-training prep
+    step: batches must be dimension-homogeneous, and bucketing by w/h
+    beats square-cropping for information loss).  ``bucket =
+    searchsorted(thresholds, w/h, right)`` — a pure width/height
+    function, so it runs at the metadata layer without decoding a
+    single byte, and the threshold compare is SQL-mirrorable exactly
+    (same float64 division both sides)."""
+    t = np.asarray(thresholds, dtype=np.float64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w = batch.column(w_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch.column(h_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(t, w / h, side="right").astype(np.int64)
+        return batch.append_column(out_col, pa.array(b))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_images_by_pixels(ds, *, budget: int, id_col: str = "image_id",
+                          w_col: str = "w", h_col: str = "h",
+                          bucket_col: str = "aspect_bucket",
+                          num_shards: int = 1):
+    """Pack images into ≈``budget``-pixel training batches WITHIN their
+    aspect bucket — the image analog of ``pack_chunks``' watermark
+    sequence packing (a batch never mixes buckets, so collation stays
+    dimension-homogeneous).
+
+    Only (id, bucket, w, h) ride the exchange — pixel payloads never
+    shuffle; join the assignment back by id.  Within each (bucket,
+    shard) stream rows are ordered by ``id_col`` and ``pack_bin =
+    floor(running_pixels_before / budget)`` — all-integer arithmetic,
+    so the full assignment is SQL-mirrorable at ``num_shards=1``.
+    ``num_shards > 1`` splits every bucket into independent packing
+    streams via ``hash_u32(id)`` (the scale path: parallelism is then
+    buckets × shards, not the handful of aspect buckets; string-id
+    hashing is SipHash → pytest-verified, not SQL)."""
+    from .blobshuffle import _BUCKET, pack_by_bucket, unpack_table
+    from .split import hash_u32
+
+    cols = [id_col, bucket_col, w_col, h_col]
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        w = t.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column(h_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.append_column("n_pixels", pa.array(w * h))
+        b = t.column(bucket_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if num_shards > 1:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            shard = (hash_u32(ids) % np.uint64(num_shards)).astype(np.int64)
+        else:
+            shard = np.zeros(len(b), dtype=np.int64)
+        t = t.append_column("pack_shard", pa.array(shard))
+        return pack_by_bucket(t, b * num_shards + shard)
+
+    def pack(t: pa.Table) -> pa.Table:
+        df = unpack_table(t).to_pandas().sort_values(
+            id_col, kind="mergesort", ignore_index=True)
+        n = df["n_pixels"].to_numpy(dtype=np.int64)
+        before = np.cumsum(n) - n
+        df["pack_bin"] = before // budget
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    return sharded.groupby(_BUCKET).map_groups(pack, batch_format="pyarrow")
+
+
+__all__.append("with_aspect_bucket")
+__all__.append("pack_images_by_pixels")

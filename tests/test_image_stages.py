@@ -8,6 +8,7 @@ are checked end-to-end on a mixed-dimension table.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -281,3 +282,54 @@ def test_fit_channel_stats_zero_pixels_is_loud(ray_session):
     })
     with pytest.raises(ValueError, match="zero pixels"):
         fit_channel_stats(ray.data.from_arrow(empty))
+
+
+def test_aspect_bucket_and_pixel_packing(ray_session):
+    """Buckets partition by w/h thresholds; bins never mix buckets; the
+    watermark pixel bound holds; num_shards>1 keeps every invariant
+    while splitting buckets into independent streams."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.codec import (
+        pack_images_by_pixels,
+        with_aspect_bucket,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 1200
+    w = rng.integers(32, 256, n).astype(np.int64)
+    h = rng.integers(32, 256, n).astype(np.int64)
+    df = pd.DataFrame({"image_id": np.arange(n, dtype=np.int64),
+                       "w": w, "h": h})
+    ds = with_aspect_bucket(_ray.data.from_pandas(df).repartition(5))
+    got = ds.to_pandas().sort_values("image_id", ignore_index=True)
+    r = w / h
+    want = np.searchsorted([0.5, 0.8, 1.25, 2.0], r, side="right")
+    assert (got.aspect_bucket.to_numpy() == want).all()
+
+    budget = 200_000
+    for shards in (1, 4):
+        packed = pack_images_by_pixels(
+            ds, budget=budget, num_shards=shards
+        ).to_pandas()
+        assert len(packed) == n
+        g = packed.groupby(["aspect_bucket", "pack_shard", "pack_bin"])
+        # a bin never mixes buckets by construction (bucket is a group key
+        # here — verify via the per-id join instead)
+        m = packed.set_index("image_id")
+        assert (m.loc[np.arange(n), "aspect_bucket"].to_numpy() == want).all()
+        # watermark bound: every bin's pixels < budget + max_item (the
+        # streaming relaxation), and all but the last bin per stream
+        # reach the budget watermark
+        sizes = g.n_pixels.sum()
+        assert (sizes.to_numpy() < budget + (w * h).max()).all()
+        last = g.ngroups - len(packed.groupby(["aspect_bucket", "pack_shard"]))
+        full = sizes.groupby(level=[0, 1]).apply(
+            lambda s: (s.iloc[:-1] >= budget - (w * h).max() + 1).all()
+            if len(s) > 1 else True)
+        assert full.all()
+        # shards partition each bucket; ordering within (bucket, shard)
+        # by id ⇒ bins are contiguous id-runs per stream
+        for (_, _), grp in packed.groupby(["aspect_bucket", "pack_shard"]):
+            srt = grp.sort_values("image_id")
+            assert (np.diff(srt.pack_bin.to_numpy()) >= 0).all()
