@@ -2670,6 +2670,37 @@ def q_knn_ivfpq(sf_dir):
     return out[["query_id", "vec_id", "score"]].copy()
 
 
+def q_user_set_similarity(sf_dir):
+    """EXACT set-similarity join on categorical behavior sets (which
+    users touch the same event types): per-key distinct sets via one
+    keyed exchange, value-inverted-index co-occurrence, pair-count
+    reduce — three bounded exchanges, never O(n²).  Jaccard is a ratio
+    of small ints, identical float64 on both sides (no grid)."""
+    from .stages.minhash import set_jaccard_pairs
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    return set_jaccard_pairs(ds, key_col="user_id", value_col="event_type",
+                             threshold=0.99, num_buckets=16)
+
+
+SQL_USER_SET_SIMILARITY = """
+WITH s AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT user_id, count(*) AS n FROM s GROUP BY user_id),
+co AS (
+  SELECT a.user_id AS key_a, b.user_id AS key_b, count(*) AS c
+  FROM s a JOIN s b ON a.event_type = b.event_type AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT co.key_a, co.key_b,
+       CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+FROM co
+JOIN n na ON co.key_a = na.user_id
+JOIN n nb ON co.key_b = nb.user_id
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.99
+"""
+
+
 def q_kmeans_clusters(sf_dir):
     """Distributed Lloyd k-means over the full embeddings table
     (spherical/cosine): deterministic content-hash-sample init, then
@@ -4485,6 +4516,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "embedding_outliers": q_embedding_outliers,
     "aspect_bucket_pack": q_aspect_bucket_pack,
+    "user_set_similarity": q_user_set_similarity,
     "embed_stats": q_embed_stats,
     # --- rows-only (non-SQL-expressible; math covered by pytest oracles) ---
     "event_quantiles_sketch": q_event_quantiles_sketch,
@@ -4598,6 +4630,7 @@ ORACLE_SQL = {
     "bm25_search": SQL_BM25_SEARCH,
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "aspect_bucket_pack": SQL_ASPECT_BUCKET_PACK,
+    "user_set_similarity": SQL_USER_SET_SIMILARITY,
     "pack_chunks": SQL_PACK_CHUNKS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,

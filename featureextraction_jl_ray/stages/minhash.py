@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from ..functions.hashing import stable_hash_array
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
-from .blobshuffle import _BUCKET, pack_by_bucket, unpack_table
+from .blobshuffle import _BUCKET, pack_by_bucket, pack_pandas, unpack_table
 from .dedup import hamming_near_dup_pairs
 
 __all__ = [
@@ -645,3 +645,132 @@ def jaccard_dedup(
     return kept, pairs_to_result(
         pairs, pairs.count(), max_pairs=max_pairs, return_pairs=return_pairs,
         empty_cols=("id_a", "id_b", "jaccard"))
+
+
+def set_jaccard_pairs(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    threshold: float = 0.5,
+    num_buckets: int = 64,
+    max_df: int = 8192,
+    max_set: int = 100_000,
+):
+    """EXACT Jaccard ≥ threshold over CATEGORICAL VALUE SETS per key —
+    the behavioral-similarity join ("users touching the same items"),
+    the set analog of :func:`ngram_jaccard_pairs`.
+
+    Unlike the n-gram form (one doc = one row = its whole set), a key's
+    values arrive spread across blocks, so set sizes need one keyed
+    exchange first.  Three bounded exchanges, never O(n²), never a
+    driver pull:
+
+    1. groupby(key bucket) over locally-deduped (key, value) rows →
+       global per-key distinct sets; emits postings (value_hash, key, n)
+       with the set size riding along (loud ``max_set`` guard — the
+       per-key group is bounded by the set size, not the row count);
+    2. groupby(value bucket): keys sharing a value → co-occurrence rows
+       (> ``max_df`` keys on one value = degenerate stopword value,
+       dropped loudly — the PPJoin prefix-filter argument);
+    3. groupby(pair bucket): |A∩B| per pair; jaccard = c/(na+nb−c).
+
+    Values of any dtype hash through SipHash (string-set Jaccard equals
+    hashed-set Jaccard modulo 2⁻⁶⁴ collisions).  Returns
+    (key_a, key_b, jaccard) with key_a < key_b.
+    """
+    from ..functions.hashing import bucket_of, bucket_of_multi
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(batch)[[key_col, value_col]].drop_duplicates()
+        b = bucket_of(df[key_col].to_numpy(), num_buckets, seed=31)
+        return pack_pandas(df, b)
+
+    def postings(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(unpack_table(tbl)).drop_duplicates(
+            [key_col, value_col])
+        g = df.groupby(key_col, sort=False)
+        sizes = g[value_col].transform("size").to_numpy(dtype=np.int64)
+        if sizes.size and sizes.max() > max_set:
+            raise ValueError(
+                f"set_jaccard_pairs: a key holds {sizes.max()} distinct "
+                f"values (> max_set={max_set}); set-similarity joins "
+                f"assume bounded set sizes — raise max_set deliberately"
+            )
+        vh = stable_hash_array(df[value_col].to_numpy(), seed=47)
+        return pa.table({
+            "vh": pa.array(vh.astype(np.int64)),
+            "id": pa.array(df[key_col].to_numpy()),
+            "n_sh": pa.array(sizes),
+        })
+
+    def add_v_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch.column("vh").to_numpy(zero_copy_only=False),
+                      num_buckets, seed=17)
+        return pack_by_bucket(batch, b)
+
+    def cooccur(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(unpack_table(tbl))
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for vh, g in df.groupby("vh", sort=False):
+            if len(g) < 2:
+                continue
+            if len(g) > max_df:
+                _LOG.warning(
+                    "set_jaccard_pairs: dropping degenerate value %s shared "
+                    "by %d keys (> max_df=%d)", vh, len(g), max_df)
+                continue
+            order = np.argsort(g["id"].to_numpy())
+            ids = g["id"].to_numpy()[order]
+            ns = g["n_sh"].to_numpy()[order]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia]); out_b.append(ids[ib])
+            out_na.append(ns[ia]); out_nb.append(ns[ib])
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "na": pa.array([], type=pa.int64()),
+                             "nb": pa.array([], type=pa.int64())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a)),
+                         "id_b": pa.array(np.concatenate(out_b)),
+                         "na": pa.array(np.concatenate(out_na)),
+                         "nb": pa.array(np.concatenate(out_nb))})
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of_multi(
+            [batch.column("id_a").to_numpy(zero_copy_only=False),
+             batch.column("id_b").to_numpy(zero_copy_only=False)],
+            num_buckets, seed=23)
+        return pack_by_bucket(batch, b)
+
+    def reduce_pairs(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(unpack_table(tbl))
+        if not len(df):
+            return pa.table({"key_a": pa.array([], type=pa.int64()),
+                             "key_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        g = df.groupby(["id_a", "id_b"], sort=False).agg(
+            c=("na", "size"), na=("na", "first"), nb=("nb", "first")
+        ).reset_index()
+        jac = g["c"].to_numpy(dtype=np.float64) / (
+            g["na"].to_numpy() + g["nb"].to_numpy() - g["c"].to_numpy())
+        keep = jac >= threshold
+        return pa.table({"key_a": pa.array(g["id_a"].to_numpy()[keep]),
+                         "key_b": pa.array(g["id_b"].to_numpy()[keep]),
+                         "jaccard": pa.array(jac[keep])})
+
+    return (
+        ds.select_columns([key_col, value_col])
+        .map_batches(local_distinct, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby(_BUCKET)
+        .map_groups(postings, batch_format="pyarrow")
+        .map_batches(add_v_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby(_BUCKET)
+        .map_groups(cooccur, batch_format="pyarrow")
+        .map_batches(add_pair_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None)
+        .groupby(_BUCKET)
+        .map_groups(reduce_pairs, batch_format="pyarrow")
+    )

@@ -911,3 +911,49 @@ def test_embedding_outlier_scores(ray_session):
             _ray.data.from_pandas(df), key_col="vid", vector_col="emb",
             id_col="vid", max_keys=10,
         )
+
+
+def test_set_jaccard_pairs(ray_session):
+    """Per-key value sets spread across blocks still assemble exactly;
+    result equals a brute-force reference; guards fire loudly."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.minhash import set_jaccard_pairs
+
+    rng = np.random.default_rng(9)
+    keys, vals = [], []
+    sets = {k: set(rng.choice(20, size=rng.integers(2, 8), replace=False))
+            for k in range(30)}
+    for k, s in sets.items():
+        for v in s:
+            # duplicate occurrences on purpose — the op must distinct them
+            for _ in range(rng.integers(1, 4)):
+                keys.append(k)
+                vals.append(f"item{v}")
+    df = pd.DataFrame({"k": np.array(keys, dtype=np.int64), "v": vals})
+    df = df.sample(frac=1.0, random_state=0, ignore_index=True)  # scatter
+    got = set_jaccard_pairs(
+        _ray.data.from_pandas(df).repartition(7), key_col="k", value_col="v",
+        threshold=0.4, num_buckets=8,
+    ).to_pandas().sort_values(["key_a", "key_b"], ignore_index=True)
+
+    want = {}
+    for a in range(30):
+        for b in range(a + 1, 30):
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.4:
+                want[(a, b)] = j
+    assert set(zip(got.key_a, got.key_b)) == set(want)
+    for _, r in got.iterrows():
+        assert abs(r.jaccard - want[(r.key_a, r.key_b)]) < 1e-12
+
+    with pytest.raises(ValueError, match="max_set"):
+        set_jaccard_pairs(_ray.data.from_pandas(df), key_col="k",
+                          value_col="v", max_set=3).to_pandas()
+
+    # max_df drops a degenerate shared value instead of exploding pairs
+    df2 = pd.DataFrame({"k": np.arange(50, dtype=np.int64), "v": "common"})
+    out2 = set_jaccard_pairs(_ray.data.from_pandas(df2), key_col="k",
+                             value_col="v", threshold=0.1, max_df=10,
+                             num_buckets=4).to_pandas()
+    assert len(out2) == 0
