@@ -2670,6 +2670,49 @@ def q_knn_ivfpq(sf_dir):
     return out[["query_id", "vec_id", "score"]].copy()
 
 
+def q_lang_source_chi2(sf_dir):
+    """χ² / Cramér's V association between two categorical columns
+    (feature-selection screen): per-cell counts combine map-side, one
+    bounded exchange, and the driver pull is the CONTINGENCY TABLE, not
+    rows.  Per-cell (o−e)²/e terms are bit-identical both sides (exact
+    int sums, same divisions); only the final summation order differs —
+    1e-6 grid."""
+    from .stages.profile import categorical_association
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    out = categorical_association(ds, "lang", "source", num_buckets=4)
+    out["chi2"] = np.round(out["chi2"], 6)
+    out["cramers_v"] = np.round(out["cramers_v"], 6)
+    return out
+
+
+SQL_LANG_SOURCE_CHI2 = """
+WITH c AS (SELECT lang AS a, source AS b, count(*) AS o
+           FROM documents GROUP BY 1, 2),
+ra AS (SELECT a, CAST(sum(o) AS DOUBLE) AS ra FROM c GROUP BY a),
+cb AS (SELECT b, CAST(sum(o) AS DOUBLE) AS cb FROM c GROUP BY b),
+tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c),
+grid AS (
+  SELECT ra.a, cb.b, ra.ra, cb.cb, tot.n,
+         CAST(coalesce(cc.o, 0) AS DOUBLE) AS o
+  FROM ra CROSS JOIN cb CROSS JOIN tot
+  LEFT JOIN c cc ON cc.a = ra.a AND cc.b = cb.b
+),
+x AS (
+  SELECT max(n) AS n,
+         sum((o - ra * cb / n) * (o - ra * cb / n) / (ra * cb / n)) AS chi2,
+         count(DISTINCT a) AS ca, count(DISTINCT b) AS cb2
+  FROM grid
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((ca - 1) * (cb2 - 1) AS BIGINT) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(sqrt(chi2 / (n * least(ca - 1, cb2 - 1))), 6) AS cramers_v
+FROM x
+"""
+
+
 def q_user_set_similarity(sf_dir):
     """EXACT set-similarity join on categorical behavior sets (which
     users touch the same event types): per-key distinct sets via one
@@ -4517,6 +4560,7 @@ QUERIES = {
     "embedding_outliers": q_embedding_outliers,
     "aspect_bucket_pack": q_aspect_bucket_pack,
     "user_set_similarity": q_user_set_similarity,
+    "lang_source_chi2": q_lang_source_chi2,
     "embed_stats": q_embed_stats,
     # --- rows-only (non-SQL-expressible; math covered by pytest oracles) ---
     "event_quantiles_sketch": q_event_quantiles_sketch,
@@ -4631,6 +4675,7 @@ ORACLE_SQL = {
     "embedding_outliers": SQL_EMBEDDING_OUTLIERS,
     "aspect_bucket_pack": SQL_ASPECT_BUCKET_PACK,
     "user_set_similarity": SQL_USER_SET_SIMILARITY,
+    "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
     "pack_chunks": SQL_PACK_CHUNKS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,

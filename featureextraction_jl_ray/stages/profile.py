@@ -113,3 +113,48 @@ def profile_columns(ds, columns: list[str] | None = None) -> pd.DataFrame:
     for c in ("vmin", "vmax", "mean", "std"):
         out[c] = out[c].astype("float64")
     return out
+
+
+def categorical_association(ds, col_a: str, col_b: str, *,
+                            num_buckets: int = 16,
+                            max_cells: int = 1_000_000) -> pd.DataFrame:
+    """Pearson χ² test of independence + Cramér's V between two
+    categorical columns — the feature-selection screen ("does this
+    category carry signal about that one?").
+
+    One bounded exchange: per-(a, b) counts partial-aggregate inside
+    ``map_batches`` before the keyed shuffle (the combiner pattern), so
+    the exchange and the driver pull are bounded by the CONTINGENCY
+    TABLE size, never the row count (loud ``max_cells`` guard).  χ²
+    sums (o−e)²/e over the FULL cartesian grid including zero-observed
+    cells (the textbook statistic — an observed-cells-only sum
+    understates χ² whenever a combination never occurs).  Returns one
+    row: (n, dof, chi2, cramers_v)."""
+    from .groupagg import grouped_aggregate
+
+    counts = grouped_aggregate(
+        ds.select_columns([col_a, col_b]), [col_a, col_b],
+        {"o": (col_b, "count")}, num_buckets=num_buckets,
+    ).to_pandas()
+    if len(counts) > max_cells:
+        raise ValueError(
+            f"categorical_association: contingency table has {len(counts)} "
+            f"cells (> max_cells={max_cells}); χ² over a grid this wide is "
+            f"driver-bounded by design — raise max_cells deliberately"
+        )
+    grid = counts.pivot_table(index=col_a, columns=col_b, values="o",
+                              fill_value=0, aggfunc="sum")
+    O = grid.to_numpy(dtype=np.float64)
+    n = O.sum()
+    ra = O.sum(axis=1, keepdims=True)
+    cb = O.sum(axis=0, keepdims=True)
+    E = ra * cb / n
+    chi2 = float(((O - E) ** 2 / E).sum())
+    ca, cbn = O.shape
+    dof = (ca - 1) * (cbn - 1)
+    v = float(np.sqrt(chi2 / (n * min(ca - 1, cbn - 1)))) if dof > 0 else np.nan
+    return pd.DataFrame({"n": [np.int64(n)], "dof": [np.int64(dof)],
+                         "chi2": [chi2], "cramers_v": [v]})
+
+
+__all__.append("categorical_association")

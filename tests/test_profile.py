@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -31,3 +32,40 @@ def test_profile_with_nulls_vs_duckdb(ray_session):
     rs = got.loc["s"]
     assert (rs.n, rs.n_null, rs.n_distinct) == (5, 1, 2)
     assert np.isnan(float(rs["vmin"])) and np.isnan(float(rs["mean"]))
+
+
+def test_categorical_association_vs_scipy_formula(ray_session):
+    """χ²/Cramér's V equal the textbook formula computed in NumPy on the
+    whole table (full grid incl. zero cells); independent columns score
+    ≈0; a deterministic dependence scores high; guard fires."""
+    import pytest
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.profile import (
+        categorical_association,
+    )
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 4, 4000)
+    dep = (a * 2 + rng.integers(0, 2, 4000)) % 8  # strongly dependent
+    ind = rng.integers(0, 5, 4000)                 # independent
+    df = pd.DataFrame({"a": a.astype(str), "dep": dep.astype(str),
+                       "ind": ind.astype(str)})
+    ds = _ray.data.from_pandas(df).repartition(6)
+
+    got = categorical_association(ds, "a", "dep", num_buckets=4)
+    O = pd.crosstab(df.a, df.dep).to_numpy(dtype=np.float64)
+    n = O.sum()
+    E = O.sum(1, keepdims=True) * O.sum(0, keepdims=True) / n
+    chi2 = ((O - E) ** 2 / E).sum()
+    assert abs(got.chi2[0] - chi2) < 1e-9
+    assert got.dof[0] == (O.shape[0] - 1) * (O.shape[1] - 1)
+    v = np.sqrt(chi2 / (n * (min(O.shape) - 1)))
+    assert abs(got.cramers_v[0] - v) < 1e-12
+    assert got.cramers_v[0] > 0.5
+
+    weak = categorical_association(ds, "a", "ind", num_buckets=4)
+    assert weak.cramers_v[0] < 0.05
+
+    with pytest.raises(ValueError, match="max_cells"):
+        categorical_association(ds, "a", "dep", max_cells=3)
