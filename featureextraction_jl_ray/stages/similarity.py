@@ -356,33 +356,45 @@ def build_ivf_index(
     seed: int = 42,
     path: str | None = None,
     materialize_in_memory: bool = False,
+    refine_iters: int = 0,
 ) -> IvfIndex:
     """Fit centroids on a distributed sample (not limit(): limit pulls
     blocks sequentially and inverts scaling) and assign every row to its
     cell in one distributed pass.  With ``id_col`` the sample is a
     content-hash filter — deterministic across runs, block orders and
     cluster sizes (required for reproducible index builds); without it
-    falls back to ``random_sample`` (seeded but block-order-sensitive)."""
-    cnt = ds.count()
-    frac = min(1.0, sample_rows / max(cnt, 1))
-    if id_col is not None:
-        cut = np.uint64(int(frac * (1 << 32)))
+    falls back to ``random_sample`` (seeded but block-order-sensitive).
 
-        def hash_sample(batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            h = stable_hash_array(ids, seed=seed) >> np.uint64(32)
-            return batch.filter(pa.array(h < cut))
-
-        sample = ds.map_batches(
-            hash_sample, batch_format="pyarrow", zero_copy_batch=True
-        ).to_pandas()
-        # block arrival order is nondeterministic and k-means init is
-        # positional — canonicalize by id so the fit is reproducible
-        sample = sample.sort_values(id_col, ignore_index=True)
+    ``refine_iters > 0`` refines the sample-fit centroids over the FULL
+    dataset with :func:`kmeans_fit_distributed` (one streaming pass per
+    iteration) — the 10⁹-vector quantizer-quality path, where a 2k-row
+    sample under-represents the corpus and cell sizes skew."""
+    if refine_iters > 0:
+        C = kmeans_fit_distributed(
+            ds, vector_col, n_clusters, id_col=id_col, iters=refine_iters,
+            seed=seed, metric="cosine", sample_rows=sample_rows,
+        )
     else:
-        sample = ds.random_sample(frac, seed=seed).to_pandas()
-    Xs = np.stack(sample[vector_col].to_numpy())
-    C = kmeans_fit(Xs, n_clusters, seed=seed)
+        cnt = ds.count()
+        frac = min(1.0, sample_rows / max(cnt, 1))
+        if id_col is not None:
+            cut = np.uint64(int(frac * (1 << 32)))
+
+            def hash_sample(batch: pa.Table) -> pa.Table:
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                h = stable_hash_array(ids, seed=seed) >> np.uint64(32)
+                return batch.filter(pa.array(h < cut))
+
+            sample = ds.map_batches(
+                hash_sample, batch_format="pyarrow", zero_copy_batch=True
+            ).to_pandas()
+            # block arrival order is nondeterministic and k-means init is
+            # positional — canonicalize by id so the fit is reproducible
+            sample = sample.sort_values(id_col, ignore_index=True)
+        else:
+            sample = ds.random_sample(frac, seed=seed).to_pandas()
+        Xs = np.stack(sample[vector_col].to_numpy())
+        C = kmeans_fit(Xs, n_clusters, seed=seed)
 
     def assign(batch: pa.Table) -> pa.Table:
         # stateless task: the centroid matrix is KBs and rides the task

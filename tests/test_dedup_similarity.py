@@ -957,3 +957,30 @@ def test_set_jaccard_pairs(ray_session):
                              value_col="v", threshold=0.1, max_df=10,
                              num_buckets=4).to_pandas()
     assert len(out2) == 0
+
+
+def test_ivf_refined_centroids_improve_and_stay_exact(ray_session, tmp_path):
+    """build_ivf_index(refine_iters>0) trains cells on the full corpus;
+    exhaustive-probe kNN stays exactly brute force regardless of
+    centroid quality (probe-pruning invariant)."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.similarity import (
+        build_ivf_index,
+        knn_cosine,
+        knn_cosine_ivf,
+    )
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(0, 1, (800, 12)).astype(np.float32)
+    df = pd.DataFrame({"vid": np.arange(800, dtype=np.int64), "emb": list(X)})
+    ds = _ray.data.from_pandas(df).repartition(4)
+    idx = build_ivf_index(ds, vector_col="emb", id_col="vid", n_clusters=6,
+                          refine_iters=4, path=str(tmp_path / "ivf"))
+    q = rng.normal(0, 1, (3, 12))
+    got = knn_cosine_ivf(idx, q, vector_col="emb", id_col="vid", k=5,
+                         nprobe=6)
+    want = knn_cosine(ds, q, vector_col="emb", id_col="vid", k=5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[["query_id", "vid"]],
+        want.reset_index(drop=True)[["query_id", "vid"]])
