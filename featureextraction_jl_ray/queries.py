@@ -362,6 +362,30 @@ FROM events GROUP BY event_type
 """
 
 
+def q_user_value_mad(sf_dir):
+    """Per-user MEDIAN + MAD (unscaled median absolute deviation) — the
+    robust center/spread pair outlier thresholds use when variance is
+    poisoned by the outliers themselves.  A nested median: two exact
+    quantile exchanges with the fitted medians broadcast between them.
+    1e-6 grid (interpolated midpoints)."""
+    from .stages.scale import grouped_mad
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+    out = grouped_mad(ds, "user_id", "value", num_buckets=8)
+    out["median"] = np.round(out["median"], 6)
+    out["mad"] = np.round(out["mad"], 6)
+    return out
+
+
+SQL_USER_VALUE_MAD = """
+SELECT user_id,
+       ROUND(median(value), 6) AS median,
+       ROUND(mad(value), 6) AS mad
+FROM events GROUP BY user_id
+"""
+
+
 def q_event_quantiles_sketch(sf_dir):
     """Mergeable bottom-k sketch quantiles — the corpus-scale path
     (exchange bounded at sketch_size rows/key/batch).  Rows-only:
@@ -4514,6 +4538,7 @@ QUERIES = {
     "agg_events_var": q_agg_events_var,
     "user_value_shape": q_user_value_shape,
     "csv_ingest": q_csv_ingest,
+    "user_value_mad": q_user_value_mad,
     "count_distinct_users": q_count_distinct_users,
     "count_distinct_users_hll": q_count_distinct_users_hll,
     "event_quantiles": q_event_quantiles,
@@ -4621,6 +4646,7 @@ ORACLE_SQL = {
     "agg_events_var": SQL_AGG_EVENTS_VAR,
     "user_value_shape": SQL_USER_VALUE_SHAPE,
     "csv_ingest": SQL_CSV_INGEST,
+    "user_value_mad": SQL_USER_VALUE_MAD,
     "count_distinct_users": SQL_COUNT_DISTINCT_USERS,
     "count_distinct_users_hll": SQL_COUNT_DISTINCT_USERS,
     "event_quantiles": SQL_EVENT_QUANTILES,

@@ -20,6 +20,7 @@ the category vocabulary (bounded by definition of "categorical").
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -363,3 +364,54 @@ def winsorize(ds, col: str, *, lo: float, hi: float,
         return batch.append_column(out_col, x)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_mad(ds, key_cols, value_col: str, *, num_buckets: int = 16,
+                max_keys: int = 1_000_000):
+    """Per-key MEDIAN and MAD (median absolute deviation, unscaled —
+    the DuckDB/classic convention) — the robust spread statistic outlier
+    thresholds use when variance is poisoned by the outliers themselves.
+
+    MAD is a nested median, so it needs two exact quantile exchanges:
+    (1) per-key median; (2) medians broadcast via ``ray.put`` (bounded
+    by the key count, loud ``max_keys`` guard) → stateless |x − median|
+    map → per-key median of deviations.  Both exchanges move (key,
+    value) pairs like :func:`grouped_quantile` — at corpus scale swap
+    in the KMV sketch path for ±ε like the quantile docstring says.
+    Returns (keys…, median, mad)."""
+    import ray
+
+    from .groupagg import grouped_quantile
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    med = grouped_quantile(ds, key_cols, value_col, qs=(0.5,),
+                           num_buckets=num_buckets, prefix="__med").to_pandas()
+    if len(med) > max_keys:
+        raise ValueError(
+            f"grouped_mad: {len(med)} keys exceed max_keys={max_keys}; the "
+            f"median table is broadcast state by design — raise max_keys "
+            f"deliberately")
+    med = med.rename(columns={"__med50": "median"})
+    med_ref = ray.put(med.set_index(key_cols)["median"])
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        df = batch.select(key_cols + [value_col]).to_pandas()
+        m = ray.get(med_ref)
+        idx = (pd.MultiIndex.from_frame(df[key_cols]) if len(key_cols) > 1
+               else pd.Index(df[key_cols[0]]))
+        dev = (df[value_col].to_numpy(dtype=np.float64)
+               - m.reindex(idx).to_numpy(dtype=np.float64))
+        df["__absdev"] = np.abs(dev)
+        return pa.Table.from_pandas(df[key_cols + ["__absdev"]],
+                                    preserve_index=False)
+
+    devs = ds.map_batches(absdev, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    mad = grouped_quantile(devs, key_cols, "__absdev", qs=(0.5,),
+                           num_buckets=num_buckets, prefix="__mad"
+                           ).to_pandas().rename(columns={"__mad50": "mad"})
+    out = med.merge(mad, on=key_cols, how="left")
+    return out
+
+
+__all__.append("grouped_mad")

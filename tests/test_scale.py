@@ -212,3 +212,35 @@ def test_sorted_scan_hot_entity_guard(ray_session):
     # same data passes with the default budget
     out = sorted_scan(ds, "eid", "ts", lambda df: df, num_buckets=4)
     assert out.count() == n
+
+
+def test_grouped_mad_vs_duckdb(ray_session, sf_dir):
+    """Nested-median MAD == DuckDB median/mad, partition-invariant;
+    single-value keys get mad 0; max_keys guard fires."""
+    import pytest
+
+    from featureextraction_jl_ray.stages.scale import grouped_mad
+
+    ev = f"{sf_dir}/events.parquet"
+    want = duckdb.sql(
+        f"SELECT user_id, median(value) AS median, mad(value) AS mad "
+        f"FROM '{ev}' GROUP BY 1 ORDER BY 1").fetchdf()
+    for nparts in (2, 11):
+        ds = ray_session.data.read_parquet(ev).repartition(nparts)
+        got = grouped_mad(ds, "user_id", "value", num_buckets=4
+                          ).sort_values("user_id", ignore_index=True)
+        np.testing.assert_allclose(got["median"], want["median"], rtol=1e-12)
+        np.testing.assert_allclose(got["mad"], want["mad"], rtol=1e-12)
+
+    import pandas as pd
+    import ray as _ray
+
+    tiny = pd.DataFrame({"k": [1, 2, 2], "v": [5.0, 1.0, 3.0]})
+    got = grouped_mad(_ray.data.from_pandas(tiny), "k", "v", num_buckets=2
+                      ).set_index("k").sort_index()
+    assert got.loc[1, "mad"] == 0.0 and got.loc[1, "median"] == 5.0
+    assert got.loc[2, "median"] == 2.0 and got.loc[2, "mad"] == 1.0
+
+    with pytest.raises(ValueError, match="max_keys"):
+        grouped_mad(ray_session.data.read_parquet(ev), "event_id", "value",
+                    max_keys=10)
