@@ -2694,6 +2694,65 @@ def q_knn_ivfpq(sf_dir):
     return out[["query_id", "vec_id", "score"]].copy()
 
 
+def q_embedding_prep(sf_dir):
+    """COMPOSED embedding corpus-prep funnel: per-label centroid-cosine
+    outlier filter (rounded-sim ≥ 0, so both sides filter the identical
+    set) → embedding-cosine near-dup collapse among SURVIVORS.  One
+    chained SQL locks the stage ORDER — dedup-before-filter could keep a
+    junk row as a cluster representative (pytest plants that case; at
+    gate scale the true pair set above 0.8 is empty, same regime as the
+    standalone embedding_dedup row, so the collapse is structurally
+    exercised and its bite is pytest-verified)."""
+    from .pipelines.embeddingprep import run_embedding_prep
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    kept, _pairs = run_embedding_prep(
+        ds, vector_col="embedding", id_col="vec_id", key_col="label",
+        sim_threshold=0.0, dedup_threshold=0.8)
+    return kept.select_columns(["vec_id", "label", "centroid_sim"])
+
+
+SQL_EMBEDDING_PREP = """
+WITH RECURSIVE flat AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, avg(v) AS c FROM flat GROUP BY label, pos
+), agg AS (
+  SELECT f.vec_id, f.label, sum(f.v * c.c) AS dot, sum(f.v * f.v) AS vv
+  FROM flat f JOIN cent c ON f.label = c.label AND f.pos = c.pos
+  GROUP BY f.vec_id, f.label
+), cn AS (
+  SELECT label, sum(c * c) AS cc FROM cent GROUP BY label
+), kept AS (
+  SELECT a.vec_id, a.label,
+         ROUND(a.dot / (sqrt(a.vv) * sqrt(cn.cc)), 6) AS centroid_sim
+  FROM agg a JOIN cn ON a.label = cn.label
+  WHERE ROUND(a.dot / (sqrt(a.vv) * sqrt(cn.cc)), 6) >= 0.0
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM kept)
+    AND b.vec_id IN (SELECT vec_id FROM kept)
+    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.8
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), cc AS (
+  SELECT vec_id AS node, vec_id AS lbl FROM kept
+  UNION
+  SELECT e.v AS node, cc.lbl FROM cc JOIN edges e ON cc.node = e.u
+)
+SELECT k.vec_id, k.label, k.centroid_sim
+FROM kept k
+JOIN (SELECT node, min(lbl) AS root FROM cc GROUP BY node) r
+  ON r.node = k.vec_id
+WHERE r.root = k.vec_id
+"""
+
+
 def q_lang_source_chi2(sf_dir):
     """χ² / Cramér's V association between two categorical columns
     (feature-selection screen): per-cell counts combine map-side, one
@@ -4586,6 +4645,7 @@ QUERIES = {
     "aspect_bucket_pack": q_aspect_bucket_pack,
     "user_set_similarity": q_user_set_similarity,
     "lang_source_chi2": q_lang_source_chi2,
+    "embedding_prep": q_embedding_prep,
     "embed_stats": q_embed_stats,
     # --- rows-only (non-SQL-expressible; math covered by pytest oracles) ---
     "event_quantiles_sketch": q_event_quantiles_sketch,
@@ -4702,6 +4762,7 @@ ORACLE_SQL = {
     "aspect_bucket_pack": SQL_ASPECT_BUCKET_PACK,
     "user_set_similarity": SQL_USER_SET_SIMILARITY,
     "lang_source_chi2": SQL_LANG_SOURCE_CHI2,
+    "embedding_prep": SQL_EMBEDDING_PREP,
     "pack_chunks": SQL_PACK_CHUNKS,
     "explode_tokens": SQL_EXPLODE_TOKENS,
     "explode_embedding": SQL_EXPLODE_EMBEDDING,

@@ -1035,7 +1035,8 @@ def knn_cosine_ivfpq(
 
 def embedding_outlier_scores(ds, *, key_col: str, vector_col: str,
                              id_col: str, out_col: str = "centroid_sim",
-                             num_buckets: int = 16, max_keys: int = 100_000):
+                             num_buckets: int = 16, max_keys: int = 100_000,
+                             keep_vector: bool = False):
     """Per-row cosine similarity to the row's OWN group centroid — the
     embedding-space outlier signal corpus filters threshold on (rows far
     from their class/source centroid are mislabeled or junk).
@@ -1068,8 +1069,11 @@ def embedding_outlier_scores(ds, *, key_col: str, vector_col: str,
         ids = batch.column(id_col)
         kv = batch.column(key_col).to_numpy(zero_copy_only=False)
         if batch.num_rows == 0:
-            return pa.table({id_col: ids, key_col: batch.column(key_col),
-                             out_col: pa.array([], type=pa.float64())})
+            empty = {id_col: ids, key_col: batch.column(key_col)}
+            if keep_vector:
+                empty[vector_col] = batch.column(vector_col)
+            empty[out_col] = pa.array([], type=pa.float64())
+            return pa.table(empty)
         code_map, Cm, cn = ray.get(state_ref)
         X = list_column_to_numpy(batch, vector_col).astype(np.float64)
         codes = code_map.reindex(kv).to_numpy()
@@ -1082,8 +1086,13 @@ def embedding_outlier_scores(ds, *, key_col: str, vector_col: str,
         xn = np.sqrt((X * X).sum(axis=1))
         with np.errstate(invalid="ignore", divide="ignore"):
             sim = dot / (xn * cn[codes])
-        return pa.table({id_col: ids, key_col: batch.column(key_col),
-                         out_col: pa.array(sim, type=pa.float64())})
+        out = {id_col: ids, key_col: batch.column(key_col)}
+        if keep_vector:
+            # downstream stages (e.g. the dedup in run_embedding_prep)
+            # consume the vector next — carrying it beats a re-join
+            out[vector_col] = batch.column(vector_col)
+        out[out_col] = pa.array(sim, type=pa.float64())
+        return pa.table(out)
 
     return ds.select_columns([id_col, key_col, vector_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True)
