@@ -1972,6 +1972,33 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 SQL_SAMPLE_K_PER_USER = _sample_k_sql()
 
 
+def q_sample_events_global(sf_dir):
+    """Deterministic GLOBAL uniform sample of exactly k rows: bottom-k
+    by the pinned fmix32 hash of event_id — each block keeps a local
+    bottom-k, one tiny reduce merges (no global sort, no data shuffle),
+    stable across runs / resumes / repartitions.  ORACLED row-exactly
+    via the shared hash CTE (ORDER BY h, id LIMIT k)."""
+    from .stages.split import sample_global_k
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id"])
+    out = sample_global_k(ds, "event_id", k=500)
+    return out.select_columns(["event_id", "user_id"])
+
+
+def _sample_global_sql() -> str:
+    from .stages.split import sql_hash_cte
+
+    cte = sql_hash_cte("events", "event_id", "event_id, user_id")
+    return f"""
+WITH {cte}
+SELECT event_id, user_id FROM __hx ORDER BY h, event_id LIMIT 500
+"""
+
+
+SQL_SAMPLE_EVENTS_GLOBAL = _sample_global_sql()
+
+
 def q_doc_stats(sf_dir):
     from .stages.text import with_token_stats
 
@@ -2825,6 +2852,21 @@ JOIN n na ON co.key_a = na.user_id
 JOIN n nb ON co.key_b = nb.user_id
 WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.99
 """
+
+
+def q_random_projection(sf_dir):
+    """Johnson–Lindenstrauss Gaussian random projection of the embedding
+    column (the no-fit dimensionality reducer; matrix generated once
+    from the seed, ray.put-broadcast, one GEMM per batch).  Rows-only:
+    the Gaussian matrix isn't SQL; the JL distance-distortion bound and
+    GEMM parity are pytest-oracled."""
+    from .stages.similarity import random_projection
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    out = random_projection(ds, vector_col="embedding", out_dim=8,
+                            drop_input=True)
+    return out
 
 
 def q_kmeans_clusters(sf_dir):
@@ -4598,6 +4640,7 @@ QUERIES = {
     "user_value_shape": q_user_value_shape,
     "csv_ingest": q_csv_ingest,
     "user_value_mad": q_user_value_mad,
+    "sample_events_global": q_sample_events_global,
     "count_distinct_users": q_count_distinct_users,
     "count_distinct_users_hll": q_count_distinct_users_hll,
     "event_quantiles": q_event_quantiles,
@@ -4668,6 +4711,7 @@ QUERIES = {
     "chunk_documents_bpe": q_chunk_documents_bpe,
     "knn_ivfpq": q_knn_ivfpq,
     "kmeans_clusters": q_kmeans_clusters,
+    "random_projection_vecs": q_random_projection,
     "full_outer_join": q_full_outer_join,
     "string_agg_types": q_string_agg_types,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -4682,6 +4726,7 @@ ORACLE_SQL = {
     "time_split_events": SQL_TIME_SPLIT_EVENTS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "sample_k_per_user": SQL_SAMPLE_K_PER_USER,
+    "sample_events_global": SQL_SAMPLE_EVENTS_GLOBAL,
     "profile_events": SQL_PROFILE_EVENTS,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "rank_events": SQL_RANK_EVENTS,

@@ -1099,3 +1099,49 @@ def embedding_outlier_scores(ds, *, key_col: str, vector_col: str,
 
 
 __all__.append("embedding_outlier_scores")
+
+
+def random_projection(ds, *, vector_col: str, out_dim: int,
+                      out_col: str | None = None, seed: int = 42,
+                      drop_input: bool = False):
+    """Johnson–Lindenstrauss Gaussian random projection — the cheap
+    dimensionality reducer when a fitted PCA is overkill (JL: pairwise
+    distances distort by ≤ ε with out_dim = O(log n / ε²), independent
+    of the input dimension).
+
+    The projection matrix R ~ N(0, 1/out_dim) is generated ONCE from
+    ``seed`` (deterministic across runs/resumes/cluster sizes), shipped
+    via ``ray.put`` and read per task from the object store; the
+    transform is one GEMM per batch — stateless, streaming, no fit
+    pass at all (the contrast with :func:`..state.pca.fit_pca` is the
+    point)."""
+    import ray
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    d_in = len(first.column(vector_col)[0].as_py())
+    rng = np.random.default_rng(seed)
+    R = (rng.standard_normal((d_in, out_dim)) / np.sqrt(out_dim))
+    r_ref = ray.put(R)
+    out_name = out_col or f"{vector_col}_rp{out_dim}"
+
+    def project(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            flat = pa.array([], type=pa.float32())
+            col = pa.FixedSizeListArray.from_arrays(flat, out_dim)
+            if drop_input:
+                batch = batch.drop_columns([vector_col])
+            return batch.append_column(out_name, col)
+        Rm = ray.get(r_ref)
+        X = list_column_to_numpy(batch, vector_col).astype(np.float64)
+        Z = (X @ Rm).astype(np.float32)
+        flat = pa.array(Z.reshape(-1))
+        col = pa.FixedSizeListArray.from_arrays(flat, out_dim)
+        if drop_input:
+            batch = batch.drop_columns([vector_col])
+        return batch.append_column(out_name, col)
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+__all__.append("random_projection")

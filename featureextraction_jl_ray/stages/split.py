@@ -28,11 +28,12 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import stable_hash_array
+from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 
 __all__ = ["hash_u32", "split_thresholds", "hash_split", "hash_sample",
            "weighted_sample_by_key", "negative_samples", "time_split",
            "sql_hash_cte", "sample_k_per_key", "mixture_plan",
-           "mixture_sample"]
+           "mixture_sample", "sample_global_k"]
 
 _M32 = np.uint64(0xFFFFFFFF)
 _DEFAULT_SEED = 0x9E3779B9  # nonzero: kills the x=0 / x=-1 fixpoint of the fold
@@ -326,3 +327,47 @@ def time_split(ds, ts_col: str, *, cutoff, embargo: str | None = None,
         return batch.filter(pc.fill_null(keep, False))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_global_k(ds, id_col: str, *, k: int, seed: int = _DEFAULT_SEED,
+                    keep_hash: bool = False):
+    """Deterministic UNIFORM sample of exactly ``min(k, n)`` rows from
+    the WHOLE dataset — the global form of :func:`sample_k_per_key`.
+
+    Bottom-k by the fmix32 hash of ``id_col`` (id tiebreak): each block
+    keeps its local bottom-k (one vectorized argpartition), a single
+    tiny reduce merges the ≤ k·num_blocks survivors — no global sort,
+    no shuffle of the data, deterministic across runs / resumes /
+    repartitions, and ROW-exactly SQL-expressible via ``sql_hash_cte``
+    (ORDER BY h, id LIMIT k)."""
+
+    def local_bottomk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__h", pa.array([], type=pa.int64()))
+        h = hash_u32(batch.column(id_col).to_numpy(zero_copy_only=False),
+                     seed=seed).astype(np.int64)
+        batch = batch.append_column("__h", pa.array(h))
+        if batch.num_rows <= k:
+            return batch
+        # bottom-k by (h, id): argpartition on h, then exact sort of the
+        # k+ties slice — C-speed, no full-block sort
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        df = df.sort_values(["__h", id_col], kind="mergesort").head(k)
+        return pandas_to_arrow(df)
+
+    partials = ds.map_batches(local_bottomk, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    # single-wave coalesce then one final merge (k rows per partial ⇒
+    # the reduce input is bounded by k·num_blocks, tiny by construction)
+    out = partials.map_batches(merge, batch_format="pyarrow", batch_size=None)
+    out = out.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                         batch_size=None)
+    if keep_hash:
+        return out
+    return out.map_batches(lambda b: b.drop_columns(["__h"]),
+                           batch_format="pyarrow", zero_copy_batch=True)

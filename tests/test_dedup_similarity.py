@@ -984,3 +984,38 @@ def test_ivf_refined_centroids_improve_and_stay_exact(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True)[["query_id", "vid"]],
         want.reset_index(drop=True)[["query_id", "vid"]])
+
+
+def test_random_projection_jl_property(ray_session):
+    """Projection == X @ R (GEMM parity with the seeded matrix);
+    pairwise distances distort within the JL bound at this out_dim;
+    deterministic across partitionings and runs."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.similarity import random_projection
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(0, 1, (300, 64)).astype(np.float32)
+    df = pd.DataFrame({"vid": np.arange(300, dtype=np.int64),
+                       "emb": list(X)})
+    out = random_projection(_ray.data.from_pandas(df).repartition(5),
+                            vector_col="emb", out_dim=32, seed=7
+                            ).to_pandas().sort_values("vid", ignore_index=True)
+    Z = np.stack(out.emb_rp32.to_numpy()).astype(np.float64)
+    R = np.random.default_rng(7).standard_normal((64, 32)) / np.sqrt(32)
+    np.testing.assert_allclose(Z, X.astype(np.float64) @ R, atol=1e-6)
+
+    # JL distortion on 200 random pairs at out_dim=32: generous 0.6 bound
+    ia = rng.integers(0, 300, 200)
+    ib = rng.integers(0, 300, 200)
+    keep = ia != ib
+    d_in = np.linalg.norm(X[ia[keep]] - X[ib[keep]], axis=1).astype(np.float64)
+    d_out = np.linalg.norm(Z[ia[keep]] - Z[ib[keep]], axis=1)
+    ratio = d_out / d_in
+    assert 0.4 < ratio.min() and ratio.max() < 1.6
+
+    out2 = random_projection(_ray.data.from_pandas(df).repartition(2),
+                             vector_col="emb", out_dim=32, seed=7
+                             ).to_pandas().sort_values("vid", ignore_index=True)
+    np.testing.assert_array_equal(
+        np.stack(out.emb_rp32.to_numpy()), np.stack(out2.emb_rp32.to_numpy()))

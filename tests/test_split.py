@@ -228,3 +228,27 @@ def test_global_rank_nondeterministic_upstream(ray_session):
     n = len(out)
     assert sorted(out.global_rank) == list(range(1, n + 1))
     assert list(out.sort_values("global_rank").k) == sorted(out.k)
+
+
+def test_sample_global_k_row_exact_vs_sql(ray_session, sf_dir):
+    """Global bottom-k == the SQL mirror row-for-row; invariant to
+    partition count; k > n returns everything."""
+    from featureextraction_jl_ray.stages.split import (
+        sample_global_k,
+        sql_hash_cte,
+    )
+
+    ev = f"{sf_dir}/events.parquet"
+    cte = sql_hash_cte(f"'{ev}'", "event_id", "event_id, user_id")
+    want = duckdb.sql(
+        f"WITH {cte} SELECT event_id, user_id FROM __hx "
+        f"ORDER BY h, event_id LIMIT 200").fetchdf()
+    for nparts in (3, 17):
+        ds = ray_session.data.read_parquet(
+            ev, columns=["event_id", "user_id"]).repartition(nparts)
+        got = sample_global_k(ds, "event_id", k=200).to_pandas()
+        assert sorted(got.event_id) == sorted(want.event_id)
+    small = sample_global_k(
+        ray_session.data.read_parquet(ev, columns=["event_id"]).limit(50),
+        "event_id", k=999).to_pandas()
+    assert len(small) == 50
