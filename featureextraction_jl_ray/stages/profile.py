@@ -136,6 +136,11 @@ def categorical_association(ds, col_a: str, col_b: str, *,
         ds.select_columns([col_a, col_b]), [col_a, col_b],
         {"o": (col_b, "count")}, num_buckets=num_buckets,
     ).to_pandas()
+    if counts.empty:
+        # empty input loses its schema through Ray's empty-block elision;
+        # return the degenerate-but-typed contract row
+        return pd.DataFrame({"n": [np.int64(0)], "dof": [np.int64(0)],
+                             "chi2": [np.nan], "cramers_v": [np.nan]})
     if len(counts) > max_cells:
         raise ValueError(
             f"categorical_association: contingency table has {len(counts)} "

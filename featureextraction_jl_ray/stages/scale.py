@@ -386,6 +386,13 @@ def grouped_mad(ds, key_cols, value_col: str, *, num_buckets: int = 16,
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     med = grouped_quantile(ds, key_cols, value_col, qs=(0.5,),
                            num_buckets=num_buckets, prefix="__med").to_pandas()
+    if med.empty:
+        # Ray elides fully-empty blocks (schema lost at to_pandas) —
+        # pin the contract columns at this driver-side boundary
+        return pd.DataFrame({**{k: pd.Series(dtype="object")
+                                for k in key_cols},
+                             "median": pd.Series(dtype="float64"),
+                             "mad": pd.Series(dtype="float64")})
     if len(med) > max_keys:
         raise ValueError(
             f"grouped_mad: {len(med)} keys exceed max_keys={max_keys}; the "

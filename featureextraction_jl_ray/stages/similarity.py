@@ -1117,8 +1117,13 @@ def random_projection(ds, *, vector_col: str, out_dim: int,
     point)."""
     import ray
 
-    first = ds.take_batch(1, batch_format="pyarrow")
-    d_in = len(first.column(vector_col)[0].as_py())
+    try:
+        first = ds.take_batch(1, batch_format="pyarrow")
+        d_in = len(first.column(vector_col)[0].as_py())
+    except ValueError:
+        # empty dataset: no input dim to infer — the matrix is never
+        # used (every batch takes the empty branch below)
+        d_in = 1
     rng = np.random.default_rng(seed)
     R = (rng.standard_normal((d_in, out_dim)) / np.sqrt(out_dim))
     r_ref = ray.put(R)

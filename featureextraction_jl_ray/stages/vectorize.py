@@ -203,9 +203,11 @@ def fit_bm25_stats(ds, terms, *, text_col: str = "text", fan_in: int = 64):
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     merged = partials.map_batches(merge, batch_format="pyarrow", batch_size=fan_in)
-    final = merge(pa.concat_tables(
-        list(merged.iter_batches(batch_size=None, batch_format="pyarrow"))
-    ))
+    rows = list(merged.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not rows:
+        # fully-empty corpus: Ray elides every block
+        return 0, 0, np.zeros(len(terms), dtype=np.float64)
+    final = merge(pa.concat_tables(rows))
     n = int(final.column("n").to_pylist()[0])
     total_len = int(final.column("len").to_pylist()[0])
     df = np.asarray(final.column("df").to_pylist()[0], dtype=np.float64)

@@ -215,3 +215,53 @@ def test_hygiene_ops_empty_inputs(ray_session):
     assert len(out) == 0
     # redaction of an empty block
     assert with_pii_redact(empty).to_pandas().shape[0] == 0
+
+
+def test_late_round4_ops_empty(ray_session):
+    """Empty-input contract for the continuation's operators: zero rows,
+    no crash; driver-side pandas boundaries pin their columns."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.codec import (
+        pack_images_by_pixels,
+        with_aspect_bucket,
+    )
+    from featureextraction_jl_ray.stages.groupagg import grouped_aggregate
+    from featureextraction_jl_ray.stages.minhash import set_jaccard_pairs
+    from featureextraction_jl_ray.stages.profile import categorical_association
+    from featureextraction_jl_ray.stages.scale import grouped_mad
+    from featureextraction_jl_ray.stages.split import sample_global_k
+    from featureextraction_jl_ray.stages.similarity import random_projection
+    from featureextraction_jl_ray.stages.vectorize import bm25_score
+
+    ev = _empty_events(ray_session)
+    assert grouped_aggregate(ev, "user_id",
+                             {"sk": ("value", "skew"),
+                              "ku": ("value", "kurt")},
+                             num_buckets=2).to_pandas().empty
+    assert grouped_mad(ev, "user_id", "value", num_buckets=2).empty
+    assert sample_global_k(ev, "event_id", k=5).to_pandas().empty
+    assert set_jaccard_pairs(ev, key_col="user_id", value_col="event_type",
+                             num_buckets=2).to_pandas().empty
+    ca = categorical_association(ev, "event_type", "user_id", num_buckets=2)
+    assert len(ca) == 1 and ca.dof[0] <= 0  # degenerate grid, no crash
+
+    docs = _empty_docs(ray_session)
+    assert bm25_score(docs, ["x"], text_col="text",
+                      id_col="doc_id").to_pandas().empty
+
+    imgs = ray_session.data.from_arrow(pa.table({
+        "image_id": pa.array([], type=pa.int64()),
+        "w": pa.array([], type=pa.int64()),
+        "h": pa.array([], type=pa.int64()),
+    }))
+    bucketed = with_aspect_bucket(imgs)
+    assert bucketed.to_pandas().empty
+    assert pack_images_by_pixels(bucketed, budget=100).to_pandas().empty
+
+    emb = ray_session.data.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+    }))
+    assert random_projection(emb, vector_col="embedding",
+                             out_dim=4).to_pandas().empty
