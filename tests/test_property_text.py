@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from featureextraction_jl_ray.stages.split import mixture_plan
@@ -18,9 +18,18 @@ _text = st.text(
     alphabet=st.sampled_from(list("ab XYZ\t\n  é.@0-")), max_size=60)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(st.lists(st.one_of(st.none(), _text), min_size=0, max_size=8),
        st.integers(min_value=1, max_value=4))
+@example(
+    texts=['é  00\nY\t b X\t@é-b.aX  \n\tZZ--Y0a-\t\n0\n\t',
+     None,
+     None,
+     None,
+     None,
+     'é  00\nY\t b X\t@é-b.aX  \n\tZZ--Y0a-\t\n0\n\t'],
+    n=2,
+).via('discovered failure')
 def test_word_ngrams_property(texts, n):
     got_sh, got_k = _word_ngrams(pa.array(texts, type=pa.string()), n)
     want_sh, want_k = [], []
@@ -33,7 +42,7 @@ def test_word_ngrams_property(texts, n):
     assert got_k.tolist() == want_k
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(st.lists(st.one_of(st.none(), _text), min_size=0, max_size=8),
        st.integers(min_value=1, max_value=6))
 def test_word_spans_property(texts, w):
@@ -51,7 +60,7 @@ def test_word_spans_property(texts, w):
     assert got_idx.tolist() == want_idx
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(
     st.dictionaries(st.sampled_from("abcdef"),
                     st.integers(min_value=0, max_value=10_000),

@@ -32,7 +32,7 @@ def event_frames(draw):
     return df.sort_values(["eid", "ts", "rid"], ignore_index=True)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(event_frames())
 def test_lag_backfill_sessionize_match_duckdb(df):
     fn = make_windows_frame_fn("eid", "ts", lag_cols=["v"], lag_k=1,
@@ -63,7 +63,7 @@ def test_lag_backfill_sessionize_match_duckdb(df):
     assert (got["session_id"].to_numpy() == want["session_id"].to_numpy()).all()
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(event_frames())
 def test_rolling_trailing_window_matches_duckdb(df):
     """Trailing time-window count/sum/max vs DuckDB RANGE frames on
@@ -101,7 +101,7 @@ def test_rolling_trailing_window_matches_duckdb(df):
         assert ((g == w) | both_nan).all(), c
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(event_frames())
 def test_rolling_row_mode_is_streaming_prefix(df):
     """ties="row" (the streaming default): row i's window is exactly the
@@ -124,7 +124,7 @@ def test_rolling_row_mode_is_streaming_prefix(df):
         assert abs(got.roll_sum.iloc[i] - sel.v.sum()) < 1e-9
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(event_frames())
 def test_forward_rolling_matches_duckdb(df):
     """FORWARD label window [ts, ts+5s] vs DuckDB's CURRENT ROW …
@@ -155,7 +155,7 @@ def test_forward_rolling_matches_duckdb(df):
         assert ((g == w) | both_nan).all(), c
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(event_frames())
 def test_decayed_sum_matches_bruteforce(df):
     """Trailing exp-decayed sum vs a direct O(n²) reference (row-order
@@ -206,7 +206,7 @@ def test_decayed_sum_no_cross_segment_absorption():
                                 4.0 + 3.0 * np.exp(-1.0)], rtol=1e-12)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(st.lists(st.integers(0, 40), min_size=1, max_size=20),
        st.integers(2, 8), st.integers(1, 8))
 def test_chunker_covers_every_token_exactly(token_counts, size, stride):
