@@ -4566,6 +4566,158 @@ FROM r4
 SQL_CORPUS_HYGIENE = _corpus_hygiene_sql()
 
 
+def q_c4_line_filter(sf_dir):
+    """C4-style line-level cleaning: keep only lines that end in
+    terminal punctuation (after space/tab rtrim) and have ≥ 3 words,
+    rejoin, and drop documents whose lines ALL fail — the public C4
+    cleaning rule family.  The corpus is single-line word soup, so the
+    line structure derives deterministically from the shared table via
+    two mirrored ``replace()`` rewrites (exact same rewrites in the
+    oracle), exercising every branch: punct-terminated keeps,
+    word-count drops, no-punct drops, whole-document drops.  One
+    stateless vectorized stage — C split, RE2 line tests, offsets
+    reassembly (stages/text.py::LineFilter)."""
+    from .stages.text import LineFilter
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column("text"), "")
+        t = pc.replace_substring(t, " table ", ".\n")
+        t = pc.replace_substring(t, " row ", "\n")
+        return b.set_column(b.schema.get_field_index("text"), "text", t)
+
+    out = ds.map_batches(derive, batch_format="pyarrow",
+                         zero_copy_batch=True).map_batches(
+        LineFilter(out_col="text_clean"), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def keep_nonempty(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("n_lines_kept"), 0))
+
+    out = out.map_batches(keep_nonempty, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return out.select_columns(["doc_id", "text_clean", "n_lines_kept"])
+
+
+SQL_C4_LINE_FILTER = r"""
+WITH nl AS (
+  SELECT doc_id,
+         replace(replace(coalesce(text, ''), ' table ', '.' || chr(10)),
+                 ' row ', chr(10)) AS t
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         list_filter(string_split(t, chr(10)),
+           l -> len(regexp_extract_all(l, '\S+')) >= 3
+                AND regexp_matches(rtrim(l, ' ' || chr(9)), '[.!?"]$')) AS ls
+  FROM nl)
+SELECT doc_id, array_to_string(ls, chr(10)) AS text_clean,
+       len(ls) AS n_lines_kept
+FROM f WHERE len(ls) > 0
+"""
+
+
+def q_doc_char_entropy(sf_dir):
+    """Per-document codepoint Shannon entropy (bits) — the low-entropy
+    boilerplate/padding quality signal.  Fully vectorized (one C concat
+    → uint32 codepoint view → lexsort run-length → two bincounts);
+    float-ulp-identical to DuckDB's ``entropy()`` aggregate, 1e-6 grid
+    (stages/text.py::char_entropy)."""
+    from .stages.text import with_char_entropy
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    out = with_char_entropy(ds)
+    return _round_cols(out.select_columns(["doc_id", "char_entropy"]),
+                       {"char_entropy": 6})
+
+
+SQL_DOC_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '')) AS c
+  FROM documents)
+SELECT d.doc_id, ROUND(COALESCE(e.h, 0), 6) AS char_entropy
+FROM documents d
+LEFT JOIN (SELECT doc_id, entropy(c) AS h FROM ch GROUP BY doc_id) e
+  USING (doc_id)
+"""
+
+
+def q_ccnet_buckets(sf_dir):
+    """CCNet-style perplexity bucketing: fit the char-bigram LM on the
+    corpus, score every document, and split each LANGUAGE into
+    head/middle/tail terciles by score (head = most-fluent third) — the
+    public CCNet head/middle/tail partitioning used to quality-stratify
+    Common Crawl.  Composition of two existing distributed stages: the
+    mergeable LM fit + one bucketed per-lang rank scan (``with_ranks``
+    ntile=3); ordering is on the ROUNDED score with doc_id tie-break so
+    the tercile assignment is bit-reproducible vs the oracle."""
+    from .stages.text import fit_char_bigram_lm, score_char_bigram_lm
+    from .stages.window import with_ranks
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+    logp = fit_char_bigram_lm(ds)
+    scored = score_char_bigram_lm(ds, logp)
+
+    def prep(b: pa.Table) -> pa.Table:
+        s = np.round(b.column("lm_score").to_numpy(zero_copy_only=False), 6)
+        b = b.set_column(b.schema.get_field_index("lm_score"), "lm_score",
+                         pa.array(s))
+        b = b.append_column("neg_score", pa.array(-s))
+        return b.filter(pa.array(~np.isnan(s)))
+
+    scored = scored.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    ranked = with_ranks(scored, "lang", "neg_score", ntile=3,
+                        tiebreak_cols=("doc_id",), num_buckets=8)
+
+    def label(t: pa.Table) -> pa.Table:
+        nt = t.column("ntile_3").to_numpy(zero_copy_only=False)
+        lab = np.where(nt == 1, "head", np.where(nt == 2, "middle", "tail"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "lm_score": t.column("lm_score"),
+            "ccnet_bucket": pa.array(lab.astype(object), type=pa.string()),
+        })
+
+    return ranked.map_batches(label, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_CCNET_BUCKETS = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '_', 'g') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, substr(t, i, 1) AS c1, substr(t, i + 1, 1) AS c2
+  FROM norm
+  CROSS JOIN LATERAL (SELECT unnest(range(1, greatest(len(t), 1))) AS i) u
+),
+cnt AS (SELECT c1, c2, count(*) AS c FROM big GROUP BY c1, c2),
+rtot AS (SELECT c1, sum(c) AS t FROM cnt GROUP BY c1),
+scores AS (
+  SELECT b.doc_id, avg(ln((cnt.c + 1) / (rtot.t + 28))) AS s
+  FROM big b JOIN cnt USING (c1, c2) JOIN rtot USING (c1)
+  GROUP BY b.doc_id
+),
+sc AS (
+  SELECT d.doc_id, d.lang, ROUND(s.s, 6) AS lm_score
+  FROM documents d JOIN scores s USING (doc_id)
+  WHERE s.s IS NOT NULL
+)
+SELECT doc_id, lang, lm_score,
+  CASE NTILE(3) OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+  END AS ccnet_bucket
+FROM sc
+"""
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-4 rotation puts every oracled query that
@@ -4719,6 +4871,9 @@ QUERIES = {
     "hashed_cross_events": q_hashed_cross_events,
     "image_channel_norm": q_image_channel_norm,  # rows-only (pixels)
     "grouped_pca_embeddings": q_grouped_pca_embeddings,  # rows-only (eigh)
+    "c4_line_filter": q_c4_line_filter,
+    "doc_char_entropy": q_doc_char_entropy,
+    "ccnet_buckets": q_ccnet_buckets,
 }
 
 ORACLE_SQL = {
@@ -4838,4 +4993,7 @@ ORACLE_SQL = {
     "pii_redact": SQL_PII_REDACT,
     "corpus_hygiene": SQL_CORPUS_HYGIENE,
     "hashed_cross_events": SQL_HASHED_CROSS_EVENTS,
+    "c4_line_filter": SQL_C4_LINE_FILTER,
+    "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
 }

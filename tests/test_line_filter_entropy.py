@@ -1,0 +1,96 @@
+"""LineFilter (C4-style line cleaning) and char_entropy: planted-case
+semantics, python-reference parity, empty/edge inputs.  (SQL parity is
+gate-covered by queries `c4_line_filter` / `doc_char_entropy` /
+`ccnet_buckets`.)"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from featureextraction_jl_ray.stages.text import CharEntropy, LineFilter, char_entropy
+
+
+def _ref_entropy(t: str | None) -> float:
+    """naive python reference: log2 entropy of the codepoint counts"""
+    t = t or ""
+    if not t:
+        return 0.0
+    counts = {}
+    for c in t:
+        counts[c] = counts.get(c, 0) + 1
+    n = len(t)
+    return -sum(c / n * math.log2(c / n) for c in counts.values())
+
+
+def _ref_line_filter(t: str | None, min_words=3, sep="\n"):
+    """naive python reference for the C4 rule: terminal punct after
+    space/tab rtrim AND >= min_words whitespace words."""
+    kept = []
+    for line in (t or "").split(sep):
+        r = line.rstrip(" \t")
+        if r and r[-1] in '.!?"' and len(line.split()) >= min_words:
+            kept.append(line)
+    return sep.join(kept), len(kept)
+
+
+def test_line_filter_planted_cases():
+    texts = [
+        'Good line here.\nshort.\nno punct at all\nAnother fine line!',
+        'all lines fail\nme too',
+        None,
+        '',
+        'Trailing spaces count as punct line.   \nx y z"\t\nmid  space ok?',
+        'one\ntwo.\nthree words here.',
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = LineFilter(out_col="clean")(tbl)
+    got_text = out.column("clean").to_pylist()
+    got_k = out.column("n_lines_kept").to_pylist()
+    for i, t in enumerate(texts):
+        want_text, want_k = _ref_line_filter(t)
+        assert got_text[i] == want_text, (i, t)
+        assert got_k[i] == want_k, (i, t)
+    # original text column untouched when out_col differs
+    assert out.column("text").to_pylist() == [t for t in texts]
+
+
+def test_line_filter_in_place_and_empty_batch():
+    tbl = pa.table({"text": ["Keep this full line.\ndrop"]})
+    out = LineFilter()(tbl)
+    assert out.column("text").to_pylist() == ["Keep this full line."]
+    empty = pa.table({"text": pa.array([], type=pa.string())})
+    out = LineFilter()(empty)
+    assert out.num_rows == 0
+    assert out.schema.names == ["text", "n_lines_kept"]
+
+
+def test_line_filter_params():
+    tbl = pa.table({"text": ["a b.\nc d e"]})
+    # min_words=2 keeps the punct line; terminal override keeps none
+    out = LineFilter(min_words=2)(tbl)
+    assert out.column("text").to_pylist() == ["a b."]
+    out = LineFilter(min_words=2, terminal_regex=r";$")(tbl)
+    assert out.column("n_lines_kept").to_pylist() == [0]
+
+
+def test_char_entropy_matches_python_reference():
+    texts = ["aabb", "", None, "é", "the quick brown fox", "aaaa",
+             "ab" * 500 + "c", "日本語テキスト 混合 abc", "\t\n  ",
+             "0123456789" * 3]
+    got = char_entropy(pa.array(texts, type=pa.string()))
+    want = np.array([_ref_entropy(t) for t in texts])
+    assert np.allclose(got, want, atol=1e-12)
+    # stage wrapper appends the column
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = CharEntropy()(tbl)
+    assert out.schema.names == ["doc_id", "text", "char_entropy"]
+    assert np.allclose(out.column("char_entropy").to_numpy(), want,
+                       atol=1e-12)
+
+
+def test_char_entropy_empty_batch():
+    got = char_entropy(pa.array([], type=pa.string()))
+    assert got.shape == (0,)
