@@ -4619,6 +4619,51 @@ FROM f WHERE len(ls) > 0
 """
 
 
+def q_line_dedup_docs(sf_dir):
+    """Within-document repeated-line removal keeping the first
+    occurrence (C4/RefinedWeb page-boilerplate rule: nav bars / cookie
+    banners repeat inside a page).  Line structure derives from the
+    shared table via the same mirrored ``replace()`` rewrites as
+    `c4_line_filter`; the stage itself is block-local — no exchange, no
+    state (stages/text.py::LineDedup)."""
+    from .stages.text import LineDedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column("text"), "")
+        t = pc.replace_substring(t, " table ", ".\n")
+        t = pc.replace_substring(t, " row ", "\n")
+        return b.set_column(b.schema.get_field_index("text"), "text", t)
+
+    out = ds.map_batches(derive, batch_format="pyarrow",
+                         zero_copy_batch=True).map_batches(
+        LineDedup(out_col="text_dedup"), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return out.select_columns(["doc_id", "text_dedup", "n_lines_kept"])
+
+
+SQL_LINE_DEDUP_DOCS = """
+WITH nl AS (
+  SELECT doc_id,
+         replace(replace(coalesce(text, ''), ' table ', '.' || chr(10)),
+                 ' row ', chr(10)) AS t
+  FROM documents),
+x AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM nl),
+e AS (
+  SELECT doc_id, ls[i] AS line, i AS ord
+  FROM x CROSS JOIN LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u),
+k AS (
+  SELECT doc_id, line, ord,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn
+  FROM e)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text_dedup,
+       CAST(count(*) AS BIGINT) AS n_lines_kept
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
 def q_doc_char_entropy(sf_dir):
     """Per-document codepoint Shannon entropy (bits) — the low-entropy
     boilerplate/padding quality signal.  Fully vectorized (one C concat
@@ -4874,6 +4919,7 @@ QUERIES = {
     "c4_line_filter": q_c4_line_filter,
     "doc_char_entropy": q_doc_char_entropy,
     "ccnet_buckets": q_ccnet_buckets,
+    "line_dedup_docs": q_line_dedup_docs,
 }
 
 ORACLE_SQL = {
@@ -4996,4 +5042,5 @@ ORACLE_SQL = {
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
+    "line_dedup_docs": SQL_LINE_DEDUP_DOCS,
 }

@@ -41,6 +41,8 @@ __all__ = [
     "with_pii_redact",
     "LineFilter",
     "with_line_filter",
+    "LineDedup",
+    "with_line_dedup",
     "char_entropy",
     "with_char_entropy",
 ]
@@ -342,6 +344,71 @@ class LineFilter:
 
 
 with_line_filter = _actor_stage(LineFilter)
+
+
+class LineDedup:
+    """Within-document repeated-line removal, keeping the FIRST
+    occurrence in document order — the C4/RefinedWeb page-level
+    boilerplate rule (nav bars, cookie banners, footers repeat inside a
+    page; the first copy survives, later copies drop).  Purely
+    block-local: no exchange, no state — each document dedups inside
+    its own batch, so the stage streams at read speed.
+
+    Vectorized: one C ``split_pattern``, one hash-based
+    ``pd.duplicated`` over (row, line) on the flat line array, then the
+    same offsets + ``binary_join`` reassembly as :class:`LineFilter`."""
+
+    def __init__(self, text_col: str = "text", out_col: str | None = None,
+                 sep: str = "\n", count: bool = True):
+        self._text_col = text_col
+        self._out_col = out_col or text_col
+        self._sep = sep
+        self._count = count
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch.column(self._text_col), "")
+        lines = pc.split_pattern(s, self._sep)
+        lens_raw = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lines)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_rows = len(batch)
+        if len(flat) >= 2**31:  # int32 list offsets
+            raise RuntimeError(
+                f"LineDedup: {len(flat)} lines in one batch exceeds int32 "
+                "offsets; lower the block size")
+        if n_rows == 0:
+            kept_lens = np.empty(0, dtype=np.int64)
+            out_text = pa.array([], type=pa.string())
+        else:
+            row_of = np.repeat(np.arange(n_rows), lens_raw)
+            dup = pd.DataFrame(
+                {"r": row_of,
+                 "l": flat.to_numpy(zero_copy_only=False)}).duplicated()
+            mask = ~dup.to_numpy()
+            kept_lens = np.bincount(row_of, weights=mask,
+                                    minlength=n_rows).astype(np.int64)
+            flat_kept = flat.filter(pa.array(mask))
+            if isinstance(flat_kept, pa.ChunkedArray):
+                flat_kept = flat_kept.combine_chunks()
+            offsets = np.append(np.cumsum(kept_lens) - kept_lens,
+                                int(kept_lens.sum())).astype(np.int32)
+            out_text = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                         flat_kept),
+                self._sep)
+        if self._out_col in batch.schema.names:
+            out = batch.set_column(
+                batch.schema.get_field_index(self._out_col),
+                self._out_col, out_text)
+        else:
+            out = batch.append_column(self._out_col, out_text)
+        if self._count:
+            out = out.append_column("n_lines_kept", pa.array(kept_lens))
+        return out
+
+
+with_line_dedup = _actor_stage(LineDedup)
 
 
 def char_entropy(texts) -> np.ndarray:

@@ -10,7 +10,12 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from featureextraction_jl_ray.stages.text import CharEntropy, LineFilter, char_entropy
+from featureextraction_jl_ray.stages.text import (
+    CharEntropy,
+    LineDedup,
+    LineFilter,
+    char_entropy,
+)
 
 
 def _ref_entropy(t: str | None) -> float:
@@ -74,6 +79,45 @@ def test_line_filter_params():
     assert out.column("text").to_pylist() == ["a b."]
     out = LineFilter(min_words=2, terminal_regex=r";$")(tbl)
     assert out.column("n_lines_kept").to_pylist() == [0]
+
+
+def _ref_line_dedup(t: str | None, sep="\n"):
+    seen, kept = set(), []
+    for line in (t or "").split(sep):
+        if line not in seen:
+            seen.add(line)
+            kept.append(line)
+    return sep.join(kept), len(kept)
+
+
+def test_line_dedup_planted_cases():
+    texts = [
+        "nav bar\ncontent one.\nnav bar\ncontent two.\nnav bar",
+        "a\na\na",
+        "",
+        None,
+        "unique one\nunique two",
+        "x\n\nx\n\ny",  # empty lines dedup too (2nd '' drops)
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = LineDedup(out_col="clean")(tbl)
+    got_text = out.column("clean").to_pylist()
+    got_k = out.column("n_lines_kept").to_pylist()
+    for i, t in enumerate(texts):
+        want_text, want_k = _ref_line_dedup(t)
+        assert got_text[i] == want_text, (i, t)
+        assert got_k[i] == want_k, (i, t)
+    # dedup is per-document: the same line in DIFFERENT docs survives
+    assert got_text[0].count("nav bar") == 1
+    assert "unique one" in got_text[4]
+
+
+def test_line_dedup_empty_batch_and_in_place():
+    empty = pa.table({"text": pa.array([], type=pa.string())})
+    out = LineDedup()(empty)
+    assert out.num_rows == 0 and out.schema.names == ["text", "n_lines_kept"]
+    tbl = pa.table({"text": ["a\nb\na"]})
+    assert LineDedup()(tbl).column("text").to_pylist() == ["a\nb"]
 
 
 def test_char_entropy_matches_python_reference():
