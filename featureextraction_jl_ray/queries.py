@@ -4664,6 +4664,65 @@ FROM k WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_c4_pipeline(sf_dir):
+    """Composed C4 cleaning funnel: within-page line dedup → terminal-
+    punctuation/word-count line filter → document drop → corpus-level
+    exact dedup of the CLEANED text (survivor = min doc_id).  ONE
+    chained SQL oracle locks the stage ORDER (filter-before-dedup keeps
+    punct-terminated boilerplate; raw-text corpus dedup misses docs
+    that clean identical).  Stages 1–3 stream block-locally; only the
+    final dedup exchanges, on the post-filter corpus
+    (pipelines/c4clean.py::run_c4_clean)."""
+    from .pipelines.c4clean import run_c4_clean
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column("text"), "")
+        t = pc.replace_substring(t, " table ", ".\n")
+        t = pc.replace_substring(t, " row ", "\n")
+        return b.set_column(b.schema.get_field_index("text"), "text", t)
+
+    lined = ds.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = run_c4_clean(lined, num_buckets=16)
+    return out.select_columns(["doc_id", "text_clean", "n_lines_kept"])
+
+
+SQL_C4_PIPELINE = r"""
+WITH nl AS (
+  SELECT doc_id,
+         replace(replace(coalesce(text, ''), ' table ', '.' || chr(10)),
+                 ' row ', chr(10)) AS t
+  FROM documents),
+x AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM nl),
+e AS (
+  SELECT doc_id, ls[i] AS line, i AS ord
+  FROM x CROSS JOIN LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u),
+k AS (
+  SELECT doc_id, line, ord,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn
+  FROM e),
+dd AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS t
+  FROM k WHERE rn = 1 GROUP BY doc_id),
+f AS (
+  SELECT doc_id,
+         list_filter(string_split(t, chr(10)),
+           l -> len(regexp_extract_all(l, '\S+')) >= 3
+                AND regexp_matches(rtrim(l, ' ' || chr(9)), '[.!?"]$')) AS ls
+  FROM dd),
+cl AS (
+  SELECT doc_id, array_to_string(ls, chr(10)) AS text_clean,
+         len(ls) AS n_lines_kept
+  FROM f WHERE len(ls) >= 1)
+SELECT doc_id, text_clean, n_lines_kept
+FROM cl
+QUALIFY row_number() OVER (PARTITION BY text_clean ORDER BY doc_id) = 1
+"""
+
+
 def q_doc_char_entropy(sf_dir):
     """Per-document codepoint Shannon entropy (bits) — the low-entropy
     boilerplate/padding quality signal.  Fully vectorized (one C concat
@@ -4920,6 +4979,7 @@ QUERIES = {
     "doc_char_entropy": q_doc_char_entropy,
     "ccnet_buckets": q_ccnet_buckets,
     "line_dedup_docs": q_line_dedup_docs,
+    "c4_pipeline": q_c4_pipeline,
 }
 
 ORACLE_SQL = {
@@ -5043,4 +5103,5 @@ ORACLE_SQL = {
     "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "line_dedup_docs": SQL_LINE_DEDUP_DOCS,
+    "c4_pipeline": SQL_C4_PIPELINE,
 }

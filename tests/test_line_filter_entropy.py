@@ -138,3 +138,47 @@ def test_char_entropy_matches_python_reference():
 def test_char_entropy_empty_batch():
     got = char_entropy(pa.array([], type=pa.string()))
     assert got.shape == (0,)
+
+
+def test_c4_clean_pipeline_order_and_corpus_dedup(ray_session):
+    """run_c4_clean end-to-end: within-page dedup runs BEFORE the line
+    filter (punct-terminated boilerplate repeats collapse to one), and
+    the corpus-level exact dedup keys on the CLEANED text (docs that
+    clean identical collapse to min doc_id)."""
+    import ray
+
+    from featureextraction_jl_ray.pipelines.c4clean import run_c4_clean
+
+    rows = [
+        # doc 1: repeated punct-terminated boilerplate + one real line
+        {"doc_id": 1, "text": "Buy our great product now!\n"
+                              "Real content sentence one.\n"
+                              "Buy our great product now!"},
+        # doc 2: cleans to the same text as doc 3 (raw differs)
+        {"doc_id": 2, "text": "Shared cleaned line stays.\nnoise"},
+        {"doc_id": 3, "text": "Shared cleaned line stays.\nother noise"},
+        # doc 4: nothing survives the line filter
+        {"doc_id": 4, "text": "no punct here\nshort."},
+    ]
+    ds = ray.data.from_items(rows)
+    out = run_c4_clean(ds, num_buckets=4).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert out.doc_id.tolist() == [1, 2]
+    d1 = out.loc[0]
+    # boilerplate survived ONCE (dedup-before-filter), content kept
+    assert d1.text_clean == ("Buy our great product now!\n"
+                             "Real content sentence one.")
+    assert d1.n_lines_kept == 2
+    # docs 2/3 cleaned identical -> min doc_id survives
+    assert out.loc[1].text_clean == "Shared cleaned line stays."
+
+
+def test_c4_clean_pipeline_empty_input(ray_session):
+    import ray
+
+    from featureextraction_jl_ray.pipelines.c4clean import run_c4_clean
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    assert run_c4_clean(ds, num_buckets=2).count() == 0
