@@ -4259,6 +4259,25 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_image_quality(sf_dir):
+    """LAION-style image corpus quality filters: per-image variance-of-
+    Laplacian blur score + histogram-end exposure-clip fractions and
+    threshold flags — the image analog of the text quality gates.
+    Binary pixels aren't SQL → rows-only; the Laplacian/clip kernels
+    are pytest-oracled against a naive per-pixel reference
+    (tests/test_image_stages.py::test_sharpness_stats_matches_naive)."""
+    from .stages.codec import with_sharpness_stats
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"])
+    out = with_sharpness_stats(images)
+    out = _round_cols(out, {"sharpness": 6, "clip_dark_frac": 6,
+                            "clip_bright_frac": 6})
+    return out.select_columns(
+        ["image_id", "sharpness", "clip_dark_frac", "clip_bright_frac",
+         "flag_blurry", "flag_clipped"])
+
+
 def q_image_channel_norm(sf_dir):
     """Corpus-fitted channel normalization (the ImageNet-mean/std
     pattern): one distributed centered-moments pass over every decoded
@@ -4980,6 +4999,7 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "line_dedup_docs": q_line_dedup_docs,
     "c4_pipeline": q_c4_pipeline,
+    "image_quality": q_image_quality,  # rows-only (pixels)
 }
 
 ORACLE_SQL = {

@@ -333,3 +333,52 @@ def test_aspect_bucket_and_pixel_packing(ray_session):
         for (_, _), grp in packed.groupby(["aspect_bucket", "pack_shard"]):
             srt = grp.sort_values("image_id")
             assert (np.diff(srt.pack_bin.to_numpy()) >= 0).all()
+
+
+def _naive_sharpness(img: np.ndarray) -> tuple[float, float, float]:
+    """Per-pixel reference: variance of the 4-neighbor Laplacian of the
+    BT.601 luma + histogram-end clip fractions."""
+    f = img.astype(np.float64)
+    lum = f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+    h, w = lum.shape
+    lap_vals = []
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            lap_vals.append(4 * lum[y, x] - lum[y - 1, x] - lum[y + 1, x]
+                            - lum[y, x - 1] - lum[y, x + 1])
+    sharp = float(np.var(lap_vals)) if lap_vals else 0.0
+    return sharp, float((lum <= 2).mean()), float((lum >= 253).mean())
+
+
+def test_sharpness_stats_matches_naive(ray_session):
+    import ray
+
+    from featureextraction_jl_ray.stages.codec import (
+        SharpnessStats,
+        with_sharpness_stats,
+    )
+
+    dims = [(8, 8), (12, 6), (4, 4), (2, 2)]
+    pix, tbl = _img_table(dims, seed=17)
+    pix[1][:] = 128          # constant image: zero Laplacian -> blurry
+    pix[2][:] = 0            # crushed shadows: clip_dark_frac = 1
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("bytes"), "bytes",
+        pa.array([p.tobytes() for p in pix], type=pa.binary()))
+    ds = ray.data.from_arrow(tbl)
+    rows = {r["image_id"]: r for r in with_sharpness_stats(ds).take_all()}
+    assert "bytes" not in next(iter(rows.values()))
+    for i, p in enumerate(pix):
+        r = rows[f"img_{i}"]
+        sharp, dk, br = _naive_sharpness(p)
+        assert np.isclose(r["sharpness"], sharp), i
+        assert np.isclose(r["clip_dark_frac"], dk), i
+        assert np.isclose(r["clip_bright_frac"], br), i
+    assert rows["img_1"]["flag_blurry"]           # constant = blurry
+    assert not rows["img_0"]["flag_blurry"]       # random noise = sharp
+    assert rows["img_2"]["flag_clipped"]
+    assert rows["img_3"]["sharpness"] == 0.0      # 2x2: no interior
+    # direct-callable contract, thresholds honored
+    st = SharpnessStats(blur_threshold=1e12, drop_bytes=False)(tbl)
+    assert "bytes" in st.column_names
+    assert all(st.column("flag_blurry").to_pylist())
