@@ -4259,6 +4259,25 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_semdedup_embeddings(sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic dedup of the embeddings
+    table: k-means-cluster the embedding space, prune within-cluster
+    cosine-near-dups, survivor = the component member least similar to
+    its centroid (the paper's diversity-keeping rule).  The O(m²)
+    pairwise pass runs only within a cluster (n_clusters is the scale
+    knob; loud guard on cluster size).  k-means isn't SQL → rows-only;
+    the prune semantics are pytest-oracled with planted dup pairs
+    (tests/test_dedup_similarity.py::test_semdedup_planted_cluster_dups)."""
+    from .stages.similarity import semdedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "label", "embedding"])
+    kept = semdedup(ds, vector_col="embedding", id_col="vec_id",
+                    n_clusters=8, tau=0.97, iters=3, seed=42,
+                    num_buckets=8)
+    return kept.select_columns(["vec_id", "label"])
+
+
 def q_image_quality(sf_dir):
     """LAION-style image corpus quality filters: per-image variance-of-
     Laplacian blur score + histogram-end exposure-clip fractions and
@@ -4276,6 +4295,21 @@ def q_image_quality(sf_dir):
     return out.select_columns(
         ["image_id", "sharpness", "clip_dark_frac", "clip_bright_frac",
          "flag_blurry", "flag_clipped"])
+
+
+def q_image_hashes(sf_dir):
+    """Perceptual-hash triple per image — ahash (mean threshold), dhash
+    (brightness-invariant gradient), DCT pHash (resize/blur-robust) —
+    all int64 and band-compatible with the hamming near-dup machinery.
+    Pixels aren't SQL → rows-only; hash invariance/separation
+    properties are pytest-oracled
+    (tests/test_image_stages.py::test_perceptual_hash_family_properties)."""
+    from .stages.codec import with_image_hashes
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"])
+    out = with_image_hashes(images)
+    return out.select_columns(["image_id", "ahash", "dhash", "phash"])
 
 
 def q_image_channel_norm(sf_dir):
@@ -5000,6 +5034,8 @@ QUERIES = {
     "line_dedup_docs": q_line_dedup_docs,
     "c4_pipeline": q_c4_pipeline,
     "image_quality": q_image_quality,  # rows-only (pixels)
+    "semdedup_embeddings": q_semdedup_embeddings,  # rows-only (kmeans)
+    "image_hashes": q_image_hashes,  # rows-only (pixels)
 }
 
 ORACLE_SQL = {

@@ -37,6 +37,8 @@ __all__ = [
     "with_image_stats",
     "SharpnessStats",
     "with_sharpness_stats",
+    "HashImages",
+    "with_image_hashes",
     "AugmentImages",
     "augment_images",
     "patchify_images",
@@ -527,6 +529,71 @@ def with_image_stats(ds, *, dark: float = 32.0, bright: float = 224.0,
                               zero_copy_batch=True, batch_size=batch_size)
     return ds.map_batches(
         ImageStats, fn_constructor_args=(dark, bright, low_contrast, drop_bytes),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
+class HashImages:
+    """Stage: perceptual-hash columns per image — any subset of
+    ``ahash`` (mean threshold), ``dhash`` (horizontal gradient,
+    brightness-invariant), ``phash`` (32×32 DCT low-frequency, the
+    classic pHash — robust to resize/blur).  All three are int64,
+    band-compatible with the hamming near-dup machinery
+    (``stages/dedup.py::hamming_near_dup_pairs``).  Vectorized per
+    uniform-(w, h) row group; the DCT is two batched GEMMs."""
+
+    _FNS = None  # resolved lazily (import order)
+
+    def __init__(self, methods=("ahash", "dhash", "phash"),
+                 drop_bytes: bool = True, prefix: str = ""):
+        from ..functions.phash import (
+            ahash64_batch,
+            dhash64_batch,
+            phash_dct64_batch,
+        )
+
+        table = {"ahash": ahash64_batch, "dhash": dhash64_batch,
+                 "phash": phash_dct64_batch}
+        unknown = set(methods) - set(table)
+        if unknown:
+            raise ValueError(f"unknown hash methods {sorted(unknown)}; "
+                             f"pick from {sorted(table)}")
+        self._methods = list(methods)
+        self._fns = [table[m] for m in self._methods]
+        self._drop = drop_bytes
+        self._prefix = prefix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = [np.empty(n, dtype=np.int64) for _ in self._methods]
+
+        def per_group(pix, idx):
+            for o, fn in zip(out, self._fns):
+                o[idx] = fn(pix)
+
+        _map_dim_groups(batch, per_group)
+        for name, arr in zip(self._methods, out):
+            col = self._prefix + name
+            if col in batch.schema.names:  # e.g. a precomputed phash column
+                batch = batch.set_column(
+                    batch.schema.get_field_index(col), col, pa.array(arr))
+            else:
+                batch = batch.append_column(col, pa.array(arr))
+        if self._drop:
+            batch = batch.drop_columns(["bytes"])
+        return batch
+
+
+def with_image_hashes(ds, *, methods=("ahash", "dhash", "phash"),
+                      drop_bytes: bool = True, prefix: str = "",
+                      concurrency=None, batch_size: int | None = 1024):
+    """Images ds → + int64 perceptual-hash columns (ahash/dhash/phash)."""
+    stage = HashImages(methods, drop_bytes, prefix)
+    if concurrency is None:
+        return ds.map_batches(lambda b: stage(b), batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    return ds.map_batches(
+        HashImages, fn_constructor_args=(methods, drop_bytes, prefix),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
 

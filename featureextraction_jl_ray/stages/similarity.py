@@ -1150,3 +1150,107 @@ def random_projection(ds, *, vector_col: str, out_dim: int,
 
 
 __all__.append("random_projection")
+
+
+def _cc_labels_dense(adj: np.ndarray) -> np.ndarray:
+    """Connected-component labels of a small dense boolean adjacency
+    matrix (cluster-local; bounded by the semdedup guard) — vectorized
+    min-label propagation, no per-edge Python."""
+    c = adj.shape[0]
+    labels = np.arange(c, dtype=np.int64)
+    sentinel = np.int64(c)
+    while True:
+        nbr = np.where(adj, labels[None, :], sentinel).min(axis=1)
+        new = np.minimum(labels, nbr)
+        new = new[new]  # path-compress one hop
+        if (new == labels).all():
+            return labels
+        labels = new
+
+
+def semdedup(
+    ds,
+    *,
+    vector_col: str,
+    id_col: str,
+    n_clusters: int = 16,
+    tau: float = 0.95,
+    keep: str = "farthest",
+    iters: int = 4,
+    seed: int = 42,
+    num_buckets: int = 64,
+    max_cluster_rows: int = 200_000,
+    cluster_col: str | None = None,
+):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    within each cluster — rows whose pairwise cosine exceeds ``tau``
+    collapse to one representative.  ``keep="farthest"`` is the paper's
+    rule (the survivor is the component member LEAST similar to its
+    cluster centroid — keeps the diverse tail; min-id tie-break);
+    ``keep="min_id"`` is the fully-ordering-free variant.
+
+    Scale shape: the O(m²) pairwise pass runs only WITHIN a cluster —
+    the paper's own trick — so ``n_clusters`` is the scaling knob
+    (they use 50k clusters at 100M+ scale).  Cluster fit + assignment
+    are the existing streaming passes; the prune is one blob-packed
+    exchange keyed on cluster id (clusters never split).  A cluster
+    past ``max_cluster_rows`` raises LOUDLY with the fix (raise
+    ``n_clusters``) instead of silently quadratic-exploding a task.
+    Returns the kept Dataset (original schema + optional
+    ``cluster_col``)."""
+    import pandas as pd
+
+    from .partition import bucketed_map_groups
+
+    if keep not in ("farthest", "min_id"):
+        raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
+
+    centroids = kmeans_fit_distributed(
+        ds, vector_col, n_clusters, iters=iters, seed=seed, metric="cosine")
+    Cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    _cluster = cluster_col or "_sd_cluster"
+    assigned = assign_clusters(ds, centroids, vector_col=vector_col,
+                               out_col=_cluster, metric="cosine")
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        cl = tbl.column(_cluster).to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        X = _normalize(
+            list_column_to_numpy(tbl, vector_col).astype(np.float64))
+        keep_mask = np.zeros(len(cl), dtype=bool)
+        for _, idx in pd.Series(range(len(cl))).groupby(cl, sort=False):
+            idx = idx.to_numpy()
+            m = len(idx)
+            if m > max_cluster_rows:
+                raise RuntimeError(
+                    f"semdedup: cluster of {m} rows exceeds "
+                    f"max_cluster_rows={max_cluster_rows}; the within-"
+                    f"cluster pass is O(m^2) by design (SemDeDup) — "
+                    f"raise n_clusters (paper uses ~sqrt-scale cluster "
+                    f"counts) or max_cluster_rows")
+            if m == 1:
+                keep_mask[idx] = True
+                continue
+            Xc = X[idx]
+            adj = (Xc @ Xc.T) >= tau
+            np.fill_diagonal(adj, False)
+            labels = _cc_labels_dense(adj)
+            if keep == "min_id":
+                order = np.lexsort((ids[idx], labels))
+            else:  # farthest: least-similar-to-centroid survives
+                csim = Xc @ Cn[cl[idx[0]]]
+                order = np.lexsort((ids[idx], csim, labels))
+            first = np.ones(m, dtype=bool)
+            first[1:] = labels[order][1:] != labels[order][:-1]
+            keep_mask[idx[order[first]]] = True
+        out = tbl.filter(pa.array(keep_mask))
+        return out if cluster_col else out.drop_columns([_cluster])
+
+    return bucketed_map_groups(assigned, _cluster, prune,
+                               num_buckets=num_buckets, seed=29)
+
+
+__all__.append("semdedup")

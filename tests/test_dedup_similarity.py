@@ -1019,3 +1019,83 @@ def test_random_projection_jl_property(ray_session):
                              ).to_pandas().sort_values("vid", ignore_index=True)
     np.testing.assert_array_equal(
         np.stack(out.emb_rp32.to_numpy()), np.stack(out2.emb_rp32.to_numpy()))
+
+
+def test_semdedup_planted_cluster_dups(ray_session):
+    """SemDeDup: within-cluster near-dups collapse; the survivor under
+    the paper's rule is the component member least similar to its
+    centroid; distinct members and other clusters are untouched."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(5)
+    d = 16
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return v / np.linalg.norm(v)
+
+    a = np.zeros(d); a[0] = 1.0
+    b = np.zeros(d); b[1] = 1.0
+    # cluster A: two near-identical vectors + one distinct-enough vector
+    v0 = unit(a + 0.01 * rng.standard_normal(d))          # dup pair…
+    v1 = unit(v0 + 0.005 * rng.standard_normal(d))        # …cos > 0.99
+    far = np.zeros(d); far[0] = 1.0; far[2] = 0.9
+    v2 = unit(far)                                        # cos(v0,v2) ~ 0.74
+    # cluster B: two distinct vectors
+    v3 = unit(b + 0.01 * rng.standard_normal(d))
+    v4 = unit(b + np.array([0.0, 0.0, 0.0, 0.8] + [0.0] * (d - 4)))
+    df = pd.DataFrame({"vid": [0, 1, 2, 3, 4],
+                       "emb": [list(v) for v in (v0, v1, v2, v3, v4)]})
+    ds = _ray.data.from_pandas(df)
+    kept = semdedup(ds, vector_col="emb", id_col="vid", n_clusters=2,
+                    tau=0.95, iters=3, seed=3, num_buckets=4)
+    got = sorted(r["vid"] for r in kept.take_all())
+    # exactly one of {0, 1} dropped; 2, 3, 4 survive
+    assert len(got) == 4
+    assert 2 in got and 3 in got and 4 in got
+    assert (0 in got) != (1 in got)
+    # paper rule: survivor = lower cosine to the cluster centroid
+    from featureextraction_jl_ray.stages.similarity import (
+        _normalize,
+        assign_clusters,
+        kmeans_fit_distributed,
+    )
+    C = kmeans_fit_distributed(ds, "emb", 2, iters=3, seed=3,
+                               metric="cosine")
+    Cn = _normalize(C.astype(np.float64))
+    cl = {r["vid"]: r["c"] for r in assign_clusters(
+        ds, C, vector_col="emb", out_col="c").take_all()}
+    sims = {i: float(unit(v) @ Cn[cl[i]]) for i, v in
+            ((0, v0), (1, v1))}
+    want_survivor = min(sims, key=lambda i: (sims[i], i))
+    assert want_survivor in got
+
+    # min_id rule: survivor is vid 0 regardless of centroid distance
+    kept2 = semdedup(ds, vector_col="emb", id_col="vid", n_clusters=2,
+                     tau=0.95, keep="min_id", iters=3, seed=3,
+                     num_buckets=4)
+    got2 = sorted(r["vid"] for r in kept2.take_all())
+    assert 0 in got2 and 1 not in got2 and len(got2) == 4
+
+    # cluster_col passthrough keeps the assignment column
+    kept3 = semdedup(ds, vector_col="emb", id_col="vid", n_clusters=2,
+                     tau=0.95, iters=3, seed=3, num_buckets=4,
+                     cluster_col="cl")
+    assert "cl" in kept3.schema().names
+
+
+def test_semdedup_cluster_size_guard(ray_session):
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"vid": range(8),
+                       "emb": [list(rng.standard_normal(8)) for _ in range(8)]})
+    ds = _ray.data.from_pandas(df)
+    with pytest.raises(Exception, match="max_cluster_rows|n_clusters"):
+        semdedup(ds, vector_col="emb", id_col="vid", n_clusters=1,
+                 iters=1, seed=1, num_buckets=2,
+                 max_cluster_rows=2).materialize()

@@ -382,3 +382,71 @@ def test_sharpness_stats_matches_naive(ray_session):
     st = SharpnessStats(blur_threshold=1e12, drop_bytes=False)(tbl)
     assert "bytes" in st.column_names
     assert all(st.column("flag_blurry").to_pylist())
+
+
+def test_perceptual_hash_family_properties():
+    """dhash is brightness-shift invariant, phash is noise-robust and
+    separates distinct images, small images hash without warnings, and
+    the divisible-size ahash fast path matches the general path."""
+    import warnings
+
+    from featureextraction_jl_ray.functions.phash import (
+        _downsample_mean,
+        ahash64_batch,
+        dhash64_batch,
+        phash_dct64_batch,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 200, size=(4, 48, 40, 3), dtype=np.uint8)
+    d0, p0 = dhash64_batch(img), phash_dct64_batch(img)
+    shift = np.clip(img.astype(np.int64) + 30, 0, 255).astype(np.uint8)
+    assert (dhash64_batch(shift) == d0).all()
+    noisy = np.clip(img.astype(np.int64)
+                    + rng.integers(-6, 7, img.shape), 0, 255).astype(np.uint8)
+
+    def ham(a, b):
+        return np.array([bin(int(np.uint64(x) ^ np.uint64(y))).count("1")
+                         for x, y in zip(a.view(np.uint64), b.view(np.uint64))])
+
+    assert (ham(p0, phash_dct64_batch(noisy)) <= 10).all()
+    other = rng.integers(0, 200, size=(4, 48, 40, 3), dtype=np.uint8)
+    assert (ham(p0, phash_dct64_batch(other)) >= 16).all()
+    # images smaller than the grid: defined, warning-free
+    small = rng.integers(0, 255, size=(2, 5, 6, 3), dtype=np.uint8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        for fn in (ahash64_batch, dhash64_batch, phash_dct64_batch):
+            assert fn(small).dtype == np.int64
+    # area-mean fast path == reduceat path on divisible dims
+    g = rng.random((2, 16, 16))
+    np.testing.assert_allclose(
+        _downsample_mean(g, 8), g.reshape(2, 8, 2, 8, 2).mean(axis=(2, 4)))
+
+
+def test_hash_images_stage(ray_session):
+    import ray
+
+    from featureextraction_jl_ray.functions.phash import (
+        ahash64_batch,
+        dhash64_batch,
+        phash_dct64_batch,
+    )
+    from featureextraction_jl_ray.stages.codec import HashImages, with_image_hashes
+
+    dims = [(16, 16), (12, 20), (16, 16)]
+    pix, tbl = _img_table(dims, seed=23)
+    ds = ray.data.from_arrow(tbl)
+    rows = {r["image_id"]: r for r in with_image_hashes(ds).take_all()}
+    assert "bytes" not in next(iter(rows.values()))
+    for i, p in enumerate(pix):
+        r = rows[f"img_{i}"]
+        assert r["ahash"] == int(ahash64_batch(p[None])[0])
+        assert r["dhash"] == int(dhash64_batch(p[None])[0])
+        assert r["phash"] == int(phash_dct64_batch(p[None])[0])
+    # method subset + prefix + unknown-method guard
+    out = HashImages(methods=("dhash",), prefix="img_",
+                     drop_bytes=False)(tbl)
+    assert "img_dhash" in out.column_names and "bytes" in out.column_names
+    with pytest.raises(ValueError, match="unknown hash methods"):
+        HashImages(methods=("md5",))
