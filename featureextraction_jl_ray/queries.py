@@ -4802,6 +4802,47 @@ LEFT JOIN (SELECT doc_id, entropy(c) AS h FROM ch GROUP BY doc_id) e
 """
 
 
+def q_clean_normalize(sf_dir):
+    """Unicode/whitespace normalization — the first stage of every
+    corpus pipeline: NFC canonical form (decomposed e+◌́ composes to é,
+    so visually-identical strings dedup identically), C0/DEL control
+    strip, whitespace-run collapse, trim.  The corpus is already clean,
+    so the gate derives messy text via a mirrored ``replace()`` that
+    injects a decomposed accent, a tab and a vertical-tab — exercising
+    compose/strip/collapse/trim.  (DuckDB's regex path truncates at
+    NUL, so the oracle avoids \\x00; the ENGINE strips it correctly —
+    pytest-covered.)  Four Arrow C kernels, zero per-row Python
+    (stages/text.py::CleanNormalize)."""
+    from .stages.text import CleanNormalize
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column("text"), "")
+        # decomposed e + U+0301 (the bytes the oracle injects via
+        # chr(101)||chr(769)) so the NFC compose path really runs
+        t = pc.replace_substring(t, " value ", "\te\u0301\x0b ")
+        return b.set_column(b.schema.get_field_index("text"), "text", t)
+
+    out = ds.map_batches(derive, batch_format="pyarrow",
+                         zero_copy_batch=True).map_batches(
+        CleanNormalize(out_col="text_norm"), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return out.select_columns(["doc_id", "text_norm"])
+
+
+SQL_CLEAN_NORMALIZE = r"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(
+    nfc_normalize(replace(coalesce(text, ''), ' value ',
+                  chr(9) || chr(101) || chr(769) || chr(11) || ' ')),
+    '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+    '\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
 def q_ccnet_buckets(sf_dir):
     """CCNet-style perplexity bucketing: fit the char-bigram LM on the
     corpus, score every document, and split each LANGUAGE into
@@ -5036,6 +5077,7 @@ QUERIES = {
     "image_quality": q_image_quality,  # rows-only (pixels)
     "semdedup_embeddings": q_semdedup_embeddings,  # rows-only (kmeans)
     "image_hashes": q_image_hashes,  # rows-only (pixels)
+    "clean_normalize": q_clean_normalize,
 }
 
 ORACLE_SQL = {
@@ -5160,4 +5202,5 @@ ORACLE_SQL = {
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "line_dedup_docs": SQL_LINE_DEDUP_DOCS,
     "c4_pipeline": SQL_C4_PIPELINE,
+    "clean_normalize": SQL_CLEAN_NORMALIZE,
 }

@@ -43,6 +43,8 @@ __all__ = [
     "with_line_filter",
     "LineDedup",
     "with_line_dedup",
+    "CleanNormalize",
+    "with_clean_normalize",
     "char_entropy",
     "with_char_entropy",
 ]
@@ -344,6 +346,61 @@ class LineFilter:
 
 
 with_line_filter = _actor_stage(LineFilter)
+
+
+class CleanNormalize:
+    """Unicode/whitespace text normalization — the first stage of every
+    real corpus pipeline: strip C0/DEL control characters, NFC-normalize
+    (combining sequences compose, so visually-identical strings
+    hash/dedup identically), collapse every whitespace run to one
+    space, trim.  Strip runs FIRST so a control char separating a base
+    from its combining mark doesn't block composition (both the engine
+    and the SQL oracle order it this way).
+
+    pyarrow's ``utf8_normalize`` does not COMPOSE (its NFC/NFKC output
+    stays decomposed; verified on 16.1), so normalization is ONE
+    CPython ``unicodedata.normalize`` call per batch over the
+    NUL-joined column — C-speed, not per-row: NUL is a starter with no
+    composition pairs, so normalization never crosses or alters the
+    join separator, and the control-strip has already removed any NUL
+    from the data.  Everything else is Arrow RE2/trim kernels."""
+
+    _CTRL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+    def __init__(self, text_col: str = "text", out_col: str | None = None,
+                 form: str = "NFC"):
+        self._text_col = text_col
+        self._out_col = out_col or text_col
+        self._form = form
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import unicodedata
+
+        s = pc.fill_null(batch.column(self._text_col), "")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pc.replace_substring_regex(s, self._CTRL, "")
+        n = len(s)
+        if n:
+            one = pa.ListArray.from_arrays(
+                pa.array(np.array([0, n], dtype=np.int32),
+                         type=pa.int32()), s)
+            big = pc.binary_join(one, "\x00").to_pylist()[0] or ""
+            parts = unicodedata.normalize(self._form, big).split("\x00")
+            assert len(parts) == n  # NUL count is normalization-stable
+            s = pa.array(parts, type=pa.string())
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        if self._out_col in batch.schema.names:
+            return batch.set_column(
+                batch.schema.get_field_index(self._out_col),
+                self._out_col, s)
+        return batch.append_column(self._out_col, s)
+
+
+with_clean_normalize = _actor_stage(CleanNormalize)
 
 
 class LineDedup:

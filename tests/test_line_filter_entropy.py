@@ -140,6 +140,39 @@ def test_char_entropy_empty_batch():
     assert got.shape == (0,)
 
 
+def test_clean_normalize_composes_strips_collapses():
+    """NFC composition (pyarrow's utf8_normalize does NOT compose, so
+    the stage normalizes via one NUL-joined unicodedata call), control
+    strip incl. NUL, whitespace collapse, trim — vs a per-row python
+    reference."""
+    import re
+    import unicodedata
+
+    from featureextraction_jl_ray.stages.text import CleanNormalize
+
+    texts = ["kéy \t é\x0b stuff", "a\x00b\x07c", None, "",
+             "  x  ", "plain.", "é\x00é",  # NUL between marks
+             "tab\tand\nnewline\r\nrun"]
+    out = CleanNormalize()(pa.table({"text": texts})).column(
+        "text").to_pylist()
+
+    def ref(t):
+        t = re.sub(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "", t or "")
+        t = unicodedata.normalize("NFC", t)
+        return re.sub(r"\s+", " ", t).strip()
+
+    assert out == [ref(t) for t in texts]
+    assert all(unicodedata.is_normalized("NFC", o) for o in out)
+    assert out[0] == "kéy é stuff"      # composed
+    # stripping the NUL lets the two marks' bases compose independently
+    assert out[6] == "éé"
+    # out_col + empty batch contracts
+    t2 = CleanNormalize(out_col="norm")(pa.table({"text": ["á"]}))
+    assert t2.column_names == ["text", "norm"]
+    empty = CleanNormalize()(pa.table({"text": pa.array([], pa.string())}))
+    assert empty.num_rows == 0
+
+
 def test_c4_clean_pipeline_order_and_corpus_dedup(ray_session):
     """run_c4_clean end-to-end: within-page dedup runs BEFORE the line
     filter (punct-terminated boilerplate repeats collapse to one), and
