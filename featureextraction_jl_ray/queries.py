@@ -4851,7 +4851,13 @@ def q_ccnet_buckets(sf_dir):
     Common Crawl.  Composition of two existing distributed stages: the
     mergeable LM fit + one bucketed per-lang rank scan (``with_ranks``
     ntile=3); ordering is on the ROUNDED score with doc_id tie-break so
-    the tercile assignment is bit-reproducible vs the oracle."""
+    the tercile assignment is bit-reproducible vs the oracle.
+
+    Scale note: ntile gives the gate-exact form but co-locates each
+    language (one task owns the whole key).  At corpus scale use
+    ``stages.scale.grouped_quantile_bucket`` — sketch-fitted per-lang
+    tercile THRESHOLDS broadcast to a stateless assign; no key ever
+    co-locates (pytest-covered)."""
     from .stages.text import fit_char_bigram_lm, score_char_bigram_lm
     from .stages.window import with_ranks
 

@@ -422,3 +422,84 @@ def grouped_mad(ds, key_cols, value_col: str, *, num_buckets: int = 16,
 
 
 __all__.append("grouped_mad")
+
+
+def grouped_quantile_bucket(ds, key_cols, value_col: str, *,
+                            qs=(1.0 / 3.0, 2.0 / 3.0), labels=None,
+                            out_col: str = "qbucket",
+                            method: str = "sketch",
+                            sketch_size: int = 4096,
+                            num_buckets: int = 16,
+                            max_keys: int = 1_000_000):
+    """Per-key quantile-bucket assignment WITHOUT co-locating a key's
+    rows — the corpus-scale path behind ntile-style stratification
+    (e.g. CCNet head/middle/tail per language): ntile needs a per-key
+    total order, so one task owns the WHOLE key (fatal when a key is
+    30% of a 100 TB corpus); thresholds need only a per-key quantile
+    fit.
+
+    Fit: per-key quantiles at ``qs`` via the mergeable bottom-k sketch
+    (``method="sketch"``, rank error O(1/√sketch_size)) or the exact
+    exchange (``method="exact"``, gate-grade, still co-locates values —
+    use at test scale).  The (key → thresholds) table is bounded by the
+    key count (loud ``max_keys`` guard) and broadcast via ``ray.put``;
+    assignment is one stateless vectorized pass: bucket(v) = #{j :
+    v ≥ threshold_j} (ties go UP), so bucket len(qs) is the top
+    stratum.  ``labels`` (len(qs)+1 strings) emits labels instead of
+    int64 indices; NaN values and unseen keys emit null."""
+    import ray
+
+    from .groupagg import grouped_quantile, grouped_quantile_sketch
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    qs = sorted(float(q) for q in qs)
+    if labels is not None and len(labels) != len(qs) + 1:
+        raise ValueError(
+            f"labels must have len(qs)+1={len(qs) + 1} entries, "
+            f"got {len(labels)}")
+    fit = grouped_quantile if method == "exact" else grouped_quantile_sketch
+    if method not in ("exact", "sketch"):
+        raise ValueError(f"method must be 'exact' or 'sketch', got {method!r}")
+    kw = {} if method == "exact" else {"sketch_size": sketch_size}
+    th = fit(ds, key_cols, value_col, qs=tuple(qs),
+             num_buckets=num_buckets, prefix="__th", **kw).to_pandas()
+    th_cols = [f"__th{int(q * 100)}" for q in qs]
+    if len(th) > max_keys:
+        raise ValueError(
+            f"grouped_quantile_bucket: {len(th)} keys exceed "
+            f"max_keys={max_keys}; the threshold table is broadcast "
+            f"state by design — raise max_keys deliberately")
+    if not th.empty:
+        thm = th.set_index(key_cols[0] if len(key_cols) == 1 else key_cols)
+        thm = thm[th_cols].astype(np.float64)
+    else:
+        thm = pd.DataFrame(columns=th_cols, dtype=np.float64)
+    th_ref = ray.put(thm)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            typ = pa.string() if labels is not None else pa.int64()
+            return batch.append_column(out_col, pa.array([], type=typ))
+        df = batch.select(key_cols + [value_col]).to_pandas()
+        t = ray.get(th_ref)
+        idx = (pd.MultiIndex.from_frame(df[key_cols]) if len(key_cols) > 1
+               else pd.Index(df[key_cols[0]]))
+        T = t.reindex(idx).to_numpy(dtype=np.float64)  # (n, len(qs))
+        v = df[value_col].to_numpy(dtype=np.float64)
+        ok = ~(np.isnan(v) | np.isnan(T).any(axis=1))
+        b = (v[:, None] >= T).sum(axis=1)
+        if labels is not None:
+            lab = np.asarray(list(labels), dtype=object)
+            out = np.where(ok, lab[np.minimum(b, len(qs))], None)
+            col = pa.array(out, type=pa.string())
+        else:
+            col = pa.array(np.where(ok, b, 0).astype(np.int64),
+                           mask=~ok)
+        return batch.append_column(out_col, col)
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+__all__.append("grouped_quantile_bucket")

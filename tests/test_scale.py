@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -244,3 +245,56 @@ def test_grouped_mad_vs_duckdb(ray_session, sf_dir):
     with pytest.raises(ValueError, match="max_keys"):
         grouped_mad(ray_session.data.read_parquet(ev), "event_id", "value",
                     max_keys=10)
+
+
+def test_grouped_quantile_bucket_exact_and_sketch(ray_session):
+    """Per-key tercile assignment without key co-location: exact fit
+    matches a manual per-key quantile reference; a full-size sketch
+    equals exact; ties go to the UPPER bucket; labels/NaN contract."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.scale import grouped_quantile_bucket
+
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "i": np.arange(n),
+        "v": np.round(rng.standard_normal(n), 3),
+    })
+    df.loc[5, "v"] = np.nan
+    ds = _ray.data.from_pandas(df)
+    out = grouped_quantile_bucket(
+        ds, "k", "v", method="exact", out_col="b").to_pandas()
+    out = out.sort_values("i", ignore_index=True)
+
+    want = {}
+    for k, g in df.groupby("k"):
+        vals = g["v"].dropna()
+        th = np.quantile(vals, [1 / 3, 2 / 3])
+        for _, r in g.iterrows():
+            want[r["i"]] = (None if np.isnan(r["v"])
+                            else int((r["v"] >= th).sum()))
+    got = {r["i"]: (None if pd.isna(r["b"]) else int(r["b"]))
+           for _, r in out.iterrows()}
+    assert got == want
+    # top stratum is bucket 2 and all three occur
+    assert set(x for x in got.values() if x is not None) == {0, 1, 2}
+
+    # sketch with sketch_size >= n is the exact sample -> identical
+    out_sk = grouped_quantile_bucket(
+        ds, "k", "v", method="sketch", sketch_size=4096,
+        out_col="b").to_pandas().sort_values("i", ignore_index=True)
+    assert (out_sk["b"].fillna(-1) == out["b"].fillna(-1)).all()
+
+    # labels variant
+    out_lab = grouped_quantile_bucket(
+        ds, "k", "v", method="exact", labels=("tail", "middle", "head"),
+        out_col="b").to_pandas().sort_values("i", ignore_index=True)
+    m = out["b"].notna()
+    assert (out_lab.loc[m, "b"]
+            == out.loc[m, "b"].map({0: "tail", 1: "middle", 2: "head"})).all()
+    assert out_lab.loc[~m, "b"].isna().all()
+
+    with pytest.raises(ValueError, match="labels"):
+        grouped_quantile_bucket(ds, "k", "v", labels=("x",))
