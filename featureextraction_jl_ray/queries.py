@@ -4312,6 +4312,24 @@ def q_image_hashes(sf_dir):
     return out.select_columns(["image_id", "ahash", "dhash", "phash"])
 
 
+def q_pair_curation(sf_dir):
+    """LAION-style image–caption pair curation: blur/exposure gates →
+    caption token gate → perceptual near-dup collapse on the phash
+    column, in that order (filter → dedup, so a filtered-out min-id
+    duplicate can't shadow its surviving twin and the exchange pays on
+    the smaller surviving corpus).  Pixels aren't SQL → rows-only; the
+    stage-order semantics are pytest-oracled with planted
+    blurry/clipped/short-caption/visual-dup pairs
+    (tests/test_pair_curation.py) (pipelines/paircuration.py)."""
+    from .pipelines.paircuration import run_pair_curation
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"])
+    kept = run_pair_curation(images, min_caption_tokens=2,
+                             blur_threshold=5.0, num_buckets=16)
+    return kept.select_columns(["image_id", "entity_id", "phash"])
+
+
 def q_image_channel_norm(sf_dir):
     """Corpus-fitted channel normalization (the ImageNet-mean/std
     pattern): one distributed centered-moments pass over every decoded
@@ -5084,6 +5102,7 @@ QUERIES = {
     "semdedup_embeddings": q_semdedup_embeddings,  # rows-only (kmeans)
     "image_hashes": q_image_hashes,  # rows-only (pixels)
     "clean_normalize": q_clean_normalize,
+    "pair_curation": q_pair_curation,  # rows-only (pixels)
 }
 
 ORACLE_SQL = {
