@@ -4259,6 +4259,53 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_embedding_decontaminate(sf_dir):
+    """Semantic test-set decontamination — the embedding-space
+    complement of `decontaminate_docs`: flag every training vector
+    (vec_id % 13 != 0) whose max cosine against any benchmark vector
+    (vec_id % 13 == 0) reaches 0.95.  Benchmark matrix broadcasts once
+    (loud cap); the training side is one zero-exchange GEMM + row-max
+    per batch.  The oracle CASTs to DOUBLE[] before
+    list_cosine_similarity (DuckDB computes FLOAT[] cosines in float32,
+    ~1e-6 off a float64 GEMM); both sides threshold the ROUNDED value
+    so flags are bit-reproducible
+    (stages/similarity.py::embedding_decontaminate)."""
+    from .stages.similarity import embedding_decontaminate
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def _side(rem):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 13 == 0) == rem))
+        return fn
+
+    train = ds.map_batches(_side(False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    bench = ds.map_batches(_side(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = embedding_decontaminate(train, bench, vector_col="embedding",
+                                  id_col="vec_id", threshold=0.95)
+    return out.select_columns(
+        ["vec_id", "max_benchmark_cosine", "contaminated"])
+
+
+SQL_EMBEDDING_DECONTAMINATE = """
+WITH bench AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 13 = 0),
+train AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 13 <> 0),
+s AS (
+  SELECT t.vec_id, ROUND(max(list_cosine_similarity(t.e, b.e)), 6) AS s
+  FROM train t CROSS JOIN bench b GROUP BY t.vec_id)
+SELECT vec_id, s AS max_benchmark_cosine, s >= 0.95 AS contaminated
+FROM s
+"""
+
+
 def q_semdedup_embeddings(sf_dir):
     """SemDeDup (Abbas et al. 2023) semantic dedup of the embeddings
     table: k-means-cluster the embedding space, prune within-cluster
@@ -5103,6 +5150,7 @@ QUERIES = {
     "image_hashes": q_image_hashes,  # rows-only (pixels)
     "clean_normalize": q_clean_normalize,
     "pair_curation": q_pair_curation,  # rows-only (pixels)
+    "embedding_decontaminate": q_embedding_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -5228,4 +5276,5 @@ ORACLE_SQL = {
     "line_dedup_docs": SQL_LINE_DEDUP_DOCS,
     "c4_pipeline": SQL_C4_PIPELINE,
     "clean_normalize": SQL_CLEAN_NORMALIZE,
+    "embedding_decontaminate": SQL_EMBEDDING_DECONTAMINATE,
 }

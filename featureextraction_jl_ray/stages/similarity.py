@@ -1254,3 +1254,78 @@ def semdedup(
 
 
 __all__.append("semdedup")
+
+
+def embedding_decontaminate(
+    train_ds,
+    benchmark_ds,
+    *,
+    vector_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    mode: str = "flag",
+    max_benchmark_rows: int = 1_000_000,
+    round_to: int | None = 6,
+    out_col: str = "max_benchmark_cosine",
+    flag_col: str = "contaminated",
+):
+    """SEMANTIC test-set decontamination — the embedding-space
+    complement of the word-n-gram ``text.decontaminate`` (paraphrased
+    eval leakage that shares no 8-gram still lands near the benchmark
+    in embedding space): flag (or drop) every training row whose
+    max cosine against ANY benchmark vector reaches ``threshold``.
+
+    Scale shape mirrors ``decontaminate``: the benchmark side is small
+    by construction (eval suites vs a 100 TB corpus) — it streams to
+    the driver ONCE via ``iter_batches`` under a loud
+    ``max_benchmark_rows`` cap, L2-normalizes, and broadcasts via
+    ``ray.put``; the training side is a ZERO-exchange stateless pass,
+    one (batch × bench) GEMM + row-max per batch — vectors never leave
+    their block.  ``round_to`` rounds the reported max-cosine (and
+    thresholds the ROUNDED value) so the decision is bit-reproducible
+    against the SQL oracle's ``ROUND(max(list_cosine_similarity(
+    CAST(… AS DOUBLE[]), …)), 6)`` — the DOUBLE cast matters: DuckDB
+    computes FLOAT[] cosines in float32, ~1e-6 off a float64 GEMM."""
+    import ray
+
+    if mode not in ("flag", "filter"):
+        raise ValueError(f"mode must be 'flag' or 'filter', got {mode!r}")
+    chunks, total = [], 0
+    for b in (benchmark_ds.select_columns([vector_col])
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        arr = list_column_to_numpy(b, vector_col).astype(np.float64)
+        total += len(arr)
+        if total > max_benchmark_rows:
+            raise RuntimeError(
+                f"embedding_decontaminate: benchmark side exceeds "
+                f"max_benchmark_rows={max_benchmark_rows}; this operator "
+                f"broadcasts the benchmark matrix and assumes it is the "
+                f"SMALL side — raise the cap deliberately or pre-reduce "
+                f"the benchmark (e.g. semdedup) first")
+        chunks.append(arr)
+    B = (_normalize(np.concatenate(chunks))
+         if chunks else np.empty((0, 1), dtype=np.float64))
+    b_ref = ray.put(B)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        Bm = ray.get(b_ref)
+        if n == 0 or len(Bm) == 0:
+            sims = np.full(n, -1.0)
+        else:
+            X = _normalize(
+                list_column_to_numpy(batch, vector_col).astype(np.float64))
+            sims = (X @ Bm.T).max(axis=1)
+        if round_to is not None:
+            sims = np.round(sims, round_to)
+        hit = sims >= threshold
+        out = batch.append_column(out_col, pa.array(sims))
+        if mode == "filter":
+            return out.filter(pa.array(~hit))
+        return out.append_column(flag_col, pa.array(hit))
+
+    return train_ds.map_batches(probe, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+__all__.append("embedding_decontaminate")

@@ -1099,3 +1099,44 @@ def test_semdedup_cluster_size_guard(ray_session):
         semdedup(ds, vector_col="emb", id_col="vid", n_clusters=1,
                  iters=1, seed=1, num_buckets=2,
                  max_cluster_rows=2).materialize()
+
+
+def test_embedding_decontaminate_flag_filter_and_cap(ray_session):
+    """Semantic decontamination: planted near-benchmark vector flags,
+    orthogonal ones don't; filter mode drops; loud benchmark cap."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.similarity import (
+        embedding_decontaminate,
+    )
+
+    d = 8
+    b1 = np.zeros(d); b1[0] = 1.0
+    bench = pd.DataFrame({"vid": [100], "emb": [list(b1)]})
+    close = b1 + 0.01 * np.arange(d)          # cos ~ 0.999
+    ortho = np.zeros(d); ortho[1] = 1.0
+    train = pd.DataFrame({"vid": [1, 2],
+                          "emb": [list(close), list(ortho)]})
+    tds = _ray.data.from_pandas(train)
+    bds = _ray.data.from_pandas(bench)
+    out = embedding_decontaminate(
+        tds, bds, vector_col="emb", id_col="vid",
+        threshold=0.95).to_pandas().sort_values("vid", ignore_index=True)
+    assert out.contaminated.tolist() == [True, False]
+    assert out.max_benchmark_cosine.iloc[0] > 0.99
+    # filter mode drops the contaminated row, keeps schema + score col
+    kept = embedding_decontaminate(
+        tds, bds, vector_col="emb", id_col="vid", threshold=0.95,
+        mode="filter").to_pandas()
+    assert kept.vid.tolist() == [2]
+    assert "contaminated" not in kept.columns
+    # empty benchmark: nothing flags
+    ebds = _ray.data.from_pandas(bench.iloc[:0])
+    out2 = embedding_decontaminate(
+        tds, ebds, vector_col="emb", id_col="vid").to_pandas()
+    assert (~out2.contaminated).all()
+    # loud cap
+    with pytest.raises(Exception, match="max_benchmark_rows"):
+        embedding_decontaminate(
+            tds, bds, vector_col="emb", id_col="vid",
+            max_benchmark_rows=0).materialize()
