@@ -4306,6 +4306,37 @@ FROM s
 """
 
 
+def q_embedding_cross_filter(sf_dir):
+    """Large-×-large semantic cross-dedup: drop training vectors
+    (vec_id % 13 != 0) with an LSH-found cosine near-duplicate in the
+    benchmark side (vec_id % 13 == 0) — the non-broadcast sibling of
+    `embedding_decontaminate` for when the reference corpus is itself
+    huge.  One shared banding exchange, bounded pair set, bounded
+    broadcast probes.  LSH recall is seed-deterministic but < 1 at this
+    low threshold → rows-only; the exact-semantics planted cases are
+    pytest-oracled
+    (tests/test_dedup_similarity.py::test_embedding_cross_filter_planted)."""
+    from .stages.similarity import embedding_cross_filter
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def _side(rem):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array((ids % 13 == 0) == rem))
+        return fn
+
+    train = ds.map_batches(_side(False), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    bench = ds.map_batches(_side(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    kept = embedding_cross_filter(train, bench, vector_col="embedding",
+                                  id_col="vec_id", threshold=0.5,
+                                  num_buckets=16)
+    return kept.select_columns(["vec_id"])
+
+
 def q_semdedup_embeddings(sf_dir):
     """SemDeDup (Abbas et al. 2023) semantic dedup of the embeddings
     table: k-means-cluster the embedding space, prune within-cluster
@@ -5151,6 +5182,7 @@ QUERIES = {
     "clean_normalize": q_clean_normalize,
     "pair_curation": q_pair_curation,  # rows-only (pixels)
     "embedding_decontaminate": q_embedding_decontaminate,
+    "embedding_cross_filter": q_embedding_cross_filter,  # rows-only (LSH)
 }
 
 ORACLE_SQL = {

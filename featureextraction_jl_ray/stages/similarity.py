@@ -1329,3 +1329,92 @@ def embedding_decontaminate(
 
 
 __all__.append("embedding_decontaminate")
+
+
+def embedding_cross_filter(
+    a_ds,
+    b_ds,
+    *,
+    vector_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    bands: int = 8,
+    planes_per_band: int = 8,
+    seed: int = 42,
+    num_buckets: int = 128,
+    max_pairs: int = 10_000_000,
+):
+    """LARGE-×-LARGE semantic cross-dedup: drop every row of ``a_ds``
+    that has an embedding-cosine near-duplicate in ``b_ds`` — "dedup
+    train against val" when the reference side is itself too big to
+    broadcast (the broadcast path is ``embedding_decontaminate``).
+
+    Scale shape: both sides ride ONE shared hyperplane-LSH banding
+    exchange (a side tag unioned in; same cost as the self-join
+    ``embedding_near_dup_pairs``), the verified pair set is bounded by
+    near-dup density (loud ``max_pairs`` guard), and every later step
+    probes with BOUNDED broadcast sets only: B-ids that occur in pairs
+    (≤ 2·|pairs|), then the A-ids those pairs condemn.  Within-A and
+    within-B pairs are ignored — only cross pairs condemn.
+
+    ``id_col`` values must be DISTINCT ACROSS the two datasets (ids are
+    the pair keys; a collision would conflate sides).  Returns the kept
+    ``a_ds`` rows, schema unchanged."""
+    import ray
+
+    from .joins import anti_join
+
+    a_tag = a_ds.select_columns([id_col, vector_col])
+    b_tag = b_ds.select_columns([id_col, vector_col])
+    union = a_tag.union(b_tag)
+    pairs = embedding_near_dup_pairs(
+        union, vector_col=vector_col, id_col=id_col, threshold=threshold,
+        bands=bands, planes_per_band=planes_per_band, seed=seed,
+        num_buckets=num_buckets).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return a_ds
+    if n_pairs > max_pairs:
+        raise RuntimeError(
+            f"embedding_cross_filter: {n_pairs} near-dup pairs exceed "
+            f"max_pairs={max_pairs}; the pair-id sets are broadcast "
+            f"state — raise the threshold/cap deliberately")
+
+    def pair_ids(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([t.column("id_a").combine_chunks(),
+                                 t.column("id_b").combine_chunks()])
+        return pa.table({id_col: both})
+
+    ids_in_pairs = pairs.map_batches(pair_ids, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    # B ids that occur in any pair — bounded by 2·|pairs|, NOT by |B|
+    from .joins import semi_join
+
+    b_hit = semi_join(b_ds.select_columns([id_col]), ids_in_pairs,
+                      on=id_col)
+    b_hit_set = set()
+    for b in b_hit.iter_batches(batch_format="pyarrow", batch_size=None):
+        b_hit_set.update(b.column(id_col).to_pylist())
+    if not b_hit_set:
+        return a_ds  # every pair is within-A (or within-B): nothing condemned
+
+    # condemned A ids — bounded by |pairs|, collected driver-side with an
+    # EXPLICIT typed table so an all-empty result can't lose its schema
+    # through Ray's empty-block elision
+    bad: set = set()
+    id_type = None
+    for t in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        id_type = id_type or t.column("id_a").type
+        ia = t.column("id_a").to_pylist()
+        ib = t.column("id_b").to_pylist()
+        bad.update(y for x, y in zip(ia, ib)
+                   if x in b_hit_set and y not in b_hit_set)
+        bad.update(x for x, y in zip(ia, ib)
+                   if y in b_hit_set and x not in b_hit_set)
+    if not bad:
+        return a_ds
+    bad_a = pa.table({id_col: pa.array(sorted(bad), type=id_type)})
+    return anti_join(a_ds, bad_a, on=id_col)
+
+
+__all__.append("embedding_cross_filter")

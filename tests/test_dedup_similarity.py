@@ -1140,3 +1140,47 @@ def test_embedding_decontaminate_flag_filter_and_cap(ray_session):
         embedding_decontaminate(
             tds, bds, vector_col="emb", id_col="vid",
             max_benchmark_rows=0).materialize()
+
+
+def test_embedding_cross_filter_planted(ray_session):
+    """Cross-dedup A against B: A rows near a B vector drop; within-A
+    near-dups and A rows far from B survive; empty-pair fast path."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.similarity import (
+        embedding_cross_filter,
+    )
+
+    d = 16
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return v / np.linalg.norm(v)
+
+    e0 = np.zeros(d); e0[0] = 1.0
+    e1 = np.zeros(d); e1[1] = 1.0
+    e2 = np.zeros(d); e2[2] = 1.0
+    rng = np.random.default_rng(41)
+    a_rows = pd.DataFrame({
+        "vid": [1, 2, 3, 4],
+        "emb": [list(unit(e0 + 0.01 * rng.standard_normal(d))),  # ~B:100
+                list(unit(e1)),                                   # within-A twin
+                list(unit(e1 + 0.01 * rng.standard_normal(d))),   # within-A twin
+                list(unit(e2))],                                  # far from all
+    })
+    b_rows = pd.DataFrame({"vid": [100], "emb": [list(unit(e0))]})
+    a = _ray.data.from_pandas(a_rows)
+    b = _ray.data.from_pandas(b_rows)
+    kept = embedding_cross_filter(a, b, vector_col="emb", id_col="vid",
+                                  threshold=0.95, num_buckets=4)
+    got = sorted(r["vid"] for r in kept.take_all())
+    # vid 1 condemned by B; the within-A twins 2/3 BOTH survive
+    assert got == [2, 3, 4]
+    # no near-dups at all -> A passes through untouched
+    far_b = _ray.data.from_pandas(
+        pd.DataFrame({"vid": [200],
+                      "emb": [list(unit(np.ones(d)))]}))
+    kept2 = embedding_cross_filter(a, far_b, vector_col="emb",
+                                   id_col="vid", threshold=0.999,
+                                   num_buckets=4)
+    assert kept2.count() == 4
