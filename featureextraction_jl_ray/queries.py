@@ -4259,6 +4259,42 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_weighted_thin_docs(sf_dir):
+    """DCLM/FineWeb-style SOFT quality filtering: each document keeps
+    with its own probability (here p = min(n_chars, 1000)/1000 — longer
+    docs survive more often), deterministically via fmix32(doc_id) <
+    floor(p·2³²) — zero exchange, reproducible across resumes, and the
+    per-row DRAW itself is gate-verified bit-for-bit (the oracle embeds
+    the same hash CTE and integer threshold), not just the survival
+    rate (stages/split.py::weighted_thin)."""
+    from .stages.split import weighted_thin
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        n = b.column("n_chars").to_numpy(zero_copy_only=False)
+        p = np.minimum(n, 1000).astype(np.float64) / 1000.0
+        return b.append_column("p", pa.array(p))
+
+    withp = ds.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return weighted_thin(withp, "doc_id", "p")
+
+
+def _weighted_thin_sql() -> str:
+    from .stages.split import sql_hash_cte
+
+    src = ("(SELECT doc_id, n_chars, least(n_chars, 1000) / 1000.0 AS p "
+           "FROM documents)")
+    cte = sql_hash_cte(src, "doc_id", "doc_id, n_chars, p")
+    return (f"WITH {cte} SELECT doc_id, n_chars, p FROM __hx "
+            f"WHERE h < CAST(floor(p * 4294967296) AS UBIGINT)")
+
+
+SQL_WEIGHTED_THIN_DOCS = _weighted_thin_sql()
+
+
 def q_embedding_decontaminate(sf_dir):
     """Semantic test-set decontamination — the embedding-space
     complement of `decontaminate_docs`: flag every training vector
@@ -5183,6 +5219,7 @@ QUERIES = {
     "pair_curation": q_pair_curation,  # rows-only (pixels)
     "embedding_decontaminate": q_embedding_decontaminate,
     "embedding_cross_filter": q_embedding_cross_filter,  # rows-only (LSH)
+    "weighted_thin_docs": q_weighted_thin_docs,
 }
 
 ORACLE_SQL = {
@@ -5309,4 +5346,5 @@ ORACLE_SQL = {
     "c4_pipeline": SQL_C4_PIPELINE,
     "clean_normalize": SQL_CLEAN_NORMALIZE,
     "embedding_decontaminate": SQL_EMBEDDING_DECONTAMINATE,
+    "weighted_thin_docs": SQL_WEIGHTED_THIN_DOCS,
 }

@@ -371,3 +371,39 @@ def sample_global_k(ds, id_col: str, *, k: int, seed: int = _DEFAULT_SEED,
         return out
     return out.map_batches(lambda b: b.drop_columns(["__h"]),
                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_thin(ds, id_col: str, p_col: str, *, seed: int = _DEFAULT_SEED,
+                  keep_p: bool = True):
+    """Quality-weighted Bernoulli THINNING (DCLM/FineWeb-style soft
+    filtering): keep each row independently with ITS OWN probability
+    ``p_col`` (a float in [0, 1] the caller computed from a quality
+    signal), deterministically — row survives iff
+    ``hash_u32(id) < floor(p · 2³²)``.
+
+    Hard filters throw away everything below a threshold; soft
+    filtering keeps a score-proportional sample, preserving
+    distribution tails.  Zero exchange, stateless, reproducible across
+    runs/resumes (same id ⇒ same draw), and bit-exact in SQL: the
+    oracle compares the same fmix32 hash against the same integer
+    threshold (``sql_hash_cte`` + ``floor(p * 4294967296)``).  p ≤ 0
+    drops always, p ≥ 1 keeps always; null p drops."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def thin(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        p = batch.column(p_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        p = np.nan_to_num(p, nan=0.0)
+        thr = np.floor(np.clip(p, 0.0, 1.0) * float(2**32)).astype(np.uint64)
+        keep = hash_u32(ids, seed=seed) < thr
+        out = batch.filter(pa.array(keep))
+        if not keep_p:
+            out = out.drop_columns([p_col])
+        return out
+
+    return ds.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+__all__.append("weighted_thin")

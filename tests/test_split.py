@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -252,3 +253,39 @@ def test_sample_global_k_row_exact_vs_sql(ray_session, sf_dir):
         ray_session.data.read_parquet(ev, columns=["event_id"]).limit(50),
         "event_id", k=999).to_pandas()
     assert len(small) == 50
+
+
+def test_weighted_thin_deterministic_and_exact(ray_session):
+    """Per-row Bernoulli thinning: p=0 never keeps, p=1 always keeps,
+    survival follows hash < floor(p*2^32) exactly, draws are
+    reproducible, null p drops, keep_p=False drops the column."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.split import hash_u32, weighted_thin
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    p = np.where(ids % 4 == 0, 0.0,
+                 np.where(ids % 4 == 1, 1.0, (ids % 100) / 100.0))
+    df = pd.DataFrame({"id": ids, "p": p})
+    df.loc[2, "p"] = np.nan
+    ds = _ray.data.from_pandas(df)
+    out = weighted_thin(ds, "id", "p").to_pandas()
+    got = set(out["id"])
+    h = hash_u32(ids)
+    pp = np.nan_to_num(df["p"].to_numpy(), nan=0.0)
+    thr = np.floor(np.clip(pp, 0, 1) * float(2**32)).astype(np.uint64)
+    want = set(ids[h < thr])
+    assert got == want
+    assert not (set(ids[(ids % 4 == 0) | (ids == 2)]) & got)  # p=0/null drop
+    assert set(ids[(ids % 4 == 1) & (ids != 2)]) <= got       # p=1 keeps
+    # reproducible
+    out2 = weighted_thin(_ray.data.from_pandas(df), "id", "p").to_pandas()
+    assert set(out2["id"]) == got
+    # survival rate tracks mean p (binomial tolerance)
+    mid = (ids % 4 >= 2) & (ids != 2)
+    rate = np.isin(ids[mid], list(got)).mean()
+    assert abs(rate - pp[mid].mean()) < 0.06
+    out3 = weighted_thin(_ray.data.from_pandas(df), "id", "p",
+                         keep_p=False).to_pandas()
+    assert "p" not in out3.columns
