@@ -4259,6 +4259,43 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_funnel_events(sf_dir):
+    """Funnel analysis — per-user ordered view→click→purchase
+    completion at strictly increasing timestamps (greedy-earliest
+    matching, which decides existence exactly).  One blob-packed
+    exchange on user_id; k vectorized mask→strict-after→grouped-min
+    passes per bucket.  Oracle = chained ``min(ts) WHERE ts > prev``
+    CTEs (stages/window.py::funnel)."""
+    from .stages.window import funnel
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    return funnel(ds, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"], num_buckets=16)
+
+
+SQL_FUNNEL_EVENTS = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(ts) AS t FROM events
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CAST(s1.t IS NOT NULL AS INT) + CAST(s2.t IS NOT NULL AS INT)
+            + CAST(s3.t IS NOT NULL AS INT) AS BIGINT) AS steps_completed,
+       s3.t IS NOT NULL AS completed,
+       s3.t AS completion_ts
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_weighted_thin_docs(sf_dir):
     """DCLM/FineWeb-style SOFT quality filtering: each document keeps
     with its own probability (here p = min(n_chars, 1000)/1000 — longer
@@ -5220,6 +5257,7 @@ QUERIES = {
     "embedding_decontaminate": q_embedding_decontaminate,
     "embedding_cross_filter": q_embedding_cross_filter,  # rows-only (LSH)
     "weighted_thin_docs": q_weighted_thin_docs,
+    "funnel_events": q_funnel_events,
 }
 
 ORACLE_SQL = {
@@ -5347,4 +5385,5 @@ ORACLE_SQL = {
     "clean_normalize": SQL_CLEAN_NORMALIZE,
     "embedding_decontaminate": SQL_EMBEDDING_DECONTAMINATE,
     "weighted_thin_docs": SQL_WEIGHTED_THIN_DOCS,
+    "funnel_events": SQL_FUNNEL_EVENTS,
 }

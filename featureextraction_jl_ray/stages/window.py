@@ -588,3 +588,65 @@ def with_session_stats(
         ds, entity_col, ts_col, fn,
         num_buckets=num_buckets, tiebreak_cols=tiebreak_cols,
     )
+
+
+def funnel(ds, entity_col: str, ts_col: str, type_col: str, steps,
+           *, num_buckets: int = 64,
+           completed_col: str = "completed",
+           steps_col: str = "steps_completed",
+           completion_ts_col: str = "completion_ts"):
+    """Ordered event-SEQUENCE completion per entity (funnel analysis):
+    did the entity perform step₁ < step₂ < … < stepₖ at strictly
+    increasing timestamps?  Greedy-earliest matching — take the first
+    step₁, the first step₂ after it, and so on — which decides
+    EXISTENCE exactly (if any increasing subsequence exists, the greedy
+    one completes), so the result is order-deterministic with no
+    tiebreak needed.
+
+    Emits one row per entity: ``steps_completed`` (how deep the entity
+    got, 0..k), ``completed``, and ``completion_ts`` (the final step's
+    greedy timestamp; null when incomplete).
+
+    Scale shape: one blob-packed exchange keyed on the entity (the
+    engine-standard ``bucketed_map_groups``); inside a bucket the match
+    is k vectorized passes — boolean mask → strict-after filter against
+    the previous step's per-entity time → grouped min — never a
+    per-event Python loop.  Mirrors the SQL oracle's chained
+    ``min(ts) … WHERE ts > prev`` CTEs bit-for-bit."""
+    import pyarrow as pa
+
+    from .partition import bucketed_map_groups
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        users = pd.unique(df[entity_col])
+        prev = None
+        reached = []
+        for i, step in enumerate(steps):
+            sel = df[df[type_col] == step]
+            if i > 0:
+                pt = sel[entity_col].map(prev).to_numpy()
+                keep = sel[ts_col].to_numpy() > pt  # NaT compares False
+                sel = sel[keep]
+            t = sel.groupby(entity_col, sort=False)[ts_col].min()
+            prev = t.reindex(users)
+            reached.append(prev.notna().to_numpy())
+        n_steps = np.sum(np.stack(reached), axis=0).astype(np.int64)
+        out = pd.DataFrame({
+            entity_col: users,
+            steps_col: n_steps,
+            completed_col: reached[-1],
+            completion_ts_col: prev.to_numpy(),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pruned = ds.select_columns([entity_col, ts_col, type_col])
+    return bucketed_map_groups(pruned, entity_col, per_bucket,
+                               num_buckets=num_buckets, seed=17)
+
+
+__all__.append("funnel")

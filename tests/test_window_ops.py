@@ -794,3 +794,51 @@ def test_resample_interpolate_semantics(ray_session):
     assert got["01:00"] == 20.0                        # exact event at 01:00
     assert got["01:30"] == 20.0 + (50.0 - 20.0) * (30 / 60)
     assert got["02:00"] == 50.0                        # exact last event
+
+
+def test_funnel_planted_sequences(ray_session):
+    """Funnel semantics: in-order completes; out-of-order doesn't;
+    equal timestamps don't chain (strict >); partial depth reported;
+    greedy-earliest completion_ts."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.window import funnel
+
+    T = pd.Timestamp
+    rows = [
+        # u1: clean A<B<C
+        (1, T("2024-01-01 00:00"), "view"),
+        (1, T("2024-01-01 01:00"), "click"),
+        (1, T("2024-01-01 02:00"), "purchase"),
+        # u2: click BEFORE view -> only the view counts, depth 1
+        (2, T("2024-01-01 00:00"), "click"),
+        (2, T("2024-01-01 01:00"), "view"),
+        # u3: tie timestamps -> strict > breaks the chain at click
+        (3, T("2024-01-01 00:00"), "view"),
+        (3, T("2024-01-01 00:00"), "click"),
+        (3, T("2024-01-01 01:00"), "purchase"),
+        # u4: completes despite an early stray purchase; greedy picks
+        # the LATER purchase after the click
+        (4, T("2024-01-01 00:00"), "purchase"),
+        (4, T("2024-01-01 01:00"), "view"),
+        (4, T("2024-01-01 02:00"), "click"),
+        (4, T("2024-01-01 03:00"), "purchase"),
+        # u5: never starts
+        (5, T("2024-01-01 00:00"), "error"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    ds = _ray.data.from_pandas(df)
+    out = funnel(ds, "user_id", "ts", "event_type",
+                 ["view", "click", "purchase"],
+                 num_buckets=4).to_pandas().set_index("user_id")
+    assert out.loc[1, "completed"] and out.loc[1, "steps_completed"] == 3
+    assert out.loc[1, "completion_ts"] == T("2024-01-01 02:00")
+    assert not out.loc[2, "completed"] and out.loc[2, "steps_completed"] == 1
+    # u3: view at t0; click at the SAME t0 is not strictly after
+    assert out.loc[3, "steps_completed"] == 1
+    assert out.loc[4, "completed"]
+    assert out.loc[4, "completion_ts"] == T("2024-01-01 03:00")
+    assert out.loc[5, "steps_completed"] == 0
+    assert pd.isna(out.loc[5, "completion_ts"])
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel(ds, "user_id", "ts", "event_type", ["view"])
