@@ -4259,6 +4259,33 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_cohort_retention(sf_dir):
+    """Cohort retention matrix: users cohorted by first-activity week
+    (Monday-start), distinct active users per (cohort_week,
+    week_offset).  One entity-keyed blob exchange — per-bucket distinct
+    counts are exact partials because an entity lives in exactly one
+    bucket — then a tiny keyed sum
+    (stages/groupagg.py::cohort_retention)."""
+    from .stages.groupagg import cohort_retention
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts", num_buckets=16)
+
+
+SQL_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+  FROM events),
+coh AS (SELECT user_id, min(w) AS cw FROM act GROUP BY user_id)
+SELECT coh.cw AS cohort_week,
+       CAST(date_diff('day', coh.cw, act.w) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_funnel_events(sf_dir):
     """Funnel analysis — per-user ordered view→click→purchase
     completion at strictly increasing timestamps (greedy-earliest
@@ -5258,6 +5285,7 @@ QUERIES = {
     "embedding_cross_filter": q_embedding_cross_filter,  # rows-only (LSH)
     "weighted_thin_docs": q_weighted_thin_docs,
     "funnel_events": q_funnel_events,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -5386,4 +5414,5 @@ ORACLE_SQL = {
     "embedding_decontaminate": SQL_EMBEDDING_DECONTAMINATE,
     "weighted_thin_docs": SQL_WEIGHTED_THIN_DOCS,
     "funnel_events": SQL_FUNNEL_EVENTS,
+    "cohort_retention": SQL_COHORT_RETENTION,
 }

@@ -965,3 +965,46 @@ def grouped_ols(ds, key_cols, x_col: str, y_col: str, *,
         return pandas_to_arrow(out)
 
     return sums.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cohort_retention(ds, entity_col: str, ts_col: str, *,
+                     num_buckets: int = 64):
+    """Cohort RETENTION matrix — the classic activation analytics view:
+    entities cohorted by the week of their FIRST activity, counted as
+    retained in every later week they reappear.  Emits one row per
+    (cohort_week, week_offset): distinct active entities.
+
+    Scale shape: ONE blob-packed exchange keyed on the entity (an
+    entity's whole history lands in one bucket, so its cohort and
+    activity weeks compute locally and the per-bucket distinct-entity
+    counts are EXACT partials — an entity lives in exactly one bucket,
+    partials sum without double-counting), then a tiny
+    (cohort, offset)-keyed groupby-sum.  No broadcast of the entity
+    table, no count-distinct exchange.  Weeks are Monday-start
+    (``date_trunc('week')``)."""
+    import pyarrow as pa
+
+    from .partition import bucketed_map_groups
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        d = df[ts_col].dt.floor("D")
+        week = d - pd.to_timedelta(d.dt.weekday, unit="D")  # Monday start
+        act = pd.DataFrame({entity_col: df[entity_col],
+                            "w": week}).drop_duplicates()
+        cohort = act.groupby(entity_col, sort=False)["w"].transform("min")
+        off = ((act["w"] - cohort).dt.days // 7).astype(np.int64)
+        cnt = (pd.DataFrame({"cohort_week": cohort, "week_offset": off})
+               .groupby(["cohort_week", "week_offset"], sort=False)
+               .size().rename("n").reset_index())
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    pruned = ds.select_columns([entity_col, ts_col])
+    partials = bucketed_map_groups(pruned, entity_col, per_bucket,
+                                   num_buckets=num_buckets, seed=23)
+    return grouped_aggregate(partials, ["cohort_week", "week_offset"],
+                             {"n_entities": ("n", "sum")},
+                             num_buckets=max(4, num_buckets // 8))
+
+
+__all__.append("cohort_retention")

@@ -842,3 +842,33 @@ def test_funnel_planted_sequences(ray_session):
     assert pd.isna(out.loc[5, "completion_ts"])
     with pytest.raises(ValueError, match="at least 2"):
         funnel(ds, "user_id", "ts", "event_type", ["view"])
+
+
+def test_cohort_retention_planted(ray_session):
+    """Monday-start cohorts, distinct-per-week counting, exact offsets,
+    and partial-sum correctness across buckets."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.groupagg import cohort_retention
+
+    T = pd.Timestamp
+    rows = [
+        # u1: first active week of Mon 2024-01-01; returns weeks 0, 2
+        (1, T("2024-01-03 10:00:00")),
+        (1, T("2024-01-04 10:00:00")),   # same week: counted once
+        (1, T("2024-01-17 10:00:00")),
+        # u2: same cohort, only week 0
+        (2, T("2024-01-07 23:00:00")),   # Sunday -> still week of 01-01
+        # u3: cohort of Mon 2024-01-08, returns week 1
+        (3, T("2024-01-08 00:00:00")),
+        (3, T("2024-01-15 12:00:00")),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ds = _ray.data.from_pandas(df)
+    out = cohort_retention(ds, "user_id", "ts", num_buckets=4).to_pandas()
+    out = out.sort_values(["cohort_week", "week_offset"],
+                          ignore_index=True)
+    got = {(r.cohort_week, int(r.week_offset)): int(r.n_entities)
+           for r in out.itertuples()}
+    w1, w2 = T("2024-01-01"), T("2024-01-08")
+    assert got == {(w1, 0): 2, (w1, 2): 1, (w2, 0): 1, (w2, 1): 1}
