@@ -4259,6 +4259,93 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_corpus_report(sf_dir):
+    """Corpus mixture report — the "what's in my training mix" view
+    every data team keeps: per (lang, source) document count, total
+    whitespace tokens, and token SHARE of the corpus.  Vectorized
+    token counts + one small keyed aggregate; the share divides by the
+    1-row global total on the driver (the grouped result is
+    key-bounded by construction).  1e-6 grid."""
+    from .stages.groupagg import grouped_aggregate
+    from .stages.text import with_token_stats
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "source", "text"])
+    toks = with_token_stats(ds)
+    agg = grouped_aggregate(
+        toks, ["lang", "source"],
+        {"n_docs": ("doc_id", "count"), "n_tokens": ("n_tokens_ws", "sum")},
+        num_buckets=4).to_pandas()
+    agg["token_share"] = np.round(
+        agg["n_tokens"] / agg["n_tokens"].sum(), 6)
+    return agg
+
+
+SQL_CORPUS_REPORT = """
+WITH t AS (
+  SELECT lang, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       ROUND(sum(n) / (SELECT CAST(sum(n) AS DOUBLE) FROM t), 6)
+         AS token_share
+FROM t GROUP BY lang, source
+"""
+
+
+def q_cyclical_features(sf_dir):
+    """Sin/cos cyclical encoding of hour / ISO-dow / month — the
+    wrap-around fix for calendar discontinuities (23:00 and 00:00 are
+    neighbors on the circle).  Stateless Arrow extract + numpy ufuncs;
+    SQL mirror sin(2·pi()·part/period), 1e-6 grid
+    (stages/datetime.py::with_cyclical_features)."""
+    from .stages.datetime import with_cyclical_features
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+    out = with_cyclical_features(ds, "ts")
+    cols = [f"ts_{c}_{t}" for c in ("hour", "dow", "month")
+            for t in ("sin", "cos")]
+    return _round_cols(out.select_columns(["event_id"] + cols),
+                       {c: 6 for c in cols})
+
+
+SQL_CYCLICAL_FEATURES = """
+SELECT event_id,
+  ROUND(sin(2 * pi() * hour(ts) / 24), 6)          AS ts_hour_sin,
+  ROUND(cos(2 * pi() * hour(ts) / 24), 6)          AS ts_hour_cos,
+  ROUND(sin(2 * pi() * (isodow(ts) - 1) / 7), 6)   AS ts_dow_sin,
+  ROUND(cos(2 * pi() * (isodow(ts) - 1) / 7), 6)   AS ts_dow_cos,
+  ROUND(sin(2 * pi() * (month(ts) - 1) / 12), 6)   AS ts_month_sin,
+  ROUND(cos(2 * pi() * (month(ts) - 1) / 12), 6)   AS ts_month_cos
+FROM events
+"""
+
+
+def q_grouped_robust_scale(sf_dir):
+    """Per-user robust z-score (x − median)/MAD — outlier-resistant
+    standardization composed from the oracled grouped-MAD fit: fitted
+    table broadcast, stateless transform, zero-MAD keys null.  1e-6
+    grid (stages/scale.py::grouped_robust_scale)."""
+    from .stages.scale import grouped_robust_scale
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+    out = grouped_robust_scale(ds, "user_id", "value", num_buckets=8)
+    return _round_cols(out.select_columns(["event_id", "value_rz"]),
+                       {"value_rz": 6})
+
+
+SQL_GROUPED_ROBUST_SCALE = """
+WITH s AS (
+  SELECT user_id, median(value) AS m, mad(value) AS d
+  FROM events GROUP BY user_id)
+SELECT e.event_id, ROUND((e.value - s.m) / NULLIF(s.d, 0), 6) AS value_rz
+FROM events e JOIN s USING (user_id)
+"""
+
+
 def q_cohort_retention(sf_dir):
     """Cohort retention matrix: users cohorted by first-activity week
     (Monday-start), distinct active users per (cohort_week,
@@ -5286,6 +5373,9 @@ QUERIES = {
     "weighted_thin_docs": q_weighted_thin_docs,
     "funnel_events": q_funnel_events,
     "cohort_retention": q_cohort_retention,
+    "grouped_robust_scale": q_grouped_robust_scale,
+    "cyclical_features": q_cyclical_features,
+    "corpus_report": q_corpus_report,
 }
 
 ORACLE_SQL = {
@@ -5415,4 +5505,7 @@ ORACLE_SQL = {
     "weighted_thin_docs": SQL_WEIGHTED_THIN_DOCS,
     "funnel_events": SQL_FUNNEL_EVENTS,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "grouped_robust_scale": SQL_GROUPED_ROBUST_SCALE,
+    "cyclical_features": SQL_CYCLICAL_FEATURES,
+    "corpus_report": SQL_CORPUS_REPORT,
 }

@@ -88,3 +88,48 @@ def with_time_since_prev(ds, entity_col: str, ts_col: str, *,
         ds, entity_col, ts_col, fn,
         num_buckets=num_buckets, tiebreak_cols=tiebreak_cols,
     )
+
+
+_CYCLES = {"hour": 24, "dow": 7, "month": 12}
+
+
+def with_cyclical_features(ds, ts_col: str, *,
+                           cycles=("hour", "dow", "month"),
+                           prefix: str | None = None):
+    """Append SIN/COS cyclical encodings of calendar parts — the
+    standard fix for the midnight/Sunday/December wrap-around that
+    integer parts feed a model as a discontinuity: hour → angle
+    2π·hour/24, ISO dow → 2π·(dow−1)/7, month → 2π·(month−1)/12, each
+    emitted as ``<prefix><part>_sin`` / ``_cos`` float64.  One Arrow
+    extract + two numpy ufuncs per part; mirrors the SQL oracle's
+    ``sin(2·pi()·part/period)`` exactly (1e-6 grid)."""
+    bad = set(cycles) - set(_CYCLES)
+    if bad:
+        raise ValueError(
+            f"unknown cycles {sorted(bad)}; choose from {sorted(_CYCLES)}")
+    prefix = prefix if prefix is not None else f"{ts_col}_"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch.column(ts_col)
+        for c in cycles:
+            if c == "hour":
+                v = pc.hour(arr)
+                off = 0
+            elif c == "dow":
+                v = pc.day_of_week(arr, count_from_zero=False, week_start=1)
+                off = 1
+            else:
+                v = pc.month(arr)
+                off = 1
+            x = (v.to_numpy(zero_copy_only=False).astype(np.float64) - off)
+            ang = 2.0 * np.pi * x / _CYCLES[c]
+            batch = batch.append_column(f"{prefix}{c}_sin",
+                                        pa.array(np.sin(ang)))
+            batch = batch.append_column(f"{prefix}{c}_cos",
+                                        pa.array(np.cos(ang)))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+__all__.append("with_cyclical_features")

@@ -503,3 +503,48 @@ def grouped_quantile_bucket(ds, key_cols, value_col: str, *,
 
 
 __all__.append("grouped_quantile_bucket")
+
+
+def grouped_robust_scale(ds, key_cols, value_col: str, *,
+                         out_col: str | None = None,
+                         num_buckets: int = 16,
+                         max_keys: int = 1_000_000):
+    """Per-key ROBUST z-score: (x − median_key) / mad_key — the
+    outlier-resistant standardization (mean/std are poisoned by the
+    outliers themselves; median/MAD are 50%-breakdown).  Zero-MAD keys
+    (constant or half-constant values) emit null rather than ±inf.
+
+    Fit = :func:`grouped_mad` (two exact quantile exchanges; swap the
+    sketch in at corpus scale per its docstring); the fitted (median,
+    mad) table is key-bounded (loud ``max_keys``), broadcasts via
+    ``ray.put``, and the transform is one stateless vectorized pass."""
+    import pyarrow as pa
+    import ray
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    out_col = out_col or f"{value_col}_rz"
+    stats = grouped_mad(ds, key_cols, value_col, num_buckets=num_buckets,
+                        max_keys=max_keys)
+    ref = ray.put(stats.set_index(
+        key_cols[0] if len(key_cols) == 1 else key_cols))
+
+    def transform(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        df = batch.select(key_cols).to_pandas()
+        idx = (pd.MultiIndex.from_frame(df[key_cols]) if len(key_cols) > 1
+               else pd.Index(df[key_cols[0]]))
+        med = st["median"].reindex(idx).to_numpy(dtype=np.float64)
+        mad = st["mad"].reindex(idx).to_numpy(dtype=np.float64)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - med) / mad
+        ok = np.isfinite(z)
+        return batch.append_column(
+            out_col, pa.array(np.where(ok, z, 0.0), mask=~ok))
+
+    return ds.map_batches(transform, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+__all__.append("grouped_robust_scale")

@@ -298,3 +298,23 @@ def test_grouped_quantile_bucket_exact_and_sketch(ray_session):
 
     with pytest.raises(ValueError, match="labels"):
         grouped_quantile_bucket(ds, "k", "v", labels=("x",))
+
+
+def test_grouped_robust_scale_planted(ray_session):
+    """(x - median)/MAD per key; zero-MAD key emits null."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.scale import grouped_robust_scale
+
+    df = pd.DataFrame({
+        "i": range(7),
+        "k": ["a", "a", "a", "a", "b", "b", "b"],
+        "v": [1.0, 2.0, 3.0, 10.0, 5.0, 5.0, 5.0],  # b: constant -> MAD 0
+    })
+    out = grouped_robust_scale(_ray.data.from_pandas(df), "k", "v",
+                               num_buckets=2).to_pandas()
+    out = out.sort_values("i", ignore_index=True)
+    # key a: median 2.5, |dev| = [1.5, .5, .5, 7.5] -> MAD = 1.0
+    np.testing.assert_allclose(
+        out.loc[:3, "v_rz"].to_numpy(), [-1.5, -0.5, 0.5, 7.5])
+    assert out.loc[4:, "v_rz"].isna().all()

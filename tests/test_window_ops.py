@@ -872,3 +872,40 @@ def test_cohort_retention_planted(ray_session):
            for r in out.itertuples()}
     w1, w2 = T("2024-01-01"), T("2024-01-08")
     assert got == {(w1, 0): 2, (w1, 2): 1, (w2, 0): 1, (w2, 1): 1}
+
+
+def test_cyclical_features_wraparound(ray_session):
+    """sin/cos encode the circle: 23:00 and 00:00 are near neighbors
+    in (sin, cos) space while raw hours are 23 apart; Sunday wraps to
+    Monday; unknown cycle name raises."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.datetime import (
+        with_cyclical_features,
+    )
+
+    T = pd.Timestamp
+    df = pd.DataFrame({
+        "i": range(4),
+        "ts": [T("2024-01-01 00:00:00"), T("2024-01-01 23:00:00"),
+               T("2024-01-07 12:00:00"),   # Sunday
+               T("2024-06-15 06:00:00")],
+    })
+    out = with_cyclical_features(_ray.data.from_pandas(df), "ts"
+                                 ).to_pandas().sort_values(
+        "i", ignore_index=True)
+    p0 = out.loc[0, ["ts_hour_sin", "ts_hour_cos"]].to_numpy(float)
+    p23 = out.loc[1, ["ts_hour_sin", "ts_hour_cos"]].to_numpy(float)
+    assert np.linalg.norm(p0 - p23) < 2 * np.sin(np.pi / 24) + 1e-9
+    # midnight: angle 0
+    np.testing.assert_allclose(p0, [0.0, 1.0], atol=1e-12)
+    # Sunday: dow angle 2π·6/7
+    np.testing.assert_allclose(
+        out.loc[2, "ts_dow_sin"], np.sin(2 * np.pi * 6 / 7), atol=1e-12)
+    # unit circle everywhere
+    for c in ("hour", "dow", "month"):
+        r = out[f"ts_{c}_sin"] ** 2 + out[f"ts_{c}_cos"] ** 2
+        np.testing.assert_allclose(r, 1.0, atol=1e-12)
+    with pytest.raises(ValueError, match="unknown cycles"):
+        with_cyclical_features(_ray.data.from_pandas(df), "ts",
+                               cycles=("minute",))
