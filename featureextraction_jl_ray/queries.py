@@ -4259,6 +4259,30 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_rolling_std_events(sf_dir):
+    """Trailing 1h per-user rolling SAMPLE std/var of value — the
+    anomaly-detection staple (rolling z-score denominator), via the
+    same one-pass entity-offset rolling kernel as `rolling`;
+    ties="peers" = the oracle's RANGE-frame semantics.  1e-6 grid;
+    single-row windows are NULL (ddof=1) on both sides."""
+    from .stages.window import with_rolling
+
+    ds = with_rolling(_events(sf_dir), "user_id", "ts", "value",
+                      window="1h", aggs=("std", "var"), num_buckets=32,
+                      tiebreak_cols=("event_id",), ties="peers")
+    ds = ds.select_columns(["event_id", "roll_value_std", "roll_value_var"])
+    return _round_cols(ds, {"roll_value_std": 6, "roll_value_var": 6})
+
+
+SQL_ROLLING_STD_EVENTS = """
+SELECT event_id,
+       ROUND(stddev_samp(value) OVER w, 6) AS roll_value_std,
+       ROUND(var_samp(value) OVER w, 6) AS roll_value_var
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_corpus_report(sf_dir):
     """Corpus mixture report — the "what's in my training mix" view
     every data team keeps: per (lang, source) document count, total
@@ -5376,6 +5400,7 @@ QUERIES = {
     "grouped_robust_scale": q_grouped_robust_scale,
     "cyclical_features": q_cyclical_features,
     "corpus_report": q_corpus_report,
+    "rolling_std_events": q_rolling_std_events,
 }
 
 ORACLE_SQL = {
@@ -5508,4 +5533,5 @@ ORACLE_SQL = {
     "grouped_robust_scale": SQL_GROUPED_ROBUST_SCALE,
     "cyclical_features": SQL_CYCLICAL_FEATURES,
     "corpus_report": SQL_CORPUS_REPORT,
+    "rolling_std_events": SQL_ROLLING_STD_EVENTS,
 }

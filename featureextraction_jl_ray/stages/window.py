@@ -37,7 +37,7 @@ __all__ = [
     "with_session_stats",
 ]
 
-_AGG_NAMES = ("count", "sum", "mean", "min", "max")
+_AGG_NAMES = ("count", "sum", "mean", "min", "max", "std", "var")
 
 
 def _sessionize_frame(
