@@ -265,3 +265,40 @@ def test_late_round4_ops_empty(ray_session):
     }))
     assert random_projection(emb, vector_col="embedding",
                              out_dim=4).to_pandas().empty
+
+
+def test_resumption_ops_empty(ray_session):
+    """funnel / cohort_retention / weighted_thin / grouped_quantile_bucket
+    / grouped_robust_scale / embedding_decontaminate: zero rows on empty
+    input, no crash."""
+    from featureextraction_jl_ray.stages.groupagg import cohort_retention
+    from featureextraction_jl_ray.stages.scale import (
+        grouped_quantile_bucket,
+        grouped_robust_scale,
+    )
+    from featureextraction_jl_ray.stages.similarity import (
+        embedding_decontaminate,
+    )
+    from featureextraction_jl_ray.stages.split import weighted_thin
+    from featureextraction_jl_ray.stages.window import funnel
+
+    ev = _empty_events(ray_session)
+    assert funnel(ev, "user_id", "ts", "event_type",
+                  ["view", "click"], num_buckets=2).count() == 0
+    assert cohort_retention(ev, "user_id", "ts",
+                            num_buckets=2).count() == 0
+    withp = ray_session.data.from_arrow(pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "p": pa.array([], type=pa.float64())}))
+    assert weighted_thin(withp, "event_id", "p").count() == 0
+    assert grouped_quantile_bucket(ev, "user_id", "value",
+                                   method="exact").count() == 0
+    assert grouped_robust_scale(ev, "user_id", "value",
+                                num_buckets=2).count() == 0
+    emb = ray_session.data.from_arrow(pa.table({
+        "vid": pa.array([], type=pa.int64()),
+        "emb": pa.array([], type=pa.list_(pa.float64()))}))
+    one = ray_session.data.from_pandas(
+        pd.DataFrame({"vid": [1], "emb": [[1.0, 0.0]]}))
+    assert embedding_decontaminate(emb, one, vector_col="emb",
+                                   id_col="vid").count() == 0
