@@ -4173,6 +4173,35 @@ def _synth_audio_table(n: int) -> pa.Table:
     })
 
 
+def q_silence_trim(sf_dir):
+    """Speech-corpus prep: VAD-lite silence trimming of pcm16 clips —
+    frames under −40 dBFS RMS drop, active audio concatenates; emits
+    active_ratio / n_samples for downstream all-silence filters.  The
+    synth clips get a deterministic middle-third mute so the trim has
+    real work.  Binary payloads aren't SQL → rows-only; trim math is
+    pytest-oracled (tests/test_multimodal.py)
+    (stages/multimodal.py::SilenceTrim)."""
+    from .stages.multimodal import with_silence_trim
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 40, "0.01": 160, "0.1": 640}.get(sf, 40)
+
+    def mute_middle(t: pa.Table) -> pa.Table:
+        bufs = []
+        for buf in t.column("bytes").to_pylist():
+            pcm = np.frombuffer(buf, dtype="<i2").copy()
+            ns = len(pcm)
+            pcm[ns // 3:2 * ns // 3] = 0
+            bufs.append(pcm.tobytes())
+        return t.set_column(t.schema.get_field_index("bytes"), "bytes",
+                            pa.array(bufs, type=pa.binary()))
+
+    ds = _rd().from_arrow(_synth_audio_table(n)).map_batches(
+        mute_middle, batch_format="pyarrow", zero_copy_batch=True)
+    out = with_silence_trim(ds, frame=256)
+    return out.select_columns(["clip_id", "active_ratio", "n_samples"])
+
+
 def q_audio_features(sf_dir):
     """Multimodal audio path: deterministic pcm16 clips → 16 log-energy
     FFT band features per clip (real DSP over raw audio; actor-pool
@@ -4257,6 +4286,37 @@ def q_image_resize_stats(sf_dir):
         ["image_id", "r_mean", "g_mean", "b_mean", "lum_mean", "lum_std",
          "flag_dark", "flag_bright", "flag_low_contrast"]
     )
+
+
+def q_dedup_report(sf_dir):
+    """Dedup diagnostics — the per-source duplicate-rate view that
+    decides where dedup budget goes: per source, document count,
+    distinct-text count, and dup_rate = 1 − distinct/count.  Composition
+    of the oracled grouped count + exact grouped count-distinct (both
+    mergeable exchanges); the key-bounded results join on the driver.
+    1e-6 grid."""
+    from .stages.groupagg import grouped_aggregate, grouped_count_distinct
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "text"])
+    n = grouped_aggregate(ds, ["source"], {"n_docs": ("doc_id", "count")},
+                          num_buckets=4).to_pandas()
+    d = grouped_count_distinct(ds, ["source"], "text",
+                               out_name="n_distinct_texts",
+                               num_buckets=4).to_pandas()
+    out = n.merge(d, on="source", how="left")
+    out["dup_rate"] = np.round(
+        1.0 - out["n_distinct_texts"] / out["n_docs"], 6)
+    return out
+
+
+SQL_DEDUP_REPORT = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+       ROUND(1.0 - count(DISTINCT text) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM documents GROUP BY source
+"""
 
 
 def q_rolling_std_events(sf_dir):
@@ -5401,6 +5461,8 @@ QUERIES = {
     "cyclical_features": q_cyclical_features,
     "corpus_report": q_corpus_report,
     "rolling_std_events": q_rolling_std_events,
+    "dedup_report": q_dedup_report,
+    "silence_trim": q_silence_trim,  # rows-only (audio payloads)
 }
 
 ORACLE_SQL = {
@@ -5534,4 +5596,5 @@ ORACLE_SQL = {
     "cyclical_features": SQL_CYCLICAL_FEATURES,
     "corpus_report": SQL_CORPUS_REPORT,
     "rolling_std_events": SQL_ROLLING_STD_EVENTS,
+    "dedup_report": SQL_DEDUP_REPORT,
 }

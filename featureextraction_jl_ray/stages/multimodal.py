@@ -141,3 +141,87 @@ def with_video_frames(ds, *, k: int = 3, concurrency=(1, 8),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class SilenceTrim:
+    """Actor stage: pcm16 audio → silence-trimmed pcm16 (VAD-lite) —
+    the speech-corpus prep step that drops dead air before feature
+    extraction / transcription: frames whose RMS falls below
+    ``threshold_db`` dBFS are removed, active frames concatenate in
+    order.  Emits the trimmed payload plus ``active_ratio`` (kept /
+    total frames) and ``n_samples`` so a downstream filter can drop
+    all-silence clips.
+
+    Real DSP on raw audio (frame RMS via one reshape + mean of
+    squares); per-batch loop is over CLIPS (variable length),
+    vectorized within each clip — the AudioFeatures pattern.  The
+    trailing partial frame is kept iff it is active by the same rule.
+    """
+
+    def __init__(self, frame: int = 512, threshold_db: float = -40.0,
+                 out_col: str = "bytes"):
+        self._frame = frame
+        self._thr = 10.0 ** (threshold_db / 20.0)  # linear RMS, 1.0 = FS
+        self._out_col = out_col
+
+    def _trim(self, pcm: np.ndarray) -> tuple[bytes, float, int]:
+        frame = self._frame
+        if len(pcm) == 0:
+            return b"", 0.0, 0
+        n_full = len(pcm) // frame
+        pads = len(pcm) - n_full * frame
+        x = pcm.astype(np.float64) / 32768.0
+        segs = []
+        if n_full:
+            rms = np.sqrt((x[:n_full * frame].reshape(-1, frame) ** 2)
+                          .mean(axis=1))
+            keep = rms > self._thr
+            segs.append(pcm[:n_full * frame].reshape(-1, frame)[keep]
+                        .reshape(-1))
+        else:
+            keep = np.zeros(0, dtype=bool)
+        tail_kept = 0
+        if pads:
+            tail = x[n_full * frame:]
+            if np.sqrt((tail ** 2).mean()) > self._thr:
+                segs.append(pcm[n_full * frame:])
+                tail_kept = 1
+        out = (np.concatenate(segs) if segs
+               else np.empty(0, dtype=pcm.dtype))
+        total = n_full + (1 if pads else 0)
+        ratio = float((int(keep.sum()) + tail_kept) / total) if total else 0.0
+        return out.tobytes(), ratio, int(len(out))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch.column("fmt").to_pylist()
+        _decode_payload(None, fmts, _RAW_AUDIO, "audio")
+        bufs, ratios, counts = [], [], []
+        for buf in batch.column("bytes").to_pylist():
+            b, r, n = self._trim(np.frombuffer(buf, dtype="<i2"))
+            bufs.append(b)
+            ratios.append(r)
+            counts.append(n)
+        def put(t: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+            # replace a preexisting same-named column (e.g. the synth
+            # table ships n_samples) — duplicates break Arrow concat
+            if name in t.schema.names:
+                return t.set_column(t.schema.get_field_index(name),
+                                    name, arr)
+            return t.append_column(name, arr)
+
+        out = put(batch, self._out_col, pa.array(bufs, type=pa.binary()))
+        out = put(out, "active_ratio", pa.array(np.round(ratios, 6)))
+        return put(out, "n_samples", pa.array(counts, type=pa.int64()))
+
+
+def with_silence_trim(ds, *, frame: int = 512, threshold_db: float = -40.0,
+                      concurrency=(1, 8), batch_size: int | None = 256):
+    """Audio ds → silence-trimmed payloads + active_ratio/n_samples."""
+    return ds.map_batches(
+        SilenceTrim, fn_constructor_kwargs={
+            "frame": frame, "threshold_db": threshold_db},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
+__all__ += ["SilenceTrim", "with_silence_trim"]

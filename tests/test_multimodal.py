@@ -107,3 +107,40 @@ def test_psnr_roundtrip_and_threshold():
     big = np.clip(pix.astype(np.int16) + rng.integers(-20, 21, pix.shape), 0, 255)
     assert psnr(pix, small.astype(np.uint8)) >= 40.0
     assert psnr(pix, big.astype(np.uint8)) < 40.0
+
+
+def test_silence_trim_planted(ray_session):
+    """Loud-silence-loud clip keeps exactly the loud frames in order;
+    all-silent clip empties; trailing partial frame follows the same
+    rule; compressed formats still raise loudly."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.multimodal import (
+        SilenceTrim,
+        with_silence_trim,
+    )
+
+    frame = 128
+    loud = (np.sin(np.arange(frame * 4) * 0.1) * 12000).astype("<i2")
+    quiet = np.zeros(frame * 3, dtype="<i2")
+    pcm = np.concatenate([loud, quiet, loud])
+    # trailing ACTIVE partial frame (half a frame of loud signal)
+    tail = (np.sin(np.arange(frame // 2) * 0.1) * 12000).astype("<i2")
+    tbl = pa.table({
+        "clip_id": ["a", "b", "c"],
+        "bytes": [pcm.tobytes(), quiet.tobytes(),
+                  np.concatenate([quiet, tail]).tobytes()],
+        "fmt": ["pcm16"] * 3,
+    })
+    out = {r["clip_id"]: r
+           for r in with_silence_trim(_ray.data.from_arrow(tbl),
+                                      frame=frame).take_all()}
+    a = np.frombuffer(out["a"]["bytes"], dtype="<i2")
+    assert np.array_equal(a, np.concatenate([loud, loud]))
+    assert out["a"]["n_samples"] == frame * 8
+    assert out["b"]["n_samples"] == 0 and out["b"]["active_ratio"] == 0.0
+    c = np.frombuffer(out["c"]["bytes"], dtype="<i2")
+    assert np.array_equal(c, tail)        # partial active tail kept
+    with pytest.raises(Exception, match="codec"):
+        SilenceTrim()(pa.table({
+            "clip_id": ["x"], "bytes": [b"\x00\x01"], "fmt": ["mp3"]}))
