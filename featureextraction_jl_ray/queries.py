@@ -4245,6 +4245,39 @@ def _synth_video_table(n: int) -> pa.Table:
     })
 
 
+def q_video_near_dup(sf_dir):
+    """Video near-dup pairs by perceptual frame fingerprints: k sampled
+    frames → DCT phash each → exact Jaccard over the frame-hash SETS
+    (inverted index, never O(n²)).  The synth videos are all distinct,
+    so the gate plants re-uploads: the first 5 videos re-enter under
+    ``dup_…`` ids — exactly those 5 pairs must come back at jaccard 1.
+    Pixels aren't SQL → rows-only; pair semantics pytest-oracled
+    (stages/multimodal.py::video_phash_near_dup)."""
+    from .stages.multimodal import video_phash_near_dup
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 30, "0.01": 120, "0.1": 480}.get(sf, 30)
+    tbl = _synth_video_table(n)
+
+    def plant(t: pa.Table) -> pa.Table:
+        head = t.slice(0, 5)
+        ids = pc.binary_join_element_wise(
+            pa.array(["dup"] * head.num_rows), head.column("video_id"), "_")
+        dup = head.set_column(head.schema.get_field_index("video_id"),
+                              "video_id", ids)
+        return pa.concat_tables([t, dup])
+
+    ds = _rd().from_arrow(plant(tbl))
+    pairs = video_phash_near_dup(ds, k=4, threshold=0.8, num_buckets=16)
+    out = pairs.to_pandas()
+    if out.shape[1] == 0:
+        out = pd.DataFrame({"key_a": pd.Series(dtype="object"),
+                            "key_b": pd.Series(dtype="object"),
+                            "jaccard": pd.Series(dtype="float64")})
+    out["jaccard"] = np.round(out["jaccard"].to_numpy(dtype=float), 6)
+    return out.sort_values(["key_a", "key_b"], ignore_index=True)
+
+
 def q_video_frame_stats(sf_dir):
     """Multimodal video path: packed rgb24 clips → 3 uniformly sampled
     frames each → the IMAGE quality-stats stage over the sampled frames
@@ -5463,6 +5496,7 @@ QUERIES = {
     "rolling_std_events": q_rolling_std_events,
     "dedup_report": q_dedup_report,
     "silence_trim": q_silence_trim,  # rows-only (audio payloads)
+    "video_near_dup": q_video_near_dup,  # rows-only (video payloads)
 }
 
 ORACLE_SQL = {

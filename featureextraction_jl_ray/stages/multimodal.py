@@ -225,3 +225,34 @@ def with_silence_trim(ds, *, frame: int = 512, threshold_db: float = -40.0,
 
 
 __all__ += ["SilenceTrim", "with_silence_trim"]
+
+
+def video_phash_near_dup(videos, *, k: int = 5, threshold: float = 0.6,
+                         hash_method: str = "phash",
+                         num_buckets: int = 64, max_df: int = 8192):
+    """Video NEAR-DUP pairs by perceptual frame fingerprints: sample
+    ``k`` frames per video, perceptual-hash each (``phash`` DCT default;
+    ``dhash`` for brightness-shifted re-encodes, ``ahash``), and join
+    videos whose frame-hash SETS overlap — exact Jaccard ≥ ``threshold``
+    through the bounded inverted-index machinery
+    (:func:`~.minhash.set_jaccard_pairs`): re-encoded/trimmed copies
+    share most sampled-frame hashes, unrelated videos share none.
+
+    Scale shape: pixels stay block-local (sample + hash before any
+    exchange — only (video_id, int64 hash) rows shuffle, k per video);
+    the join is the three bounded exchanges of the set-similarity
+    operator, never O(n²).  Returns (key_a, key_b, jaccard)."""
+    from .codec import HashImages
+    from .minhash import set_jaccard_pairs
+
+    frames = with_video_frames(videos, k=k)
+    hashed = frames.map_batches(
+        HashImages(methods=(hash_method,), drop_bytes=True),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=256)
+    return set_jaccard_pairs(
+        hashed.select_columns(["video_id", hash_method]),
+        key_col="video_id", value_col=hash_method,
+        threshold=threshold, num_buckets=num_buckets, max_df=max_df)
+
+
+__all__.append("video_phash_near_dup")

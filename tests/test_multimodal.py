@@ -144,3 +144,46 @@ def test_silence_trim_planted(ray_session):
     with pytest.raises(Exception, match="codec"):
         SilenceTrim()(pa.table({
             "clip_id": ["x"], "bytes": [b"\x00\x01"], "fmt": ["mp3"]}))
+
+
+def test_video_phash_near_dup_planted(ray_session):
+    """Re-uploaded (identical) video pairs with its original at jaccard
+    1.0; distinct videos produce no pair; dhash variant survives a
+    global brightness shift."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.multimodal import (
+        video_phash_near_dup,
+    )
+
+    rng = np.random.default_rng(51)
+    w, h, nf = 12, 8, 6
+
+    def clip(seed):
+        r = np.random.default_rng(seed)
+        return r.integers(0, 200, size=(nf, h, w, 3), dtype=np.uint8)
+
+    v0, v1 = clip(1), clip(2)
+    v0b = np.clip(v0.astype(np.int64) + 25, 0, 255).astype(np.uint8)
+    tbl = pa.table({
+        "video_id": ["orig", "dup", "other", "shifted"],
+        "bytes": [v0.tobytes(), v0.tobytes(), v1.tobytes(), v0b.tobytes()],
+        "w": pa.array([w] * 4, type=pa.int32()),
+        "h": pa.array([h] * 4, type=pa.int32()),
+        "n_frames": pa.array([nf] * 4, type=pa.int32()),
+        "fmt": ["rgb24"] * 4,
+    })
+    ds = _ray.data.from_arrow(tbl)
+    pairs = video_phash_near_dup(ds, k=4, threshold=0.8,
+                                 num_buckets=4).to_pandas()
+    got = {tuple(sorted((r.key_a, r.key_b))): r.jaccard
+           for r in pairs.itertuples()}
+    assert got.get(("dup", "orig")) == 1.0
+    assert ("orig", "other") not in got and ("dup", "other") not in got
+    # brightness-shifted copy: dhash fingerprints are invariant
+    pairs_d = video_phash_near_dup(ds, k=4, threshold=0.8,
+                                   hash_method="dhash",
+                                   num_buckets=4).to_pandas()
+    got_d = {tuple(sorted((r.key_a, r.key_b))): r.jaccard
+             for r in pairs_d.itertuples()}
+    assert got_d.get(("orig", "shifted")) == 1.0
