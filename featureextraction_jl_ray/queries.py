@@ -4321,6 +4321,57 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_interval_overlap(sf_dir):
+    """Interval-OVERLAP join (both sides intervals): per user, pairs of
+    20-minute event windows from the even/odd event halves that overlap
+    (closed ends) — the availability×booking join class.  One entity
+    blob exchange; dense entities take the exact two-stab interval-tree
+    decomposition, each direction output-bounded
+    (stages/joins.py::interval_overlap_join)."""
+    from .stages.joins import interval_overlap_join
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+
+    def side(parity, ic, sc, ec):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("event_id").to_numpy(zero_copy_only=False)
+            t = b.column("ts").to_numpy(zero_copy_only=False)
+            m = (ids % 2) == parity
+            return pa.table({
+                ic: pa.array(ids[m]),
+                "user_id": pa.array(
+                    b.column("user_id").to_numpy(zero_copy_only=False)[m]),
+                sc: pa.array(t[m]),
+                ec: pa.array(t[m] + np.timedelta64(20, "m")),
+            })
+        return fn
+
+    a = ds.map_batches(side(0, "id_a", "s_a", "e_a"),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    b = ds.map_batches(side(1, "id_b", "s_b", "e_b"),
+                       batch_format="pyarrow", zero_copy_batch=True)
+    out = interval_overlap_join(
+        a, b, by="user_id", left_start="s_a", left_end="e_a",
+        start_col="s_b", end_col="e_b", num_buckets=16)
+    return out.select_columns(["id_a", "id_b"])
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH a AS (
+  SELECT event_id AS id_a, user_id, ts AS s_a,
+         ts + INTERVAL 20 MINUTE AS e_a
+  FROM events WHERE event_id % 2 = 0),
+b AS (
+  SELECT event_id AS id_b, user_id, ts AS s_b,
+         ts + INTERVAL 20 MINUTE AS e_b
+  FROM events WHERE event_id % 2 = 1)
+SELECT a.id_a, b.id_b
+FROM a JOIN b ON a.user_id = b.user_id
+             AND a.s_a <= b.e_b AND b.s_b <= a.e_a
+"""
+
+
 def q_dedup_report(sf_dir):
     """Dedup diagnostics — the per-source duplicate-rate view that
     decides where dedup budget goes: per source, document count,
@@ -5497,6 +5548,7 @@ QUERIES = {
     "dedup_report": q_dedup_report,
     "silence_trim": q_silence_trim,  # rows-only (audio payloads)
     "video_near_dup": q_video_near_dup,  # rows-only (video payloads)
+    "interval_overlap": q_interval_overlap,
 }
 
 ORACLE_SQL = {
@@ -5631,4 +5683,5 @@ ORACLE_SQL = {
     "corpus_report": SQL_CORPUS_REPORT,
     "rolling_std_events": SQL_ROLLING_STD_EVENTS,
     "dedup_report": SQL_DEDUP_REPORT,
+    "interval_overlap": SQL_INTERVAL_OVERLAP,
 }

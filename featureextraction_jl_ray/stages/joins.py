@@ -540,3 +540,156 @@ def bloom_anti_join(big, keys, *, on: str, right_on: str | None = None,
                                  num_partitions=num_partitions,
                                  on=(on,), right_on=(right_on,))
     return absent.union(survivors)
+
+
+def interval_overlap_join(
+    left,
+    right,
+    *,
+    by: str,
+    left_start: str,
+    left_end: str,
+    start_col: str,
+    end_col: str,
+    right_cols: list[str] | None = None,
+    num_buckets: int = 64,
+    suffix: str = "_r",
+    max_intervals_per_entity: int = 100_000,
+    dense_threshold: int = 512,
+):
+    """Interval-OVERLAP join: left intervals (entity e, [ls, le]) ×
+    right intervals (entity e, [rs, re]) with ``ls ≤ re AND rs ≤ le``
+    (closed ends) — INNER, one output row per overlapping pair.  The
+    both-sides-intervals sibling of :func:`range_join` (availability
+    windows × booking windows, session spans × incident spans).
+
+    Scale shape: the same single blob-packed entity exchange as
+    range_join.  Inside a bucket, SPARSE entities merge + filter
+    (rows_e × intervals_e); DENSE entities use the exact two-stab
+    decomposition — a pair overlaps iff (rs ≤ ls ≤ re) OR
+    (ls < rs ≤ le) — so both directions are C interval-tree stab
+    queries (closed='both' then closed='right'), each output-bounded:
+    no candidate set ever includes a non-match.  Loud
+    ``max_intervals_per_entity`` guard; invalid intervals
+    (null or start > end) never match."""
+    from ..functions.hashing import bucket_of
+    from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+    from .blobshuffle import _BLOB, _SIDE, pack_by_bucket, unpack_blobs
+    from .partition import _BUCKET
+
+    if right_cols is None:
+        s = right.schema()
+        right_cols = [c for c in s.names if c != by]
+    left_names = list(left.schema().names)
+    rename = {c: (c + suffix if c in left_names else c) for c in right_cols}
+
+    l_schema = dict(zip(left.schema().names, left.schema().types))
+    r_schema = dict(zip(right.schema().names, right.schema().types))
+    left_pa_schema = pa.schema([pa.field(n, l_schema[n]) for n in left_names])
+    right_pa_schema = pa.schema(
+        [pa.field(by, r_schema[by]),
+         *(pa.field(rename[c], r_schema[c]) for c in right_cols)])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        batch = batch.select(left_names)
+        ent = batch.column(by).to_numpy(zero_copy_only=False)
+        return pack_by_bucket(batch, bucket_of(ent, num_buckets), side=0)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        out = pa.table(
+            {by: batch.column(by),
+             **{rename[c]: batch.column(c) for c in right_cols}})
+        ent = batch.column(by).to_numpy(zero_copy_only=False)
+        return pack_by_bucket(out, bucket_of(ent, num_buckets), side=1)
+
+    unioned = left.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).union(
+        right.select_columns([by, *right_cols]).map_batches(
+            tag_right, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None))
+    start_r, end_r = rename[start_col], rename[end_col]
+
+    def _valid(df, s_col, e_col):
+        s = df[s_col].to_numpy()
+        e = df[e_col].to_numpy()
+        return df.loc[~(pd.isna(s) | pd.isna(e)) & (s <= e)]
+
+    def _stab(points_df, pt_col, iv_df, s_col, e_col, closed):
+        """pairs (point row i, interval row j) with pt stabbing iv."""
+        ii = pd.IntervalIndex.from_arrays(iv_df[s_col].to_numpy(),
+                                          iv_df[e_col].to_numpy(),
+                                          closed=closed)
+        t = points_df[pt_col].to_numpy()
+        idx, _ = ii.get_indexer_non_unique(pd.Index(t))
+        ss = np.sort(iv_df[s_col].to_numpy())
+        ee = np.sort(iv_df[e_col].to_numpy())
+        if closed == "both":
+            counts = (np.searchsorted(ss, t, side="right")
+                      - np.searchsorted(ee, t, side="left"))
+        else:  # closed="right": s < t <= e
+            counts = (np.searchsorted(ss, t, side="left")
+                      - np.searchsorted(ee, t, side="left"))
+        rep = np.repeat(np.arange(len(t)), counts + (counts == 0))
+        keep = idx >= 0
+        return rep[keep], idx[keep]
+
+    def _dense_match(li: "pd.DataFrame", ri: "pd.DataFrame"):
+        # M1: right intervals stabbed by left start (rs <= ls <= re)
+        i1, j1 = _stab(li, left_start, ri, start_r, end_r, "both")
+        # M2: left intervals (ls, le] stabbed by right start (ls < rs <= le)
+        j2, i2 = _stab(ri, start_r, li, left_start, left_end, "right")
+        li_idx = np.concatenate([i1, i2])
+        ri_idx = np.concatenate([j1, j2])
+        if not len(li_idx):
+            return None
+        lpart = li.iloc[li_idx].reset_index(drop=True)
+        rpart = ri.iloc[ri_idx].drop(columns=[by]).reset_index(drop=True)
+        return pd.concat([lpart, rpart], axis=1)
+
+    def match(tbl: pa.Table) -> pa.Table:
+        sides = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
+        blobs = tbl.column(_BLOB)
+        l = arrow_to_pandas_safe(unpack_blobs(
+            (blobs[i] for i in np.flatnonzero(sides == 0)), left_pa_schema))
+        r = arrow_to_pandas_safe(unpack_blobs(
+            (blobs[i] for i in np.flatnonzero(sides == 1)), right_pa_schema))
+        l = _valid(l, left_start, left_end) if len(l) else l
+        r = _valid(r, start_r, end_r) if len(r) else r
+        dense_ents = None
+        if len(r):
+            sizes = r.groupby(by, sort=False).size()
+            if sizes.max() > max_intervals_per_entity:
+                raise RuntimeError(
+                    f"interval_overlap_join: an entity carries "
+                    f"{int(sizes.max())} intervals "
+                    f"(> {max_intervals_per_entity}) — trim or pre-reduce "
+                    f"the hot entity upstream")
+            dense_ents = sizes.index[sizes > dense_threshold]
+        pieces = []
+        if dense_ents is not None and len(dense_ents):
+            dl = l[by].isin(dense_ents).to_numpy()
+            dr = r[by].isin(dense_ents).to_numpy()
+            l_groups = dict(iter(l.loc[dl].groupby(by, sort=False)))
+            for ent, ri in r.loc[dr].groupby(by, sort=False):
+                li = l_groups.get(ent)
+                if li is None:
+                    continue
+                p = _dense_match(li, ri)
+                if p is not None:
+                    pieces.append(p)
+            l = l.loc[~dl]
+            r = r.loc[~dr]
+        m = l.merge(r, on=by, how="inner")
+        keep = ((m[left_start] <= m[end_r])
+                & (m[start_r] <= m[left_end]))
+        pieces.append(m.loc[keep])
+        out = pd.concat(pieces, ignore_index=True) if len(pieces) > 1 else (
+            pieces[0].reset_index(drop=True))
+        return pandas_to_arrow(out)
+
+    return unioned.groupby(_BUCKET).map_groups(match, batch_format="pyarrow")
+
+
+__all__.append("interval_overlap_join")

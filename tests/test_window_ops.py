@@ -6,6 +6,7 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from featureextraction_jl_ray.stages.asof import asof_join
@@ -909,3 +910,53 @@ def test_cyclical_features_wraparound(ray_session):
     with pytest.raises(ValueError, match="unknown cycles"):
         with_cyclical_features(_ray.data.from_pandas(df), "ts",
                                cycles=("minute",))
+
+
+def test_interval_overlap_join_dense_matches_bruteforce(ray_session):
+    """Dense-path (two-stab interval tree) == sparse merge+filter ==
+    python brute force, incl. touching endpoints, nested, duplicate
+    starts, invalid (start > end / null) intervals."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.joins import interval_overlap_join
+
+    rng = np.random.default_rng(61)
+    n_a, n_b = 40, 35
+    ents = rng.choice(["u1", "u2"], n_a + n_b)
+    s = rng.integers(0, 100, n_a + n_b).astype("float64")
+    ln = rng.integers(0, 15, n_a + n_b).astype("float64")
+    e = s + ln
+    # planted edge cases: touching endpoints, nested, invalid, null
+    s[0], e[0] = 10.0, 20.0
+    s[n_a], e[n_a] = 20.0, 30.0          # touches left[0] at 20 -> match
+    ents[0] = ents[n_a] = "u1"           # planted pair shares an entity
+    s[1], e[1] = 50.0, 40.0              # invalid: start > end
+    e[2] = np.nan                        # null end
+    a = pd.DataFrame({"id_a": np.arange(n_a), "u": ents[:n_a],
+                      "s_a": s[:n_a], "e_a": e[:n_a]})
+    b = pd.DataFrame({"id_b": np.arange(n_b), "u": ents[n_a:],
+                      "s_b": s[n_a:], "e_b": e[n_a:]})
+
+    want = set()
+    for ra in a.itertuples():
+        if np.isnan(ra.s_a) or np.isnan(ra.e_a) or ra.s_a > ra.e_a:
+            continue
+        for rb in b.itertuples():
+            if (rb.u != ra.u or np.isnan(rb.s_b) or np.isnan(rb.e_b)
+                    or rb.s_b > rb.e_b):
+                continue
+            if ra.s_a <= rb.e_b and rb.s_b <= ra.e_a:
+                want.add((ra.id_a, rb.id_b))
+
+    for thresh in (512, 2):  # sparse path, then force the dense path
+        out = interval_overlap_join(
+            _ray.data.from_arrow(pa.Table.from_pandas(a)),
+            _ray.data.from_arrow(pa.Table.from_pandas(b)),
+            by="u", left_start="s_a", left_end="e_a",
+            start_col="s_b", end_col="e_b", num_buckets=4,
+            dense_threshold=thresh).to_pandas()
+        got = set(zip(out.id_a.astype(int), out.id_b.astype(int)))
+        assert got == want, f"dense_threshold={thresh}"
+        # no duplicate pairs from the two-stab decomposition
+        assert len(out) == len(got), f"dense_threshold={thresh}"
+    assert (0, 0) in want  # the touching-endpoint pair really exercised
