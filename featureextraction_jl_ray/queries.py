@@ -4321,6 +4321,54 @@ def q_image_resize_stats(sf_dir):
     )
 
 
+def q_population_stability(sf_dir):
+    """PSI drift monitor between the even/odd event halves: bin edges =
+    the reference half's exact deciles (quantile_cont parity), one
+    streaming bincount partial per batch per side, Laplace-smoothed
+    probabilities so empty bins penalize finitely — per-bin
+    (p_ref, p_cur, contrib) rows, sum(contrib) = the PSI
+    (stages/profile.py::population_stability)."""
+    from .stages.profile import population_stability
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+
+    def _side(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("event_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+        return fn
+
+    ref = ds.map_batches(_side(0), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    cur = ds.map_batches(_side(1), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return population_stability(ref, cur, "value", bins=10)
+
+
+SQL_POPULATION_STABILITY = """
+WITH ref AS (SELECT value AS v FROM events
+             WHERE event_id % 2 = 0 AND value IS NOT NULL),
+cur AS (SELECT value AS v FROM events
+        WHERE event_id % 2 = 1 AND value IS NOT NULL),
+e AS (SELECT unnest(quantile_cont(v,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS edge FROM ref),
+rb AS (SELECT (SELECT count(*) FROM e WHERE e.edge <= r.v) AS bin FROM ref r),
+cb AS (SELECT (SELECT count(*) FROM e WHERE e.edge <= c.v) AS bin FROM cur c),
+bins AS (SELECT unnest(range(0, 10)) AS bin),
+rcnt AS (SELECT bin, count(*) AS c FROM rb GROUP BY bin),
+ccnt AS (SELECT bin, count(*) AS c FROM cb GROUP BY bin),
+p AS (
+  SELECT b.bin,
+    (coalesce(rc.c, 0) + 0.5) / ((SELECT count(*) FROM ref) + 5.0) AS pr,
+    (coalesce(cc.c, 0) + 0.5) / ((SELECT count(*) FROM cur) + 5.0) AS pc
+  FROM bins b LEFT JOIN rcnt rc USING (bin) LEFT JOIN ccnt cc USING (bin))
+SELECT CAST(bin AS BIGINT) AS bin, ROUND(pr, 6) AS p_ref,
+       ROUND(pc, 6) AS p_cur, ROUND((pc - pr) * ln(pc / pr), 6) AS contrib
+FROM p
+"""
+
+
 def q_interval_overlap(sf_dir):
     """Interval-OVERLAP join (both sides intervals): per user, pairs of
     20-minute event windows from the even/odd event halves that overlap
@@ -5549,6 +5597,7 @@ QUERIES = {
     "silence_trim": q_silence_trim,  # rows-only (audio payloads)
     "video_near_dup": q_video_near_dup,  # rows-only (video payloads)
     "interval_overlap": q_interval_overlap,
+    "population_stability": q_population_stability,
 }
 
 ORACLE_SQL = {
@@ -5684,4 +5733,5 @@ ORACLE_SQL = {
     "rolling_std_events": SQL_ROLLING_STD_EVENTS,
     "dedup_report": SQL_DEDUP_REPORT,
     "interval_overlap": SQL_INTERVAL_OVERLAP,
+    "population_stability": SQL_POPULATION_STABILITY,
 }

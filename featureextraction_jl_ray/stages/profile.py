@@ -163,3 +163,66 @@ def categorical_association(ds, col_a: str, col_b: str, *,
 
 
 __all__.append("categorical_association")
+
+
+def population_stability(ref_ds, cur_ds, col: str, *, bins: int = 10,
+                         method: str = "exact",
+                         smooth: float = 0.5):
+    """Population Stability Index — the standard production
+    drift-monitoring statistic between a REFERENCE distribution (e.g.
+    training data) and a CURRENT one (live traffic): bin edges are the
+    reference's ``bins``-quantiles, both sides histogram against them,
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref).  Rule of thumb: < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 shifted.
+
+    Scale shape: the edge fit is :func:`~.scale.fit_quantiles`
+    (``method="sketch"`` for the corpus-scale ±ε path, "exact" =
+    quantile_cont parity for the gate); each side then needs only ONE
+    column-pruned streaming pass emitting a (bins+1)-long bincount
+    partial per batch (null values drop; values outside the reference
+    range clamp into the edge bins via searchsorted).  Counts are
+    Laplace-smoothed by ``smooth`` so an empty current bin contributes a
+    finite penalty instead of ±inf — mirrored exactly in the SQL
+    oracle.  Returns a (bins)-row pandas DataFrame (bin, p_ref, p_cur,
+    contrib) — sum ``contrib`` for the scalar PSI."""
+    from .scale import fit_quantiles
+
+    qs = tuple(i / bins for i in range(1, bins))
+    q = fit_quantiles(ref_ds, col, qs=qs, method=method)
+    edges = np.array([q[x] for x in qs], dtype=np.float64)
+
+    def counts(ds) -> np.ndarray:
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            v = v[~np.isnan(v)]
+            b = np.searchsorted(edges, v, side="right")
+            return pa.table({"c": pa.array(
+                np.bincount(b, minlength=bins).astype(np.int64))})
+
+        out = np.zeros(bins, dtype=np.int64)
+        parts = ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True)
+        for t in parts.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            # every partial is exactly bins rows; a batch is whole
+            # partials concatenated
+            assert len(c) % bins == 0, (len(c), bins)
+            out += c.reshape(-1, bins).sum(axis=0)
+        return out
+
+    c_ref = counts(ref_ds)
+    c_cur = counts(cur_ds)
+    p_ref = (c_ref + smooth) / (c_ref.sum() + smooth * bins)
+    p_cur = (c_cur + smooth) / (c_cur.sum() + smooth * bins)
+    contrib = (p_cur - p_ref) * np.log(p_cur / p_ref)
+    return pd.DataFrame({
+        "bin": np.arange(bins, dtype=np.int64),
+        "p_ref": np.round(p_ref, 6),
+        "p_cur": np.round(p_cur, 6),
+        "contrib": np.round(contrib, 6),
+    })
+
+
+__all__.append("population_stability")

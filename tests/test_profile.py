@@ -69,3 +69,30 @@ def test_categorical_association_vs_scipy_formula(ray_session):
 
     with pytest.raises(ValueError, match="max_cells"):
         categorical_association(ds, "a", "dep", max_cells=3)
+
+
+def test_population_stability_identical_and_shifted(ray_session):
+    """PSI ≈ 0 for identical distributions; large for a clear shift;
+    per-bin probabilities sum to 1; empty current bins stay finite."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.profile import population_stability
+
+    rng = np.random.default_rng(71)
+    ref = pd.DataFrame({"value": rng.standard_normal(4000)})
+    same = pd.DataFrame({"value": rng.standard_normal(4000)})
+    shifted = pd.DataFrame({"value": rng.standard_normal(4000) + 3.0})
+
+    r = _ray.data.from_pandas(ref)
+    out_same = population_stability(r, _ray.data.from_pandas(same),
+                                    "value", bins=10)
+    out_shift = population_stability(r, _ray.data.from_pandas(shifted),
+                                     "value", bins=10)
+    assert len(out_same) == 10
+    assert abs(out_same.p_ref.sum() - 1.0) < 1e-4
+    assert abs(out_same.p_cur.sum() - 1.0) < 1e-4
+    psi_same = out_same.contrib.sum()
+    psi_shift = out_shift.contrib.sum()
+    assert psi_same < 0.05              # same distribution: stable
+    assert psi_shift > 1.0              # 3-sigma shift: strongly drifted
+    assert np.isfinite(out_shift.contrib).all()  # empty bins smoothed
