@@ -4369,6 +4369,58 @@ FROM p
 """
 
 
+def q_categorical_drift(sf_dir):
+    """Categorical drift between the even/odd event halves — the
+    categorical sibling of the PSI monitor: per event_type, both sides'
+    counts/shares plus the χ² homogeneity contribution (expected =
+    pooled share × side total).  One bounded keyed exchange per side;
+    tables merge on the driver (category-bounded)
+    (stages/profile.py::categorical_drift)."""
+    from .stages.profile import categorical_drift
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+
+    def _side(parity):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("event_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+        return fn
+
+    ref = ds.map_batches(_side(0), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    cur = ds.map_batches(_side(1), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return categorical_drift(ref, cur, "event_type", num_buckets=4)
+
+
+SQL_CATEGORICAL_DRIFT = """
+WITH r AS (SELECT event_type AS cat FROM events WHERE event_id % 2 = 0),
+c AS (SELECT event_type AS cat FROM events WHERE event_id % 2 = 1),
+rc AS (SELECT cat, count(*) AS n_ref FROM r GROUP BY cat),
+cc AS (SELECT cat, count(*) AS n_cur FROM c GROUP BY cat),
+m AS (
+  SELECT coalesce(rc.cat, cc.cat) AS cat,
+         coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+  FROM rc FULL OUTER JOIN cc ON rc.cat = cc.cat),
+t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM m)
+SELECT m.cat AS event_type,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(n_ref / CAST(t.tr AS DOUBLE), 6) AS p_ref,
+       ROUND(n_cur / CAST(t.tc AS DOUBLE), 6) AS p_cur,
+       ROUND(
+         CASE WHEN (n_ref + n_cur) > 0 AND t.tr > 0 THEN
+           pow(n_ref - (n_ref + n_cur) / CAST(t.tr + t.tc AS DOUBLE) * t.tr, 2)
+             / ((n_ref + n_cur) / CAST(t.tr + t.tc AS DOUBLE) * t.tr)
+         ELSE 0 END
+         + CASE WHEN (n_ref + n_cur) > 0 AND t.tc > 0 THEN
+           pow(n_cur - (n_ref + n_cur) / CAST(t.tr + t.tc AS DOUBLE) * t.tc, 2)
+             / ((n_ref + n_cur) / CAST(t.tr + t.tc AS DOUBLE) * t.tc)
+         ELSE 0 END, 6) AS chi2_contrib
+FROM m, t
+"""
+
+
 def q_interval_overlap(sf_dir):
     """Interval-OVERLAP join (both sides intervals): per user, pairs of
     20-minute event windows from the even/odd event halves that overlap
@@ -5598,6 +5650,7 @@ QUERIES = {
     "video_near_dup": q_video_near_dup,  # rows-only (video payloads)
     "interval_overlap": q_interval_overlap,
     "population_stability": q_population_stability,
+    "categorical_drift": q_categorical_drift,
 }
 
 ORACLE_SQL = {
@@ -5734,4 +5787,5 @@ ORACLE_SQL = {
     "dedup_report": SQL_DEDUP_REPORT,
     "interval_overlap": SQL_INTERVAL_OVERLAP,
     "population_stability": SQL_POPULATION_STABILITY,
+    "categorical_drift": SQL_CATEGORICAL_DRIFT,
 }

@@ -226,3 +226,58 @@ def population_stability(ref_ds, cur_ds, col: str, *, bins: int = 10,
 
 
 __all__.append("population_stability")
+
+
+def categorical_drift(ref_ds, cur_ds, col: str, *, num_buckets: int = 16,
+                      max_categories: int = 1_000_000) -> pd.DataFrame:
+    """Categorical drift between a REFERENCE and a CURRENT dataset —
+    the categorical sibling of :func:`population_stability`: per
+    category, both sides' counts and shares plus the per-category χ²
+    contribution of the two-sample homogeneity test (expected =
+    pooled share × side total); sum ``chi2_contrib`` over BOTH sides'
+    rows for the test statistic (dof = categories − 1).
+
+    One bounded keyed exchange per side (map-side count combine — the
+    contingency table, never the row count; loud ``max_categories``
+    guard); the category-bounded tables merge on the driver.  Returns
+    one row per category: (category, n_ref, n_cur, p_ref, p_cur,
+    chi2_contrib)."""
+    from .groupagg import grouped_aggregate
+
+    def side_counts(ds) -> pd.DataFrame:
+        out = grouped_aggregate(
+            ds.select_columns([col]), [col], {"n": (col, "count")},
+            num_buckets=num_buckets).to_pandas()
+        if out.empty:
+            out = pd.DataFrame({col: pd.Series(dtype="object"),
+                                "n": pd.Series(dtype="int64")})
+        if len(out) > max_categories:
+            raise ValueError(
+                f"categorical_drift: {len(out)} categories exceed "
+                f"max_categories={max_categories}; the category table is "
+                f"driver state by design — raise the cap deliberately")
+        return out
+
+    r = side_counts(ref_ds).rename(columns={"n": "n_ref"})
+    c = side_counts(cur_ds).rename(columns={"n": "n_cur"})
+    m = r.merge(c, on=col, how="outer")
+    m[["n_ref", "n_cur"]] = m[["n_ref", "n_cur"]].fillna(0).astype(np.int64)
+    t_ref, t_cur = int(m.n_ref.sum()), int(m.n_cur.sum())
+    pooled = (m.n_ref + m.n_cur) / max(t_ref + t_cur, 1)
+    e_ref = pooled * t_ref
+    e_cur = pooled * t_cur
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi = np.where(e_ref > 0, (m.n_ref - e_ref) ** 2 / e_ref, 0.0) \
+            + np.where(e_cur > 0, (m.n_cur - e_cur) ** 2 / e_cur, 0.0)
+    out = pd.DataFrame({
+        col: m[col],
+        "n_ref": m.n_ref,
+        "n_cur": m.n_cur,
+        "p_ref": np.round(m.n_ref / max(t_ref, 1), 6),
+        "p_cur": np.round(m.n_cur / max(t_cur, 1), 6),
+        "chi2_contrib": np.round(chi, 6),
+    })
+    return out.sort_values(col, ignore_index=True)
+
+
+__all__.append("categorical_drift")

@@ -96,3 +96,30 @@ def test_population_stability_identical_and_shifted(ray_session):
     assert psi_same < 0.05              # same distribution: stable
     assert psi_shift > 1.0              # 3-sigma shift: strongly drifted
     assert np.isfinite(out_shift.contrib).all()  # empty bins smoothed
+
+
+def test_categorical_drift_planted(ray_session):
+    """Same distribution -> chi2 ~ 0; disjoint category -> large
+    contribution on that category; zero-one-side categories finite."""
+    import ray as _ray
+
+    from featureextraction_jl_ray.stages.profile import categorical_drift
+
+    rng = np.random.default_rng(73)
+    ref = pd.DataFrame({"c": rng.choice(["a", "b", "c"], 3000,
+                                        p=[0.5, 0.3, 0.2])})
+    same = pd.DataFrame({"c": rng.choice(["a", "b", "c"], 3000,
+                                         p=[0.5, 0.3, 0.2])})
+    new = pd.DataFrame({"c": rng.choice(["a", "b", "z"], 3000,
+                                        p=[0.2, 0.2, 0.6])})
+    r = _ray.data.from_pandas(ref)
+    out_same = categorical_drift(r, _ray.data.from_pandas(same), "c")
+    out_new = categorical_drift(r, _ray.data.from_pandas(new), "c")
+    assert out_same.chi2_contrib.sum() < 15          # ~chi2(2) scale
+    assert out_new.chi2_contrib.sum() > 500          # massive shift
+    z = out_new.set_index("c")
+    assert z.loc["z", "n_ref"] == 0 and z.loc["z", "n_cur"] > 0
+    assert np.isfinite(out_new.chi2_contrib).all()
+    # shares normalize per side
+    assert abs(out_new.p_ref.sum() - 1) < 1e-4
+    assert abs(out_new.p_cur.sum() - 1) < 1e-4
