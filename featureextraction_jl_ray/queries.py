@@ -2025,7 +2025,8 @@ def q_explode_tokens(sf_dir):
     def explode(t: pa.Table) -> pa.Table:
         # fully vectorized flatten: arrow whitespace split (same semantics
         # as str.split()), list lengths → repeated doc ids + ordinals
-        toks = pc.utf8_split_whitespace(t.column("text"))
+        from .stages.text import split_ws_tokens
+        toks = split_ws_tokens(t.column("text"))
         n_per = pc.list_value_length(toks).to_numpy().astype(np.int64)
         dids = np.repeat(t.column("doc_id").to_numpy(), n_per)
         starts = np.cumsum(n_per) - n_per

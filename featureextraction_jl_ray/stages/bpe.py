@@ -30,6 +30,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .text import split_ws_tokens
+
 __all__ = ["BPETokenizer", "fit_bpe", "word_counts", "with_bpe_token_counts",
            "chunk_documents_bpe"]
 
@@ -40,7 +42,7 @@ def word_counts(ds, text_col: str = "text"):
     block rows, then one bounded groupby-sum."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(pc.utf8_split_whitespace(
+        toks = pc.list_flatten(split_ws_tokens(
             pc.fill_null(batch.column(text_col), "")))
         if len(toks) == 0:
             return pa.table({"word": pa.array([], type=pa.string()),
@@ -157,7 +159,7 @@ def with_bpe_token_counts(ds, tokenizer: BPETokenizer, *,
 
     def fn(batch: pa.Table) -> pa.Table:
         counter = tokenizer.token_counter()
-        toks = pc.utf8_split_whitespace(pc.fill_null(batch.column(text_col), ""))
+        toks = split_ws_tokens(pc.fill_null(batch.column(text_col), ""))
         flat = pd.Series(pc.list_flatten(toks).to_numpy(zero_copy_only=False))
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         per_word = flat.map(lambda w: counter(w) if w else 0).to_numpy(
@@ -185,7 +187,7 @@ def chunk_documents_bpe(ds, tokenizer: BPETokenizer, *,
 
     def fn(batch: pa.Table) -> pa.Table:
         counter = tokenizer.token_counter()
-        toks = pc.utf8_split_whitespace(pc.fill_null(batch.column(text_col), ""))
+        toks = split_ws_tokens(pc.fill_null(batch.column(text_col), ""))
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         trimmed = pc.utf8_length(pc.utf8_trim_whitespace(
             pc.fill_null(batch.column(text_col), ""))).to_numpy(

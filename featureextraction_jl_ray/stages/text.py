@@ -47,6 +47,7 @@ __all__ = [
     "with_clean_normalize",
     "char_entropy",
     "with_char_entropy",
+    "split_ws_tokens",
 ]
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -683,10 +684,10 @@ def chunk_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
         raise ValueError("size and stride must be positive")
 
     def fn(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(batch.column(text_col))
+        toks = split_ws_tokens(batch.column(text_col))
         n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         n_per = np.nan_to_num(n_per.astype(np.float64)).astype(np.int64)
-        # utf8_split_whitespace('') yields [''] — treat whitespace-only
+        # the splitter yields [''] for '' — treat whitespace-only
         # docs as zero tokens (zero chunks); the oracle SQL mirrors this
         # with WHERE len(trim(text)) > 0 (len(ws)>0 would NOT: DuckDB
         # string_split_regex('') is [''] with len 1)
@@ -772,6 +773,23 @@ def pack_chunks(ds, *, token_col: str = "n_tokens", capacity: int = 512,
     return sharded.groupby(_BUCKET).map_groups(pack, batch_format="pyarrow")
 
 
+def split_ws_tokens(arr):
+    """Whitespace tokenizer for Arrow string columns: RE2 ``\\s+`` split
+    (``pc.split_pattern_regex``) — exactly the complement of the SQL
+    oracles' ``regexp_extract_all(t, '\\S+')``, one empty token per
+    boundary whitespace run.
+
+    Deliberately NOT ``pc.utf8_split_whitespace``: pyarrow 16.1's
+    dedicated splitter is NONDETERMINISTIC — two consecutive calls on
+    the same multibyte-containing array can disagree (observed: the
+    trailing newline of the last row merged into its final token,
+    caught by the derandomized hypothesis sweep + a double-call
+    self-check; it also emits duplicate empties for multi-char trailing
+    runs).  Every engine tokenization funnels through this helper so
+    the workaround (and any future revert) lives in one place."""
+    return pc.split_pattern_regex(arr, r"\s+")
+
+
 def _word_ngrams(texts, n: int):
     """Vectorized word ``n``-grams over an Arrow string column: returns
     ``(shingles, k)`` where ``shingles`` is a flat object ndarray of all
@@ -779,12 +797,12 @@ def _word_ngrams(texts, n: int):
     count (0 when the row has fewer than ``n`` words).
 
     Tokenization matches the SQL oracles' ``regexp_extract_all(lower(t),
-    '\\S+')`` exactly: ``utf8_split_whitespace`` emits EMPTY tokens for
+    '\\S+')`` exactly: the splitter emits EMPTY tokens for
     leading/trailing/consecutive whitespace, so those are filtered and
     per-row word counts recomputed — messy whitespace can no longer
     shift the flat-token indexing (the alignment hazard the older
     inline explode had)."""
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(texts, "")))
+    toks = split_ws_tokens(pc.utf8_lower(pc.fill_null(texts, "")))
     lens_raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     flat_all = pc.list_flatten(toks)
     if isinstance(flat_all, pa.ChunkedArray):
@@ -828,7 +846,7 @@ def _word_spans(texts, w: int):
     i+1), so the spans are one ``ListArray.from_arrays`` over the flat
     tokens + a C-level ``binary_join``.
     """
-    toks = pc.utf8_split_whitespace(pc.fill_null(texts, ""))
+    toks = split_ws_tokens(pc.fill_null(texts, ""))
     lens_raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     flat_all = pc.list_flatten(toks)
     if isinstance(flat_all, pa.ChunkedArray):
@@ -1027,7 +1045,7 @@ def dup_ngram_fraction(ds, *, text_col: str = "text", id_col: str = "doc_id",
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         # shared tokenizer-exact n-gram builder (filters the empty tokens
-        # utf8_split_whitespace emits on messy whitespace, matching the
+        # the splitter emits on messy whitespace, matching the
         # oracle's regexp_extract_all('\S+') exactly)
         sh, k = _word_ngrams(batch.column(text_col), n)
         empty = pa.table({
