@@ -2606,7 +2606,10 @@ def q_kernel_center(sf_dir):
     Oracled by a DuckDB list_dot_product cross join + the same
     K̃ᵢⱼ = Kᵢⱼ − rᵢ − rⱼ + g identity; both sides ROUND(x, 4) so
     summation-order ulps (np pairwise vs SQL sequential sums) vanish
-    below the grid."""
+    below the grid.  Both sides then add +0.0 to canonicalize signed
+    zeros: np.round of a tiny negative mean yields -0.0 (67/256 rows at
+    sf0.01) while DuckDB's ROUND mostly yields +0.0, and the driver's
+    value hash is bitwise — r4's only red row (VERDICT r4 §What's wrong)."""
     from .state.kernel import KernelCenterer
 
     tbl = (
@@ -2620,8 +2623,8 @@ def q_kernel_center(sf_dir):
     return pd.DataFrame(
         {
             "i": np.arange(len(K), dtype=np.int64),
-            "row_mean_centered": np.round(Kc.mean(axis=1), 4),
-            "diag": np.round(np.diag(Kc), 4),
+            "row_mean_centered": np.round(Kc.mean(axis=1), 4) + 0.0,
+            "diag": np.round(np.diag(Kc), 4) + 0.0,
         }
     )
 
@@ -2646,8 +2649,8 @@ c AS (
   JOIN r rb ON rb.ia = k.ib
 )
 SELECT ia AS i,
-       ROUND(avg(kc), 4) AS row_mean_centered,
-       ROUND(max(CASE WHEN ia = ib THEN kc END), 4) AS diag
+       ROUND(avg(kc), 4) + 0.0 AS row_mean_centered,
+       ROUND(max(CASE WHEN ia = ib THEN kc END), 4) + 0.0 AS diag
 FROM c GROUP BY ia
 """
 

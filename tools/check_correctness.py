@@ -73,14 +73,18 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
                     f"(driver hash distinguishes 0 from 0.0)"
                 )
                 continue
-            ga = gv.to_numpy(dtype=float)
-            wa = wv.to_numpy(dtype=float)
+            ga = np.ascontiguousarray(gv.to_numpy(dtype=float))
+            wa = np.ascontiguousarray(wv.to_numpy(dtype=float))
             both_nan = np.isnan(ga) & np.isnan(wa)
-            exact = (ga == wa) | both_nan
+            # BITWISE compare (r4 lesson: `==` passes -0.0 == 0.0, but the
+            # driver's value-hash is over the bytes — kernel_center shipped
+            # red because this replica was weaker than the hash on signed
+            # zeros).  NaNs canonicalized via the both_nan escape hatch.
+            exact = (ga.view(np.int64) == wa.view(np.int64)) | both_nan
             if not exact.all():
                 i = int(np.argmin(exact))
                 issues.append(
-                    f"col {c}: {(~exact).sum()} EXACT mismatches, e.g. "
+                    f"col {c}: {(~exact).sum()} BITWISE mismatches, e.g. "
                     f"{ga[i]!r} vs {wa[i]!r}"
                 )
         else:
