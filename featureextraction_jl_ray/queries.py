@@ -904,6 +904,69 @@ FROM ranked WHERE rn = 1 GROUP BY doc_id
 """
 
 
+def q_substring_dedup_docs(sf_dir):
+    """EXACT-substring dedup at ARBITRARY word offsets (Lee et al. 2022
+    ExactSubstr class — the upgrade over span_dedup's aligned windows):
+    any ≥8-word sequence repeated corpus-wide survives only at its
+    globally first (doc_id, pos) occurrence; later occurrences have the
+    covered token range removed and the document is reassembled from
+    the survivors.  Engine = stride-1 overlapping 8-gram cover shipping
+    only (uint64 hash, doc, pos) triples, one hash-bucketed loser
+    reduce, one co-partitioned tagged-union reassembly
+    (stages/dedup.py::substring_dedup)."""
+    from .stages.dedup import substring_dedup
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return substring_dedup(ds, gram_words=8, num_buckets=16)
+
+
+SQL_SUBSTRING_DEDUP_DOCS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+  FROM documents
+),
+lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM words),
+toks AS (
+  SELECT doc_id, ws[CAST(i+1 AS INT)] AS word, i AS pos
+  FROM words CROSS JOIN LATERAL (SELECT unnest(range(0, len(ws))) AS i) t
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS gram
+  FROM words CROSS JOIN LATERAL
+       (SELECT unnest(range(0, len(ws) - 7)) AS i) t
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+removals AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+covered AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM toks t JOIN removals r
+    ON r.doc_id = t.doc_id AND t.pos BETWEEN r.pos AND r.pos + 7
+),
+kept AS (
+  SELECT t.doc_id, t.word, t.pos
+  FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+),
+agg AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id,
+       coalesce(a.text_dedup, '') AS text_dedup,
+       l.n_tokens,
+       l.n_tokens - coalesce(a.n_kept, 0) AS n_removed
+FROM lens l LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_string_agg_types(sf_dir):
     """Per-user ordered DISTINCT concatenation of event types — SQL's
     string_agg(DISTINCT x, ',' ORDER BY x).  Ordered concat isn't
@@ -4507,6 +4570,73 @@ FROM documents GROUP BY source
 """
 
 
+def q_substring_dedup_report(sf_dir):
+    """Where the EXACT-SUBSTRING dedup budget goes: per source, document
+    count, total tokens, tokens removed by the ≥8-word arbitrary-offset
+    substring dedup, and the removal rate — the substring-level
+    counterpart of `dedup_report`'s whole-doc dup_rate.  Composition of
+    the oracled `substring_dedup_docs` result (source rides the
+    reassembly exchange via keep_cols — no second all-to-all join) and
+    one tiny keyed aggregate.  1e-6 grid."""
+    from .stages.dedup import substring_dedup
+    from .stages.groupagg import grouped_aggregate
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "source", "text"])
+    dd = substring_dedup(docs, gram_words=8, keep_cols=("source",),
+                         num_buckets=16)
+    out = grouped_aggregate(
+        dd.drop_columns(["text_dedup"]), ["source"],
+        {"n_docs": ("doc_id", "count"),
+         "n_tokens": ("n_tokens", "sum"),
+         "n_removed": ("n_removed", "sum")},
+        num_buckets=4).to_pandas()
+    out["removal_rate"] = np.round(
+        out["n_removed"] / out["n_tokens"].to_numpy(dtype=float), 6) + 0.0
+    return out
+
+
+SQL_SUBSTRING_DEDUP_REPORT = r"""
+WITH words AS (
+  SELECT doc_id, source, regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[CAST(i+1 AS INT):CAST(i+8 AS INT)], ' ') AS gram
+  FROM words CROSS JOIN LATERAL
+       (SELECT unnest(range(0, len(ws) - 7)) AS i) t
+),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM grams
+),
+removals AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+toks AS (
+  SELECT doc_id, i AS pos
+  FROM words CROSS JOIN LATERAL (SELECT unnest(range(0, len(ws))) AS i) t
+),
+covered AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM toks t JOIN removals r
+    ON r.doc_id = t.doc_id AND t.pos BETWEEN r.pos AND r.pos + 7
+),
+per_doc AS (
+  SELECT w.doc_id, w.source, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+         (SELECT count(*) FROM covered c WHERE c.doc_id = w.doc_id)
+           AS n_removed
+  FROM words w
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_removed) AS BIGINT) AS n_removed,
+       ROUND(sum(n_removed) / CAST(sum(n_tokens) AS DOUBLE), 6) + 0.0
+         AS removal_rate
+FROM per_doc GROUP BY source
+"""
+
+
 def q_rolling_std_events(sf_dir):
     """Trailing 1h per-user rolling SAMPLE std/var of value — the
     anomaly-detection staple (rolling z-score denominator), via the
@@ -5627,6 +5757,8 @@ QUERIES = {
     "string_agg_types": q_string_agg_types,
     "dup_ngram_fraction": q_dup_ngram_fraction,
     "span_dedup_docs": q_span_dedup_docs,
+    "substring_dedup_docs": q_substring_dedup_docs,
+    "substring_dedup_report": q_substring_dedup_report,
     "hashed_cross_events": q_hashed_cross_events,
     "image_channel_norm": q_image_channel_norm,  # rows-only (pixels)
     "grouped_pca_embeddings": q_grouped_pca_embeddings,  # rows-only (eigh)
@@ -5769,6 +5901,8 @@ ORACLE_SQL = {
     "string_agg_types": SQL_STRING_AGG_TYPES,
     "dup_ngram_fraction": SQL_DUP_NGRAM_FRACTION,
     "span_dedup_docs": SQL_SPAN_DEDUP_DOCS,
+    "substring_dedup_docs": SQL_SUBSTRING_DEDUP_DOCS,
+    "substring_dedup_report": SQL_SUBSTRING_DEDUP_REPORT,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "mixture_sample_docs": SQL_MIXTURE_SAMPLE_DOCS,
     "pii_redact": SQL_PII_REDACT,

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import bucket_of, bucket_of_multi, stable_hash_array
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
@@ -28,7 +29,8 @@ from .blobshuffle import pack_by_bucket, unpack_table
 from .blobshuffle import _BUCKET  # shared "__fx_bucket" — the blob exchange name
 _SALT = "__fx_salt"
 
-__all__ = ["exact_dedup", "hamming_near_dup_pairs", "hamming_dedup",
+__all__ = ["exact_dedup", "span_dedup", "substring_dedup",
+           "hamming_near_dup_pairs", "hamming_dedup",
            "collapse_pairs", "connected_components", "pairs_to_result"]
 
 
@@ -408,6 +410,218 @@ def span_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return pandas_to_arrow(out.reset_index())
 
     return bucketed_map_groups(kept, id_col, reassemble,
+                               num_buckets=num_buckets)
+
+
+def _overlapping_gram_occurrences(texts, n: int, seed: int = 0):
+    """Vectorized stride-1 OVERLAPPING word ``n``-grams over an Arrow
+    string column, returned as 64-bit occurrence hashes: ``(gh, row_of,
+    pos)`` where ``gh[i]`` is the stable hash of the space-joined gram
+    starting at word ``pos[i]`` of batch row ``row_of[i]``.
+
+    Tokenization = :func:`..stages.text.split_ws_tokens` with empty
+    tokens filtered — byte-for-byte the complement of the SQL oracles'
+    ``regexp_extract_all(t, '\\S+')``, and NOT lowercased (positions
+    must index the tokens the reassembly step re-derives from the raw
+    text).  Overlapping windows cannot tile a ``ListArray`` (offsets
+    must be monotonic), so the join is the :func:`_word_ngrams`-style
+    object-array concat; the strings never leave the batch — only the
+    24 B ``(hash, doc, pos)`` triple does."""
+    from .text import split_ws_tokens
+
+    toks = split_ws_tokens(pc.fill_null(texts, ""))
+    lens_raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat_all = pc.list_flatten(toks)
+    if isinstance(flat_all, pa.ChunkedArray):
+        flat_all = flat_all.combine_chunks()
+    keep = pc.not_equal(flat_all, "")
+    mask = keep.to_numpy(zero_copy_only=False)
+    flat = flat_all.filter(keep).to_numpy(zero_copy_only=False)
+    empty = (np.empty(0, np.uint64), np.empty(0, np.int64),
+             np.empty(0, np.int64))
+    n_rows = len(lens_raw)
+    if n_rows == 0:
+        return empty
+    row_of_tok = np.repeat(np.arange(n_rows), lens_raw)
+    lens = np.bincount(row_of_tok, weights=mask,
+                       minlength=n_rows).astype(np.int64)
+    k = np.maximum(lens - (n - 1), 0)
+    tot = int(k.sum())
+    if tot == 0:
+        return empty
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(tot) - np.repeat(np.cumsum(k) - k, k)
+    base = np.repeat(starts, k) + pos
+    sh = flat[base].astype(object)
+    for j in range(1, n):
+        sh = sh + " "
+        sh = sh + flat[base + j].astype(object)
+    gh = stable_hash_array(sh, seed=seed)
+    row_of = np.repeat(np.arange(n_rows), k)
+    return gh, row_of, pos
+
+
+def substring_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    gram_words: int = 8, out_col: str = "text_dedup",
+                    keep_cols: tuple = (), num_buckets: int = 64,
+                    seed: int = 977):
+    """EXACT-SUBSTRING deduplication at arbitrary word offsets (the Lee
+    et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" ExactSubstr family — the operator :func:`span_dedup` only
+    approximates at aligned non-overlapping window granularity).
+
+    Semantics: any word sequence of length ≥ ``gram_words`` that occurs
+    more than once corpus-wide (across documents OR twice within one
+    document) survives only at its globally FIRST occurrence — first =
+    smallest ``(doc_id, pos)``.  Every later occurrence has its covered
+    token range removed.  Formally: occurrence ``(d, p)`` of a stride-1
+    ``gram_words``-gram is a *loser* iff it is not the global
+    ``(doc_id, pos)``-minimum for that gram; tokens of ``d`` covered by
+    any loser window ``[p, p + gram_words)`` are dropped, and the
+    document is reassembled from the surviving tokens in order.  This
+    n-gram cover removes exactly the repeated span: a repeated sequence
+    of length m ≥ n contributes m − n + 1 overlapping duplicated grams
+    whose window union is precisely the sequence's token range.
+
+    Output: one row per input document —
+    ``(id_col, *keep_cols, out_col, n_tokens, n_removed)``; fully-
+    duplicated documents keep their row with ``out_col = ""``.
+    ``keep_cols`` ride the reassembly exchange (cheap per-doc metadata
+    like ``source`` / ``lang``) so downstream per-group reports never
+    need a second all-to-all join back to the input.
+
+    Shape at scale (why this is not the suffix-array build): the
+    explode ships ``(uint64 gram hash, doc_id, pos)`` triples ONLY —
+    ~24 B per corpus token regardless of document size; the loser
+    selection is one hash-bucketed exchange (a boilerplate gram hot
+    enough to matter produces output ~ its own occurrence list, so
+    salting cannot shrink it — the bucket map is a single vectorized
+    sort + boundary diff); reassembly is one tagged-union blob exchange
+    co-partitioned on ``id_col`` (document text crosses the wire once,
+    removal rows are 16 B).  Gram-hash collisions (~n_grams²/2⁶⁴) can
+    over-remove one window; at gate scale (10⁵ grams) that probability
+    is ~10⁻⁹ and the hash is seeded + deterministic."""
+    from .partition import bucketed_map_groups
+
+    def explode(batch: pa.Table) -> pa.Table:
+        gh, row_of, pos = _overlapping_gram_occurrences(
+            batch.column(text_col), gram_words, seed=seed)
+        ids = batch.column(id_col).take(pa.array(row_of, type=pa.int64()))
+        return pa.table({"gh": pa.array(gh.view(np.int64)),
+                         id_col: ids,
+                         "pos": pa.array(pos, type=pa.int64())})
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+
+    def find_losers(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        if not len(df):
+            id_type = tbl.schema.field(id_col).type
+            return pa.table({id_col: pa.array([], type=id_type),
+                             "pos": pa.array([], type=pa.int64())})
+        df = df.sort_values(["gh", id_col, "pos"], kind="mergesort",
+                            ignore_index=True)
+        gh = df["gh"].to_numpy()
+        first = np.empty(len(gh), dtype=bool)
+        first[0] = True
+        first[1:] = gh[1:] != gh[:-1]
+        out = df.loc[~first, [id_col, "pos"]]
+        return pandas_to_arrow(out.reset_index(drop=True))
+
+    removals = bucketed_map_groups(grams, "gh", find_losers,
+                                   num_buckets=num_buckets, seed=seed)
+
+    # tagged union: document rows carry pos = -1 + the text (+ keep_cols);
+    # removal rows carry the loser window start.  One co-partitioned
+    # exchange on id.
+    keep_cols = tuple(keep_cols)
+    if keep_cols:
+        sch = ds.schema()   # only fetched when passthrough is requested
+        all_types = dict(zip(sch.names, sch.types))
+        keep_types = {c: all_types[c] for c in keep_cols}
+    else:
+        keep_types = {}
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        cols = {id_col: t.column(id_col),
+                "pos": pa.array(np.full(len(t), -1, np.int64)),
+                text_col: t.column(text_col)}
+        for c in keep_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def tag_removals(t: pa.Table) -> pa.Table:
+        cols = {id_col: t.column(id_col),
+                "pos": t.column("pos"),
+                text_col: pa.nulls(len(t), type=pa.string())}
+        for c in keep_cols:
+            cols[c] = pa.nulls(len(t), type=keep_types[c])
+        return pa.table(cols)
+
+    docs_tagged = ds.select_columns(
+        [id_col, text_col, *keep_cols]).map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+    rem_tagged = removals.map_batches(
+        tag_removals, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+    unioned = docs_tagged.union(rem_tagged)
+
+    from .text import split_ws_tokens
+
+    def reassemble(tbl: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(tbl)
+        is_doc = df["pos"].to_numpy() == -1
+        docs = df.loc[is_doc].reset_index(drop=True)
+        rem = df.loc[~is_doc]
+        texts = pa.array(docs[text_col].to_numpy(), type=pa.string())
+        toks = split_ws_tokens(pc.fill_null(texts, ""))
+        lens_raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat_all = pc.list_flatten(toks)
+        if isinstance(flat_all, pa.ChunkedArray):
+            flat_all = flat_all.combine_chunks()
+        keep = pc.not_equal(flat_all, "")
+        mask = keep.to_numpy(zero_copy_only=False)
+        flat = flat_all.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_docs = len(docs)
+        row_of_tok = np.repeat(np.arange(n_docs), lens_raw)
+        lens = np.bincount(row_of_tok, weights=mask,
+                           minlength=n_docs).astype(np.int64)
+        n_tok = int(lens.sum())
+        tok_start = np.cumsum(lens) - lens
+        docrow = pd.Series(np.arange(n_docs),
+                           index=docs[id_col]).loc[rem[id_col]].to_numpy()
+        gstart = (tok_start[docrow.astype(np.int64)]
+                  + rem["pos"].to_numpy().astype(np.int64))
+        diff = np.zeros(n_tok + 1, dtype=np.int64)
+        np.add.at(diff, gstart, 1)
+        np.add.at(diff, gstart + gram_words, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        cov_count = np.bincount(row_of_tok[mask.astype(bool)] if len(mask)
+                                else np.empty(0, np.int64),
+                                weights=covered,
+                                minlength=n_docs).astype(np.int64)
+        kept_flat = flat.filter(pa.array(~covered))
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        kept_counts = lens - cov_count
+        offsets = np.append(0, np.cumsum(kept_counts)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                         kept_flat)
+        text_dedup = pc.binary_join(lists, " ")
+        cols = {id_col: pa.Array.from_pandas(docs[id_col])}
+        for c in keep_cols:
+            cols[c] = pa.Array.from_pandas(docs[c]).cast(keep_types[c])
+        cols[out_col] = text_dedup
+        cols["n_tokens"] = pa.array(lens)
+        cols["n_removed"] = pa.array(cov_count)
+        return pa.table(cols)
+
+    return bucketed_map_groups(unioned, id_col, reassemble,
                                num_buckets=num_buckets)
 
 

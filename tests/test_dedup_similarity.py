@@ -78,6 +78,85 @@ def test_span_dedup_semantics(ray_session):
     assert out.n_spans.tolist() == [2, 1, 1]
 
 
+def _substring_dedup_naive(docs: dict, n: int) -> dict:
+    """Pure-Python reference for substring_dedup: global-first stride-1
+    n-gram occurrences survive, loser windows' token ranges drop."""
+    toks = {d: t.split() for d, t in docs.items()}
+    occ = {}
+    for d in sorted(toks):
+        words = toks[d]
+        for p in range(len(words) - n + 1):
+            occ.setdefault(" ".join(words[p:p + n]), []).append((d, p))
+    removed = {d: set() for d in toks}
+    for positions in occ.values():
+        for d, p in positions[1:]:
+            removed[d].update(range(p, p + n))
+    return {
+        d: (" ".join(w for i, w in enumerate(words) if i not in removed[d]),
+            len(words), len(removed[d]))
+        for d, words in toks.items()
+    }
+
+
+def test_substring_dedup_arbitrary_offsets(ray_session):
+    """The Lee-et-al-class upgrade over span_dedup: an 8+-word sequence
+    repeated at DIFFERENT offsets (where aligned spans can't line up) is
+    still removed everywhere but its globally first (doc_id, pos)
+    occurrence; within-doc repeats are removed too; short docs pass
+    through whitespace-normalized."""
+    from featureextraction_jl_ray.stages.dedup import substring_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "alpha beta " + boiler + " gamma delta",        # first (pos 2)
+            "one two three four " + boiler,                 # offset 4 → removed
+            boiler + " unique tail words here now ok yes",  # offset 0 → removed
+            "totally unrelated words nothing shared at all in this document",
+            "short  doc",                                   # < gram_words
+            boiler + " " + boiler,                          # within-doc repeat
+        ],
+    })
+    out = (substring_dedup(ray_session.data.from_pandas(df), gram_words=8,
+                           num_buckets=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _substring_dedup_naive(dict(zip(df.doc_id, df.text)), 8)
+    assert len(out) == 6
+    for _, r in out.iterrows():
+        wt, wn, wr = want[r.doc_id]
+        assert r.text_dedup == wt, r.doc_id
+        assert r.n_tokens == wn and r.n_removed == wr, r.doc_id
+    # spot-check the headline semantics directly
+    assert out.loc[0, "text_dedup"].count(boiler) == 1
+    assert out.loc[1, "text_dedup"] == "one two three four"
+    assert out.loc[5, "text_dedup"] == ""   # fully-duplicated doc, row kept
+
+
+def test_substring_dedup_matches_naive_on_random_corpus(ray_session):
+    """Derandomized sweep: synthetic corpus from a tiny vocabulary (so
+    repeated ≥n-word runs arise by chance at arbitrary offsets) must
+    match the pure-Python reference token-for-token."""
+    from featureextraction_jl_ray.stages.dedup import substring_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {int(d): " ".join(rng.choice(vocab, size=int(rng.integers(5, 60))))
+            for d in range(60)}
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    out = (substring_dedup(ray_session.data.from_pandas(df), gram_words=4,
+                           num_buckets=8)
+           .to_pandas().set_index("doc_id"))
+    want = _substring_dedup_naive(docs, 4)
+    assert len(out) == len(docs)
+    removed_total = 0
+    for d, (wt, wn, wr) in want.items():
+        assert out.loc[d, "text_dedup"] == wt, d
+        assert out.loc[d, "n_tokens"] == wn and out.loc[d, "n_removed"] == wr
+        removed_total += wr
+    assert removed_total > 0   # the corpus genuinely exercises removal
+
+
 def test_span_dedup_cross_doc_boilerplate_kept_once(ray_session):
     """Boilerplate repeated across MANY docs (the skewed-key case the
     salted reduce exists for) survives exactly once corpus-wide."""

@@ -198,6 +198,20 @@ def test_span_dedup_empty_and_blank_inputs(ray_session):
     assert span_dedup(blank).to_pandas().shape[0] == 0
 
 
+def test_substring_dedup_empty_and_blank_inputs(ray_session):
+    from featureextraction_jl_ray.stages.dedup import substring_dedup
+
+    assert substring_dedup(_empty_docs(ray_session)).to_pandas().shape[0] == 0
+    # null / zero-token docs keep their row with an empty dedup text
+    blank = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array([None, "   \t "], type=pa.string())}))
+    out = substring_dedup(blank).to_pandas().sort_values("doc_id")
+    assert out.text_dedup.tolist() == ["", ""]
+    assert out.n_tokens.tolist() == [0, 0]
+    assert out.n_removed.tolist() == [0, 0]
+
+
 def test_hygiene_ops_empty_inputs(ray_session):
     from featureextraction_jl_ray.stages.split import mixture_sample
     from featureextraction_jl_ray.stages.text import decontaminate, with_pii_redact
