@@ -99,15 +99,57 @@ def _merge_loop(words: list[tuple[str, ...]], counts: np.ndarray,
 class BPETokenizer:
     """Fitted merge table + greedy encoder (tiny: ships in task
     closures; a per-task memo over distinct words makes batch encoding
-    one vectorized map)."""
+    one vectorized map).
+
+    ``word_prefix`` supports PRETRAINED GPT-2-family merge tables
+    (VERDICT r4 next-steps #5): byte-level BPE vocabularies mark a
+    leading space as ``Ġ`` and their merges reference it, so an
+    imported table only fires if each word is encoded with the marker
+    prepended.  The from-scratch :func:`fit_bpe` keeps ``word_prefix=""``
+    (its merges never contain the marker); import via
+    :meth:`from_merges_lines` / :meth:`from_merges_file` auto-detects it."""
 
     merges: list = field(default_factory=list)
+    word_prefix: str = ""
 
     def __post_init__(self):
         self.ranks = {tuple(m): r for r, m in enumerate(self.merges)}
 
+    def to_merges_lines(self) -> list[str]:
+        """Serialize to the huggingface/GPT-2 ``merges.txt`` line format
+        (one ``A B`` pair per line, rank = line order, ``#``-comment
+        header).  Round-trips through :meth:`from_merges_lines`."""
+        return ["#version: 0.2"] + [f"{a} {b}" for a, b in self.merges]
+
+    @classmethod
+    def from_merges_lines(cls, lines, word_prefix: str | None = None):
+        """Build a tokenizer from GPT-2-style merge lines: ``A B`` per
+        line, rank = order; blank lines and ``#`` comments skipped.
+        ``word_prefix=None`` auto-detects the byte-level space marker
+        (``Ġ``): if any merge symbol starts with it, every word is
+        encoded with the marker prepended, matching how a pretrained
+        byte-level vocabulary counts leading-space tokens."""
+        merges = []
+        for ln in lines:
+            ln = ln.rstrip("\n")
+            if not ln.strip() or ln.startswith("#"):
+                continue
+            parts = ln.split(" ")
+            if len(parts) != 2:
+                raise ValueError(f"malformed merges line: {ln!r}")
+            merges.append((parts[0], parts[1]))
+        if word_prefix is None:
+            word_prefix = "Ġ" if any(
+                a.startswith("Ġ") for a, _ in merges) else ""
+        return cls(merges, word_prefix=word_prefix)
+
+    @classmethod
+    def from_merges_file(cls, path, word_prefix: str | None = None):
+        with open(path, encoding="utf-8") as f:
+            return cls.from_merges_lines(f, word_prefix=word_prefix)
+
     def encode_word(self, word: str) -> list[str]:
-        syms = list(word)
+        syms = list(self.word_prefix + word) if self.word_prefix else list(word)
         if len(syms) < 2:
             return syms
         while True:

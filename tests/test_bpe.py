@@ -90,6 +90,64 @@ def test_encode_round_trip_and_compression():
     assert 1 <= len(tok.encode_word("quick")) < len("quick")
 
 
+def test_merges_export_import_round_trip():
+    """A fitted tokenizer serialized to GPT-2 merges.txt lines and
+    re-imported must encode every word identically (word_prefix stays
+    "" — from-scratch merges never contain the byte-level marker)."""
+    tok = BPETokenizer(_naive_fit(CORPUS, num_merges=60))
+    tok2 = BPETokenizer.from_merges_lines(tok.to_merges_lines())
+    assert tok2.word_prefix == ""
+    assert tok2.merges == tok.merges
+    for w in ["quick", "brown", "foxes", "through", "unseen", "a", ""]:
+        assert tok2.encode_word(w) == tok.encode_word(w)
+
+
+def test_pretrained_merges_fixture_import(tmp_path):
+    """Checked-in GPT-2-style fixture: the Ġ space marker is
+    auto-detected and every word is encoded with it prepended, so the
+    pretrained merge table actually fires."""
+    import pathlib
+
+    fx = pathlib.Path(__file__).parent / "fixtures" / "merges_small.txt"
+    tok = BPETokenizer.from_merges_file(fx)
+    assert tok.word_prefix == "Ġ"
+    assert len(tok.merges) == 9
+    assert tok.encode_word("the") == ["Ġthe"]
+    assert tok.encode_word("lower") == ["Ġ", "lowe", "r"]
+    assert tok.encode_word("dog") == ["Ġdog"]
+    # unknown word falls back to marker + characters
+    assert tok.encode_word("xyz") == ["Ġ", "x", "y", "z"]
+    # explicit override disables the marker
+    tok_raw = BPETokenizer.from_merges_file(fx, word_prefix="")
+    assert tok_raw.encode_word("the") == ["t", "he"]
+
+
+def test_chunk_documents_bpe_under_imported_vocab(ray_session):
+    """The BPE-budget chunker's capacity bound and reassembly invariants
+    hold under an IMPORTED pretrained merge table (word_prefix active),
+    not just the from-scratch fit."""
+    import pathlib
+
+    fx = pathlib.Path(__file__).parent / "fixtures" / "merges_small.txt"
+    tok = BPETokenizer.from_merges_file(fx)
+    docs = CORPUS + ["the dog the dog the dog lower lower"]
+    ds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+                  "text": pa.array(docs)})
+    ).repartition(4)
+    size = 5
+    out = chunk_documents_bpe(ds, tok, size=size).to_pandas()
+    counter = tok.token_counter()
+    max_word = max(counter(w) for d in docs for w in d.split())
+    assert (out.n_tokens <= size + max_word - 1).all()
+    for txt, n in zip(out.chunk_text, out.n_tokens):
+        assert n == sum(counter(w) for w in txt.split())
+    re = (out.sort_values(["doc_id", "chunk_id"])
+          .groupby("doc_id").chunk_text.agg(" ".join))
+    for i, d in enumerate(docs):
+        assert re[i] == " ".join(d.split())
+
+
 def test_token_counts_column(ray_session):
     tok = BPETokenizer(_naive_fit(CORPUS, num_merges=60))
     out = with_bpe_token_counts(_corpus_ds(ray_session), tok,
