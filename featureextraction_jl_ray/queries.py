@@ -5339,6 +5339,99 @@ def q_c4_line_filter(sf_dir):
     return out.select_columns(["doc_id", "text_clean", "n_lines_kept"])
 
 
+def q_html_extract_docs(sf_dir):
+    """HTML boilerplate extraction lite (trafilatura/justext class,
+    dep-free): RE2 tag-strip preserving block structure as lines +
+    entity decode + per-line text-density classifier (words ≥ 2 AND
+    alnum-ratio ≥ 0.5).  The corpus has no HTML, so HTML-ish documents
+    derive deterministically from the shared table via mirrored
+    replace() rewrites (exact same rewrites in the oracle): a
+    head/style/comment wrapper, a mid-document <script> block, <li>
+    breaks that put segments on their own lines (nav-chrome drops via
+    the word floor), an entity + inline tag, and a separator line that
+    drops via the density floor.  One stateless vectorized stage
+    (stages/text.py::HtmlExtract)."""
+    from .stages.text import HtmlExtract
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column("text"), "")
+        t = pc.replace_substring(
+            t, " table ",
+            '.</p><script type="text/javascript">var i = 0;</script><p>')
+        t = pc.replace_substring(t, " row ", ".</li><li>")
+        t = pc.replace_substring(t, " data ", " &amp; <b>data</b> ")
+        h = pc.binary_join_element_wise(
+            pa.array(["<html><head><title>T</title><style>body { font: 10px }"
+                      "</style></head><body><!-- gen --><nav>- | - | -</nav>"
+                      "<ul><li>"] * len(b)),
+            t,
+            pa.array(["</li></ul><div>Footer &copy; 2026 All rights reserved"
+                      "</div></body></html>"] * len(b)),
+            "")
+        return pa.table({"doc_id": b.column("doc_id"), "html": h})
+
+    out = ds.map_batches(derive, batch_format="pyarrow",
+                         zero_copy_batch=True).map_batches(
+        HtmlExtract(html_col="html", out_col="text_extracted"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "text_extracted", "n_lines_kept"])
+
+
+SQL_HTML_EXTRACT_DOCS = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>T</title><style>body { font: 10px }</style>'
+         || '</head><body><!-- gen --><nav>- | - | -</nav><ul><li>'
+         || replace(replace(replace(coalesce(text, ''),
+              ' table ',
+              '.</p><script type="text/javascript">var i = 0;</script><p>'),
+              ' row ', '.</li><li>'),
+              ' data ', ' &amp; <b>data</b> ')
+         || '</li></ul><div>Footer &copy; 2026 All rights reserved'
+         || '</div></body></html>' AS html
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?s)<!--.*?-->', '', 'g'),
+           '(?is)<script[^>]*>.*?</script>', '', 'g'),
+           '(?is)<style[^>]*>.*?</style>', '', 'g') AS t1
+  FROM h),
+b AS (
+  SELECT doc_id,
+         regexp_replace(t1,
+           '(?i)<br[^>]*>|</p>|</div>|</h1>|</h2>|</h3>|</h4>|</h5>|</h6>'
+           || '|</li>|</tr>|</ul>|</ol>|</table>|</section>|</article>'
+           || '|</header>|</footer>|</nav>|</blockquote>|</pre>|</title>',
+           chr(10), 'g') AS t2
+  FROM s),
+c AS (
+  SELECT doc_id, regexp_replace(t2, '(?s)<[^>]*>', '', 'g') AS t3 FROM b),
+e AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t3,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&amp;', '&') AS t4
+  FROM c),
+f AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(t4, chr(10)),
+                          l -> trim(l, ' ' || chr(9) || chr(13))),
+           l -> len(regexp_extract_all(l, '\S+')) >= 2
+                AND len(l) > 0
+                AND CAST(len(regexp_extract_all(l, '[A-Za-z0-9]')) AS DOUBLE)
+                    / len(l) >= 0.5) AS ls
+  FROM e)
+SELECT doc_id, array_to_string(ls, chr(10)) AS text_extracted,
+       CAST(len(ls) AS BIGINT) AS n_lines_kept
+FROM f
+"""
+
+
 SQL_C4_LINE_FILTER = r"""
 WITH nl AS (
   SELECT doc_id,
@@ -5442,6 +5535,121 @@ k AS (
   SELECT doc_id, line, ord,
          row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn
   FROM e),
+dd AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS t
+  FROM k WHERE rn = 1 GROUP BY doc_id),
+f AS (
+  SELECT doc_id,
+         list_filter(string_split(t, chr(10)),
+           l -> len(regexp_extract_all(l, '\S+')) >= 3
+                AND regexp_matches(rtrim(l, ' ' || chr(9)), '[.!?"]$')) AS ls
+  FROM dd),
+cl AS (
+  SELECT doc_id, array_to_string(ls, chr(10)) AS text_clean,
+         len(ls) AS n_lines_kept
+  FROM f WHERE len(ls) >= 1)
+SELECT doc_id, text_clean, n_lines_kept
+FROM cl
+QUALIFY row_number() OVER (PARTITION BY text_clean ORDER BY doc_id) = 1
+"""
+
+
+def q_html_c4_pipeline(sf_dir):
+    """The full WEB-CRAWL funnel: HTML boilerplate extraction (RE2
+    tag-strip + density line classifier) feeding the composed C4
+    cleaning pipeline (within-page line dedup → terminal-punct/word
+    line filter → document drop → corpus exact dedup) — raw crawl HTML
+    in, training corpus out, in one streaming chain whose only exchange
+    is the final corpus dedup.  Same mirrored HTML construction as
+    `html_extract_docs`; ONE chained SQL oracle locks both the
+    extraction rewrites and the C4 stage order."""
+    from .pipelines.c4clean import run_c4_clean
+    from .stages.text import HtmlExtract
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column("text"), "")
+        t = pc.replace_substring(
+            t, " table ",
+            '.</p><script type="text/javascript">var i = 0;</script><p>')
+        t = pc.replace_substring(t, " row ", ".</li><li>")
+        t = pc.replace_substring(t, " data ", " &amp; <b>data</b> ")
+        h = pc.binary_join_element_wise(
+            pa.array(["<html><head><title>T</title><style>body { font: 10px }"
+                      "</style></head><body><!-- gen --><nav>- | - | -</nav>"
+                      "<ul><li>"] * len(b)),
+            t,
+            pa.array(["</li></ul><div>Footer &copy; 2026 All rights reserved"
+                      "</div></body></html>"] * len(b)),
+            "")
+        return pa.table({"doc_id": b.column("doc_id"), "html": h})
+
+    extracted = ds.map_batches(derive, batch_format="pyarrow",
+                               zero_copy_batch=True).map_batches(
+        HtmlExtract(html_col="html", out_col="text", count=False),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = run_c4_clean(extracted, num_buckets=16)
+    return out.select_columns(["doc_id", "text_clean", "n_lines_kept"])
+
+
+SQL_HTML_C4_PIPELINE = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>T</title><style>body { font: 10px }</style>'
+         || '</head><body><!-- gen --><nav>- | - | -</nav><ul><li>'
+         || replace(replace(replace(coalesce(text, ''),
+              ' table ',
+              '.</p><script type="text/javascript">var i = 0;</script><p>'),
+              ' row ', '.</li><li>'),
+              ' data ', ' &amp; <b>data</b> ')
+         || '</li></ul><div>Footer &copy; 2026 All rights reserved'
+         || '</div></body></html>' AS html
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?s)<!--.*?-->', '', 'g'),
+           '(?is)<script[^>]*>.*?</script>', '', 'g'),
+           '(?is)<style[^>]*>.*?</style>', '', 'g') AS t1
+  FROM h),
+b AS (
+  SELECT doc_id,
+         regexp_replace(t1,
+           '(?i)<br[^>]*>|</p>|</div>|</h1>|</h2>|</h3>|</h4>|</h5>|</h6>'
+           || '|</li>|</tr>|</ul>|</ol>|</table>|</section>|</article>'
+           || '|</header>|</footer>|</nav>|</blockquote>|</pre>|</title>',
+           chr(10), 'g') AS t2
+  FROM s),
+c AS (
+  SELECT doc_id, regexp_replace(t2, '(?s)<[^>]*>', '', 'g') AS t3 FROM b),
+ent AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t3,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&amp;', '&') AS t4
+  FROM c),
+fx AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(t4, chr(10)),
+                          l -> trim(l, ' ' || chr(9) || chr(13))),
+           l -> len(regexp_extract_all(l, '\S+')) >= 2
+                AND len(l) > 0
+                AND CAST(len(regexp_extract_all(l, '[A-Za-z0-9]')) AS DOUBLE)
+                    / len(l) >= 0.5) AS ls
+  FROM ent),
+txt AS (
+  SELECT doc_id, array_to_string(ls, chr(10)) AS t FROM fx),
+x AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM txt),
+e2 AS (
+  SELECT doc_id, ls[i] AS line, i AS ord
+  FROM x CROSS JOIN LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) u),
+k AS (
+  SELECT doc_id, line, ord,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn
+  FROM e2),
 dd AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS t
   FROM k WHERE rn = 1 GROUP BY doc_id),
@@ -5763,6 +5971,8 @@ QUERIES = {
     "image_channel_norm": q_image_channel_norm,  # rows-only (pixels)
     "grouped_pca_embeddings": q_grouped_pca_embeddings,  # rows-only (eigh)
     "c4_line_filter": q_c4_line_filter,
+    "html_extract_docs": q_html_extract_docs,
+    "html_c4_pipeline": q_html_c4_pipeline,
     "doc_char_entropy": q_doc_char_entropy,
     "ccnet_buckets": q_ccnet_buckets,
     "line_dedup_docs": q_line_dedup_docs,
@@ -5909,6 +6119,8 @@ ORACLE_SQL = {
     "corpus_hygiene": SQL_CORPUS_HYGIENE,
     "hashed_cross_events": SQL_HASHED_CROSS_EVENTS,
     "c4_line_filter": SQL_C4_LINE_FILTER,
+    "html_extract_docs": SQL_HTML_EXTRACT_DOCS,
+    "html_c4_pipeline": SQL_HTML_C4_PIPELINE,
     "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
     "ccnet_buckets": SQL_CCNET_BUCKETS,
     "line_dedup_docs": SQL_LINE_DEDUP_DOCS,

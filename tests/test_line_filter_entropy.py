@@ -90,6 +90,90 @@ def _ref_line_dedup(t: str | None, sep="\n"):
     return sep.join(kept), len(kept)
 
 
+def test_html_extract_planted_cases():
+    from featureextraction_jl_ray.stages.text import HtmlExtract
+
+    html = (
+        "<html><head><title>Site title words</title>"
+        "<style>body { color: red }</style>"
+        "<script>var nav = 'menu';</script></head>"
+        "<body><!-- hidden comment words here -->"
+        "<nav><ul><li>Home</li><li>About</li><li>Contact</li></ul></nav>"
+        "<h1>A real headline with words</h1>"
+        "<p>This paragraph has plenty of real text content.</p>"
+        "<p>Entities: &lt;tag&gt; &amp; &quot;quoted&quot; &#39;s&nbsp;ok"
+        " and &amp;lt; stays literal.</p>"
+        "<div>- - - | | | - - -</div>"
+        "<div>Second real block line with text.</div>"
+        "</body></html>"
+    )
+    tbl = pa.table({"doc_id": [1], "html": [html]})
+    out = HtmlExtract()(tbl)
+    text = out.column("text").to_pylist()[0]
+    lines = text.split("\n")
+    # title kept (3 words, dense); nav items dropped (1 word each);
+    # headline + paragraphs kept; separator line dropped (density);
+    # script/style/comment contents gone entirely
+    assert "Site title words" in lines
+    assert "Home" not in lines and "About" not in lines
+    assert "A real headline with words" in lines
+    assert "This paragraph has plenty of real text content." in lines
+    assert "Second real block line with text." in lines
+    assert not any("- - -" in l for l in lines)
+    assert "color: red" not in text and "var nav" not in text
+    assert "hidden comment" not in text
+    # entity decode: &amp; LAST so &amp;lt; -> literal &lt;
+    ent_line = next(l for l in lines if l.startswith("Entities:"))
+    assert ent_line == ('Entities: <tag> & "quoted" \'s ok and &lt; '
+                        'stays literal.')
+    assert out.column("n_lines_kept").to_pylist() == [len(lines)]
+    # html col replaced by out_col
+    assert "html" not in out.schema.names
+
+
+def test_html_extract_empty_and_null():
+    from featureextraction_jl_ray.stages.text import HtmlExtract
+
+    tbl = pa.table({"doc_id": [1, 2, 3],
+                    "html": pa.array([None, "", "<p></p><br>"],
+                                     type=pa.string())})
+    out = HtmlExtract()(tbl)
+    assert out.column("text").to_pylist() == ["", "", ""]
+    assert out.column("n_lines_kept").to_pylist() == [0, 0, 0]
+    empty = pa.table({"html": pa.array([], type=pa.string())})
+    out = HtmlExtract()(empty)
+    assert out.num_rows == 0 and "text" in out.schema.names
+
+
+def test_html_extract_feeds_c4_clean(ray_session):
+    """HTML in, cleaned corpus out: the extraction output's line
+    structure drives run_c4_clean directly, and cross-page duplicated
+    content dedups after extraction."""
+    from featureextraction_jl_ray.pipelines.c4clean import run_c4_clean
+    from featureextraction_jl_ray.stages.text import HtmlExtract
+
+    body = ("<p>The shared body paragraph reads fine today.</p>"
+            "<p>A second proper sentence appears here.</p>")
+    pages = [
+        "<html><body><nav><li>Home</li></nav>" + body + "</body></html>",
+        "<html><body><div>different chrome</div>" + body + "</body></html>",
+        ("<html><body><p>Entirely unique page content stands alone.</p>"
+         "</body></html>"),
+    ]
+    ds = ray_session.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "html": pages}))
+    extracted = ds.map_batches(HtmlExtract(count=False),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    out = (run_c4_clean(extracted, num_buckets=4)
+           .to_pandas().sort_values("doc_id"))
+    # pages 1 and 2 clean identical -> corpus dedup keeps min doc_id
+    assert out.doc_id.tolist() == [1, 3]
+    assert out.loc[out.doc_id == 1, "text_clean"].iloc[0] == (
+        "The shared body paragraph reads fine today.\n"
+        "A second proper sentence appears here.")
+
+
 def test_line_dedup_planted_cases():
     texts = [
         "nav bar\ncontent one.\nnav bar\ncontent two.\nnav bar",
