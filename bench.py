@@ -43,6 +43,10 @@ def _timed(fn):
 def run_bench() -> dict:
     import ray
 
+    # loadavg at START as well as end (VERDICT r4 #10): a quiet end
+    # reading can hide a contended first half — both bracket the sample
+    loadavg_start = round(os.getloadavg()[0], 2)
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -169,11 +173,22 @@ def run_bench() -> dict:
         "pivot_user_type",
     ]
     if not os.environ.get("FX_SKIP_QUERIES"):
+        # min-of-2 per query (VERDICT r4 #7): the driver samples whatever
+        # the host is doing — BENCH_r04 recorded hash_join_agg at 41.7 s
+        # vs 3-5 s isolated because ONE contended timing dominated the
+        # round's record.  Co-tenant noise only ever adds time, so the
+        # min of two reps is the consistent estimator; FX_QUERY_REPS=1
+        # restores the old single-shot behavior.
+        reps = max(1, int(os.environ.get("FX_QUERY_REPS", "2")))
         for name in bench_queries:
             fn = q.QUERIES[name]
-            t0 = time.time()
-            consume(fn(SF_DIR))
-            queries[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                consume(fn(SF_DIR))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            queries[name] = round(best, 3)
 
     map_stage_sec = None
     if os.environ.get("FX_MEASURE_MAP"):
@@ -210,6 +225,7 @@ def run_bench() -> dict:
         # (BASELINE.md variance policy) — loadavg at run end tells a
         # reader whether the sample was quiet
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "loadavg_1m_start": loadavg_start,
         "rep_times": [round(t, 3) for t in times],
     }
     ray.shutdown()

@@ -5817,20 +5817,67 @@ FROM sc
 
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
-    # entries in dict order): round-4 rotation puts every oracled query that
-    # has never had a green driver row first (kernel layer, flagship_core,
-    # near-dup/LLM family, splits/encodes), plus 6 long-green canaries.
+    # entries in dict order): round-5 rotation retires every oracled query
+    # that has never had a green driver hash row (34 carried + the 4 new
+    # r5 operators: substring dedup x2, html extract, html+c4 funnel),
+    # headed by the flagship canary and closed by 11 long-green canaries
+    # covering the as-of/window, near-dup (minhash/phash/embedding), ANN,
+    # native-join, blob-exchange, text, chunking, hygiene and profile paths.
     "flagship_core": q_flagship_core,
     "kernel_center": q_kernel_center,
+    "user_value_shape": q_user_value_shape,
+    "csv_ingest": q_csv_ingest,
+    "user_value_mad": q_user_value_mad,
+    "sample_events_global": q_sample_events_global,
+    "bm25_search": q_bm25_search,
+    "embedding_outliers": q_embedding_outliers,
+    "aspect_bucket_pack": q_aspect_bucket_pack,
+    "user_set_similarity": q_user_set_similarity,
+    "lang_source_chi2": q_lang_source_chi2,
+    "embedding_prep": q_embedding_prep,
+    "full_outer_join": q_full_outer_join,
+    "string_agg_types": q_string_agg_types,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
+    "span_dedup_docs": q_span_dedup_docs,
+    "hashed_cross_events": q_hashed_cross_events,
+    "c4_line_filter": q_c4_line_filter,
+    "doc_char_entropy": q_doc_char_entropy,
+    "ccnet_buckets": q_ccnet_buckets,
+    "line_dedup_docs": q_line_dedup_docs,
+    "c4_pipeline": q_c4_pipeline,
+    "clean_normalize": q_clean_normalize,
+    "embedding_decontaminate": q_embedding_decontaminate,
+    "weighted_thin_docs": q_weighted_thin_docs,
+    "funnel_events": q_funnel_events,
+    "cohort_retention": q_cohort_retention,
+    "grouped_robust_scale": q_grouped_robust_scale,
+    "cyclical_features": q_cyclical_features,
+    "corpus_report": q_corpus_report,
+    "rolling_std_events": q_rolling_std_events,
+    "dedup_report": q_dedup_report,
+    "interval_overlap": q_interval_overlap,
+    "population_stability": q_population_stability,
+    "categorical_drift": q_categorical_drift,
+    "substring_dedup_docs": q_substring_dedup_docs,
+    "substring_dedup_report": q_substring_dedup_report,
+    "html_extract_docs": q_html_extract_docs,
+    "html_c4_pipeline": q_html_c4_pipeline,
     "minhash_near_dup": q_minhash_near_dup,
     "phash_near_dup": q_phash_near_dup,
     "embedding_near_dup": q_embedding_near_dup,
-    "knn_bruteforce": q_knn_bruteforce,
     "knn_ivf": q_knn_ivf,
+    "hash_join_agg": q_hash_join_agg,
+    "range_join": q_range_join,
     "doc_langid": q_doc_langid,
+    "chunk_documents": q_chunk_documents,
+    "corpus_hygiene": q_corpus_hygiene,
+    "pii_redact": q_pii_redact,
+    "profile_events": q_profile_events,
+    # --- below here: outside the driver window (oracled or rows-only;
+    # driver-green in r1-r4 or covered by the local 168-query gate) ---
+    "knn_bruteforce": q_knn_bruteforce,
     "doc_repetition": q_doc_repetition,
     "doc_lm_score": q_doc_lm_score,
-    "chunk_documents": q_chunk_documents,
     "doc_keywords": q_doc_keywords,
     "pack_chunks": q_pack_chunks,
     "explode_embedding": q_explode_embedding,
@@ -5847,7 +5894,6 @@ QUERIES = {
     "time_split_events": q_time_split_events,
     "weighted_sample": q_weighted_sample,
     "sample_k_per_user": q_sample_k_per_user,
-    "profile_events": q_profile_events,
     "negative_samples": q_negative_samples,
     "rank_events": q_rank_events,
     "global_rank_events": q_global_rank_events,
@@ -5864,20 +5910,8 @@ QUERIES = {
     "minmax_bin_events": q_minmax_bin_events,
     "qbin_winsor_events": q_qbin_winsor_events,
     "onehot_events": q_onehot_events,
-    # canaries: the two paths CHANGED this round (range_join blob
-    # exchange, hash-join composite probe) stay in-window; the round-4
-    # hygiene quartet (never driver-checked, locally hash-exact at
-    # sf0.001 AND sf0.01) takes the other four slots from multi-round-
-    # green canaries whose changed-path coverage other in-window rows
-    # already provide (flagship_core = as-of + windows end-to-end;
-    # minhash/phash/embedding near-dup = the edited collapse paths)
-    "hash_join_agg": q_hash_join_agg,
-    "range_join": q_range_join,
     "decontaminate_docs": q_decontaminate_docs,
     "mixture_sample_docs": q_mixture_sample_docs,
-    "pii_redact": q_pii_redact,
-    "corpus_hygiene": q_corpus_hygiene,
-    # --- below here: outside the driver window (oracled, driver-green in r1-r3) ---
     "agg_lineitem": q_agg_lineitem,
     "asof_join": q_asof_join,
     "dedup_events": q_dedup_events,
@@ -5886,10 +5920,6 @@ QUERIES = {
     "cube_events": q_cube_events,
     "part_brand_stats": q_part_brand_stats,
     "agg_events_var": q_agg_events_var,
-    "user_value_shape": q_user_value_shape,
-    "csv_ingest": q_csv_ingest,
-    "user_value_mad": q_user_value_mad,
-    "sample_events_global": q_sample_events_global,
     "count_distinct_users": q_count_distinct_users,
     "count_distinct_users_hll": q_count_distinct_users_hll,
     "event_quantiles": q_event_quantiles,
@@ -5932,14 +5962,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "doc_ratios": q_doc_ratios,
     "explode_tokens": q_explode_tokens,
-    "bm25_search": q_bm25_search,
-    "embedding_outliers": q_embedding_outliers,
-    "aspect_bucket_pack": q_aspect_bucket_pack,
-    "user_set_similarity": q_user_set_similarity,
-    "lang_source_chi2": q_lang_source_chi2,
-    "embedding_prep": q_embedding_prep,
     "embed_stats": q_embed_stats,
-    # --- rows-only (non-SQL-expressible; math covered by pytest oracles) ---
     "event_quantiles_sketch": q_event_quantiles_sketch,
     "pca_eigvals": q_pca_eigvals,
     "pca_whiten_transform": q_pca_whiten_transform,
@@ -5961,42 +5984,15 @@ QUERIES = {
     "knn_ivfpq": q_knn_ivfpq,
     "kmeans_clusters": q_kmeans_clusters,
     "random_projection_vecs": q_random_projection,
-    "full_outer_join": q_full_outer_join,
-    "string_agg_types": q_string_agg_types,
-    "dup_ngram_fraction": q_dup_ngram_fraction,
-    "span_dedup_docs": q_span_dedup_docs,
-    "substring_dedup_docs": q_substring_dedup_docs,
-    "substring_dedup_report": q_substring_dedup_report,
-    "hashed_cross_events": q_hashed_cross_events,
-    "image_channel_norm": q_image_channel_norm,  # rows-only (pixels)
-    "grouped_pca_embeddings": q_grouped_pca_embeddings,  # rows-only (eigh)
-    "c4_line_filter": q_c4_line_filter,
-    "html_extract_docs": q_html_extract_docs,
-    "html_c4_pipeline": q_html_c4_pipeline,
-    "doc_char_entropy": q_doc_char_entropy,
-    "ccnet_buckets": q_ccnet_buckets,
-    "line_dedup_docs": q_line_dedup_docs,
-    "c4_pipeline": q_c4_pipeline,
-    "image_quality": q_image_quality,  # rows-only (pixels)
-    "semdedup_embeddings": q_semdedup_embeddings,  # rows-only (kmeans)
-    "image_hashes": q_image_hashes,  # rows-only (pixels)
-    "clean_normalize": q_clean_normalize,
-    "pair_curation": q_pair_curation,  # rows-only (pixels)
-    "embedding_decontaminate": q_embedding_decontaminate,
-    "embedding_cross_filter": q_embedding_cross_filter,  # rows-only (LSH)
-    "weighted_thin_docs": q_weighted_thin_docs,
-    "funnel_events": q_funnel_events,
-    "cohort_retention": q_cohort_retention,
-    "grouped_robust_scale": q_grouped_robust_scale,
-    "cyclical_features": q_cyclical_features,
-    "corpus_report": q_corpus_report,
-    "rolling_std_events": q_rolling_std_events,
-    "dedup_report": q_dedup_report,
-    "silence_trim": q_silence_trim,  # rows-only (audio payloads)
-    "video_near_dup": q_video_near_dup,  # rows-only (video payloads)
-    "interval_overlap": q_interval_overlap,
-    "population_stability": q_population_stability,
-    "categorical_drift": q_categorical_drift,
+    "image_channel_norm": q_image_channel_norm,
+    "grouped_pca_embeddings": q_grouped_pca_embeddings,
+    "image_quality": q_image_quality,
+    "semdedup_embeddings": q_semdedup_embeddings,
+    "image_hashes": q_image_hashes,
+    "pair_curation": q_pair_curation,
+    "embedding_cross_filter": q_embedding_cross_filter,
+    "silence_trim": q_silence_trim,
+    "video_near_dup": q_video_near_dup,
 }
 
 ORACLE_SQL = {
