@@ -171,6 +171,9 @@ def run_bench() -> dict:
         "edit1_pairs",
         "corpus_filter",
         "pivot_user_type",
+        # round-5 addition: the task-based join plan next to the native
+        # one (hash_join_agg) — same logical query, no actor spawn
+        "bucketed_join_agg",
     ]
     if not os.environ.get("FX_SKIP_QUERIES"):
         # min-of-2 per query (VERDICT r4 #7): the driver samples whatever

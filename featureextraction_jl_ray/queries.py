@@ -756,6 +756,35 @@ def q_broadcast_join_agg(sf_dir):
     return _round_cols(out, {"sum_price": 2})
 
 
+def q_bucketed_join_agg(sf_dir):
+    """Same logical join+agg as ``hash_join_agg``, through the TASK-BASED
+    ``bucketed_hash_join`` instead of Ray's native actor-based hash
+    shuffle — the query exists to correctness-pin and benchmark the
+    no-actor-spawn plan side by side with the native one (the native
+    join's per-call 64-aggregator-actor spawn storm is what inflated
+    BENCH_r04's hash_join_agg to 41.7 s vs 3-5 s isolated)."""
+    from .stages.groupagg import grouped_aggregate
+    from .stages.joins import bucketed_hash_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = bucketed_hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
+        num_buckets=8,
+        left_types={"o_custkey": pa.int64(), "o_totalprice": pa.float64()},
+        right_types={"c_custkey": pa.int64(), "c_mktsegment": pa.string()},
+    )
+    out = grouped_aggregate(
+        joined,
+        "c_mktsegment",
+        {"n_orders": ("o_totalprice", "count"), "sum_price": ("o_totalprice", "sum")},
+        num_buckets=4,
+    )
+    return _round_cols(out, {"sum_price": 2})
+
+
 def q_left_join_agg(sf_dir):
     """LEFT OUTER hash join: every customer kept, order count 0 and sum
     NULL for the ~200 customers with no orders — the preserved-side
@@ -5993,6 +6022,7 @@ QUERIES = {
     "embedding_cross_filter": q_embedding_cross_filter,
     "silence_trim": q_silence_trim,
     "video_near_dup": q_video_near_dup,
+    "bucketed_join_agg": q_bucketed_join_agg,
 }
 
 ORACLE_SQL = {
@@ -6134,4 +6164,8 @@ ORACLE_SQL = {
     "interval_overlap": SQL_INTERVAL_OVERLAP,
     "population_stability": SQL_POPULATION_STABILITY,
     "categorical_drift": SQL_CATEGORICAL_DRIFT,
+    # same logical query as hash_join_agg — the oracle is shared; only
+    # the physical plan differs (task-based bucketed exchange vs native
+    # actor-based hash shuffle)
+    "bucketed_join_agg": SQL_JOIN_AGG,
 }

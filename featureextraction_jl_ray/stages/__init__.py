@@ -1,6 +1,7 @@
 from .asof import asof_join
 from .dedup import exact_dedup, hamming_dedup, hamming_near_dup_pairs
-from .joins import anti_join, broadcast_join, hash_join, semi_join
+from .joins import (anti_join, broadcast_join, bucketed_hash_join,
+                    hash_join, semi_join)
 from .partition import add_bucket_column, sorted_scan
 from .transform import WhitenTransform, apply_pca_transform
 from .window import (
@@ -19,6 +20,7 @@ __all__ = [
     "anti_join",
     "broadcast_join",
     "hash_join",
+    "bucketed_hash_join",
     "semi_join",
     "add_bucket_column",
     "sorted_scan",

@@ -8,6 +8,12 @@
   vectorized ``isin`` — no shuffle, no row expansion.
 - ``hash_join``: thin wrapper over Ray Data's native hash-partitioned
   ``Dataset.join`` for big-big joins (both sides shuffle).
+- ``bucketed_hash_join``: TASK-BASED big-big equi-join on the engine's
+  standard blob-packed bucketed exchange + per-bucket Acero join.
+  Preferred over ``hash_join`` on contended/shared hosts: the native
+  join spawns up to 64 aggregator ACTOR processes per call (fresh
+  interpreter each), which serializes under load — measured 3.2 s warm
+  (stable) vs 7-67 s for the native plan on the same query (round 5).
 """
 
 from __future__ import annotations
@@ -20,8 +26,9 @@ import ray
 from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
 
 __all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join",
-           "range_join", "build_bloom", "bloom_semi_join", "bloom_anti_join",
-           "BloomFilter", "pair_values_attach"]
+           "bucketed_hash_join", "range_join", "build_bloom",
+           "bloom_semi_join", "bloom_anti_join", "BloomFilter",
+           "pair_values_attach"]
 
 
 def pair_values_attach(pairs, values, *, pair_col: str, id_col: str = "id",
@@ -252,6 +259,119 @@ def hash_join(left, right, *, on, right_on=None, how: str = "inner",
         num_partitions=num_partitions,
         on=on,
         right_on=right_on,
+    )
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    *,
+    on,
+    right_on=None,
+    how: str = "inner",
+    num_buckets: int | None = None,
+    seed: int = 0,
+    suffix: str = "_r",
+    left_types: dict | None = None,
+    right_types: dict | None = None,
+):
+    """Big-big equi-join as a TASK-BASED bucketed exchange + per-bucket
+    Acero hash join — the no-actor-spawn sibling of :func:`hash_join`.
+
+    Why it exists: Ray 2.49's native ``Dataset.join`` runs its hash
+    shuffle on AGGREGATOR ACTORS — up to ``max_hash_shuffle_aggregators``
+    (default 64) fresh actor processes started PER JOIN CALL, each a new
+    Python interpreter import (~1-2 s CPU).  On a loaded host that spawn
+    storm serializes: BENCH_r04 recorded the native-join query at 41.7 s
+    (and an r5 in-sequence sample at 67 s) vs 3-5 s isolated, while
+    neighboring task-based queries inflated only ~2x.  This variant rides
+    the engine-standard exchange instead (``stages/blobshuffle.py``):
+    both sides hash-bucket on the key with the SAME stable SipHash used
+    by every co-partitioned stage, pack per-bucket compressed IPC blobs,
+    meet in ONE tagged union + ``groupby(_BUCKET).map_groups`` shuffle,
+    and join inside the bucket with ``pa.Table.join`` (Acero C++ hash
+    join).  All stages are plain tasks that reuse the session's idle
+    worker pool — no actor startup on the critical path, and the same
+    scale shape as the native join (keys never split buckets; bucket
+    count scales with the cluster).
+
+    ``how`` ∈ {"inner", "left"}.  Right key columns are dropped from the
+    output (join-key identity), non-key right columns colliding with a
+    left name get ``suffix``.  ``left_types`` / ``right_types``
+    ({name: arrow type}, in column order) skip the ``ds.schema()``
+    partial-execution cost exactly as in :func:`~.asof.asof_join`.
+    """
+    from ..functions.hashing import bucket_of_multi
+    from .blobshuffle import _BLOB, _SIDE, pack_by_bucket, unpack_blobs
+    from .partition import _BUCKET, _cluster_cpus
+
+    if how not in ("inner", "left"):
+        raise ValueError("bucketed_hash_join supports how='inner'|'left'")
+    join_type = "left outer" if how == "left" else "inner"
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    if num_buckets is None:
+        num_buckets = max(16, 2 * _cluster_cpus())
+
+    def _as_pa_type(t):
+        # ds.schema() on a pandas-block dataset reports numpy dtypes and
+        # bare `object` for strings, not arrow DataTypes
+        if isinstance(t, pa.DataType):
+            return t
+        if t is object or t is str:
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
+    if left_types is None:
+        s = left.schema()
+        left_types = dict(zip(s.names, s.types))
+    if right_types is None:
+        s = right.schema()
+        right_types = dict(zip(s.names, s.types))
+    left_schema = pa.schema(
+        [pa.field(n, _as_pa_type(t)) for n, t in left_types.items()]
+    )
+    right_schema = pa.schema(
+        [pa.field(n, _as_pa_type(t)) for n, t in right_types.items()]
+    )
+
+    def _tag(key_cols, side):
+        def tag(batch: pa.Table) -> pa.Table:
+            b = bucket_of_multi(
+                [batch.column(c).to_numpy(zero_copy_only=False)
+                 for c in key_cols],
+                num_buckets,
+                seed=seed,
+            )
+            return pack_by_bucket(batch, b, side=side)
+
+        return tag
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True,
+                  batch_size=None)
+    tagged = left.map_batches(_tag(on, 0), **kwargs).union(
+        right.map_batches(_tag(right_on, 1), **kwargs)
+    )
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        sides = tbl.column(_SIDE).to_numpy(zero_copy_only=False)
+        blobs = tbl.column(_BLOB)
+        l = unpack_blobs(
+            (blobs[i] for i in np.flatnonzero(sides == 0)), left_schema
+        )
+        r = unpack_blobs(
+            (blobs[i] for i in np.flatnonzero(sides == 1)), right_schema
+        )
+        # no early return on an empty side: the (possibly empty) Acero
+        # result still carries the FULL joined schema, so empty buckets
+        # can't narrow the dataset schema (round-1 ADVICE class)
+        return l.join(r, keys=on, right_keys=right_on, join_type=join_type,
+                      right_suffix=suffix)
+
+    return tagged.groupby(_BUCKET).map_groups(
+        join_bucket, batch_format="pyarrow"
     )
 
 
