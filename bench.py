@@ -145,6 +145,7 @@ def run_bench() -> dict:
 
     # ---- representative operator pipelines over $GRAFT_SF_DIR --------------
     queries = {}
+    queries_loadavg = {}
 
     def consume(res):
         if hasattr(res, "count"):
@@ -183,6 +184,10 @@ def run_bench() -> dict:
         # min of two reps is the consistent estimator; FX_QUERY_REPS=1
         # restores the old single-shot behavior.
         reps = max(1, int(os.environ.get("FX_QUERY_REPS", "2")))
+        # per-query loadavg bracket: a contended sample (r4's 41.7 s
+        # hash_join_agg, r5's 72 s bloom_semi_join — both 5-7 s on a
+        # quiet host and in the isolated controls) is identifiable from
+        # the record itself, not only by re-measuring after the fact
         for name in bench_queries:
             fn = q.QUERIES[name]
             best = None
@@ -192,6 +197,7 @@ def run_bench() -> dict:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             queries[name] = round(best, 3)
+            queries_loadavg[name] = round(os.getloadavg()[0], 1)
 
     map_stage_sec = None
     if os.environ.get("FX_MEASURE_MAP"):
@@ -230,6 +236,7 @@ def run_bench() -> dict:
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "loadavg_1m_start": loadavg_start,
         "rep_times": [round(t, 3) for t in times],
+        "queries_loadavg_1m": queries_loadavg,
     }
     ray.shutdown()
     return result
