@@ -43,6 +43,21 @@ def _timed(fn):
 def run_bench() -> dict:
     import ray
 
+    # Bounded settle-wait: launching into the teardown of a previous Ray
+    # session (or a co-tenant burst) contaminates every rep — round-5
+    # measured the identical 240k job at 14.3 s from a load-0.17 launch
+    # vs 25-39 s from load-1.3-9.5 launches.  Wait for 1-min load below
+    # FX_SETTLE_LOAD (default 2.0) up to FX_SETTLE_MAX_S (default 120 s;
+    # 0 disables), then record how long we waited so the sample's
+    # provenance is in the JSON.
+    settle_max = float(os.environ.get("FX_SETTLE_MAX_S", "120"))
+    settle_load = float(os.environ.get("FX_SETTLE_LOAD", "2.0"))
+    settle_t0 = time.time()
+    while (settle_max > 0 and os.getloadavg()[0] > settle_load
+           and time.time() - settle_t0 < settle_max):
+        time.sleep(5)
+    settle_waited = round(time.time() - settle_t0, 1)
+
     # loadavg at START as well as end (VERDICT r4 #10): a quiet end
     # reading can hide a contended first half — both bracket the sample
     loadavg_start = round(os.getloadavg()[0], 2)
@@ -235,6 +250,7 @@ def run_bench() -> dict:
         # reader whether the sample was quiet
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "loadavg_1m_start": loadavg_start,
+        "settle_waited_s": settle_waited,
         "rep_times": [round(t, 3) for t in times],
         "queries_loadavg_1m": queries_loadavg,
     }
