@@ -2268,6 +2268,26 @@ def q_bm25_search(sf_dir):
     return _round_cols(out, {"score": 6})
 
 
+def q_term_df_spectrum(sf_dir):
+    """Corpus vocabulary df-spectrum (Zipf/hapax profile): n_terms per
+    document-frequency value.  Two mergeable level-sums; tokens never
+    shuffle (see stages/vectorize.py::term_df_spectrum)."""
+    from .stages.vectorize import term_df_spectrum
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return term_df_spectrum(ds)
+
+
+SQL_TERM_DF_SPECTRUM = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT df, count(*) AS n_terms FROM dfq GROUP BY df
+"""
+
+
 SQL_BM25_SEARCH = r"""
 WITH tok AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
@@ -2466,6 +2486,38 @@ SELECT doc_id,
   CAST(length(text) - length(regexp_replace(text, '[^[:alnum:][:space:]_]', '', 'g'))
        AS DOUBLE) / greatest(length(text), 1) AS punct_ratio
 FROM documents
+"""
+
+
+def q_source_quota(sf_dir):
+    """Per-source QUALITY-QUOTA curation (RefinedWeb/CC domain-cap
+    class): rank every document within its source by quality
+    (alpha_ratio desc, doc_id tiebreak) and keep at most K=10 per
+    source — the domain-balancing step a corpus assembly runs so no
+    single crawl domain dominates the mixture.  Distributed shape:
+    ``grouped_topn`` — map-side prune to ≤K rows per (source, batch)
+    BEFORE the exchange, so the shuffle moves O(sources × K × blocks)
+    rows, never the corpus."""
+    from .stages.groupagg import grouped_topn
+    from .stages.text import with_quality
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "source"])
+    ds = with_quality(ds).select_columns(["doc_id", "source", "alpha_ratio"])
+    out = grouped_topn(ds, "source", ["alpha_ratio", "doc_id"], n=10,
+                       ascending=[False, True], num_buckets=8)
+    return out.select_columns(["doc_id", "source", "alpha_ratio"])
+
+
+SQL_SOURCE_QUOTA = """
+WITH q AS (
+  SELECT doc_id, source,
+    CAST(length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS alpha_ratio
+  FROM documents)
+SELECT doc_id, source, alpha_ratio FROM q
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY alpha_ratio DESC, doc_id) <= 10
 """
 
 
@@ -6023,6 +6075,8 @@ QUERIES = {
     "silence_trim": q_silence_trim,
     "video_near_dup": q_video_near_dup,
     "bucketed_join_agg": q_bucketed_join_agg,
+    "source_quota": q_source_quota,
+    "term_df_spectrum": q_term_df_spectrum,
 }
 
 ORACLE_SQL = {
@@ -6168,4 +6222,6 @@ ORACLE_SQL = {
     # the physical plan differs (task-based bucketed exchange vs native
     # actor-based hash shuffle)
     "bucketed_join_agg": SQL_JOIN_AGG,
+    "source_quota": SQL_SOURCE_QUOTA,
+    "term_df_spectrum": SQL_TERM_DF_SPECTRUM,
 }

@@ -251,3 +251,49 @@ def bm25_score(ds, terms, *, text_col: str = "text", id_col: str = "doc_id",
 
 __all__.append("bm25_score")
 __all__.append("fit_bm25_stats")
+
+
+def term_df_spectrum(ds, text_col: str = "text", *, num_buckets: int = 64):
+    """Document-frequency SPECTRUM of the corpus vocabulary: for each
+    df value, how many distinct terms appear in exactly df documents
+    (the Zipf/hapax profile corpus QA reads before committing a
+    tokenizer or dedup threshold — e.g. hapax count = the df=1 row).
+
+    Distributed shape (two level-sums, no token stream ever shuffles):
+    every document lives in exactly ONE block, so a block-local
+    ``(term, distinct-doc count)`` partial — pandas C explode +
+    drop_duplicates + value_counts — sums EXACTLY to the corpus df.
+    The exchange ships one (term, count) row per term per block
+    (vocab-bounded, not token-bounded); a bucketed sum by term yields
+    df, and a second, tiny sum by df (keys = distinct df values) yields
+    the spectrum.  Tokenization is the engine's SQL-mirrorable
+    ``\\S+``-on-lower convention (`_query_term_counts`).
+    """
+    from .groupagg import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas().reset_index(drop=True)
+        flat = texts.str.lower().str.findall(r"\S+").explode().dropna()
+        if not len(flat):
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        per_doc = pd.DataFrame({
+            "d": flat.index.to_numpy(dtype=np.int64),
+            "term": flat.to_numpy(dtype=object),
+        }).drop_duplicates()
+        vc = per_doc["term"].value_counts()
+        return pa.table({
+            "term": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
+            "c": pa.array(vc.to_numpy(dtype=np.int64)),
+        })
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    df_tbl = grouped_aggregate(partials, "term", {"df": ("c", "sum")},
+                               num_buckets=num_buckets)
+    return grouped_aggregate(df_tbl, "df", {"n_terms": ("term", "count")},
+                             num_buckets=8)
+
+
+__all__.append("term_df_spectrum")

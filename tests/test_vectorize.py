@@ -260,3 +260,44 @@ def test_bm25_matches_numpy_reference(ray_session, sf_dir):
     )
     order = np.lexsort((texts.doc_id.to_numpy()[keep], -want[keep]))
     assert top.doc_id.tolist() == texts.doc_id.to_numpy()[keep][order][:5].tolist()
+
+
+def test_term_df_spectrum_planted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.vectorize import term_df_spectrum
+
+    # planted: "alpha" in 3 docs, "beta" in 2, "gamma"/"delta" in 1 each;
+    # repeats within a doc must not inflate df
+    docs = pd.DataFrame({"text": [
+        "alpha beta alpha",
+        "alpha beta gamma",
+        "alpha delta",
+    ]})
+    out = term_df_spectrum(rd.from_pandas(docs), num_buckets=4).to_pandas()
+    got = dict(zip(out["df"].astype(int), out["n_terms"].astype(int)))
+    assert got == {3: 1, 2: 1, 1: 2}
+
+
+def test_term_df_spectrum_multiblock_partials(ray_session):
+    # the df partial must sum exactly across blocks: same corpus, 1 block
+    # vs 8 blocks, identical spectrum
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.vectorize import term_df_spectrum
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = pd.DataFrame({"text": [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 20)))
+        for _ in range(200)
+    ]})
+    one = term_df_spectrum(rd.from_pandas(docs), num_buckets=4).to_pandas()
+    many = term_df_spectrum(
+        rd.from_pandas(docs).repartition(8), num_buckets=4
+    ).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["df", "n_terms"]].to_numpy()))
+    assert key(one) == key(many)
