@@ -1827,6 +1827,65 @@ GROUP BY a.event_id, a.user_id, a.ts
 """
 
 
+def q_ewma_user_value(sf_dir):
+    """Per-user EWMA mean (τ = 1h) and leakage-safe anomaly z-score at
+    each event: z compares the row's value to the decayed mean/variance
+    of PREVIOUS rows only (current row subtracted from the Σw/Σwv/Σwv²
+    sums), null until ≥2 previous events, effective sample size Σw ≥ 2
+    and positive variance (the Σw gate is load-bearing: a stale history
+    makes var cancel catastrophically and z numerically meaningless).
+    One bucketed exchange, three runs of the chunked decayed-sum kernel.
+    The variance is written as svv/sw − (sv/sw)² in the exact association
+    the oracle uses; both sides pin to the 1e-6 grid with signed-zero
+    canonicalization (tiny z-scores round to -0.0)."""
+    from .stages.window import with_ewma
+
+    ds = with_ewma(_events(sf_dir), "user_id", "ts", "value",
+                   tau="1h", min_prev=2, num_buckets=32,
+                   tiebreak_cols=("event_id",))
+    ds = ds.select_columns(
+        ["event_id", "user_id", "ts", "ewma_value", "ewma_z_value"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        for c in ("ewma_value", "ewma_z_value"):
+            arr = np.round(t.column(c).to_numpy(zero_copy_only=False), 6) + 0.0
+            t = t.set_column(t.schema.get_field_index(c), c, pa.array(arr))
+        return t
+
+    return ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EWMA_USER_VALUE = """
+WITH s AS (
+  SELECT a.event_id, a.user_id, a.ts, a.value,
+         sum(CASE WHEN b.value IS NOT NULL
+              THEN exp(-CAST(date_diff('microsecond', b.ts, a.ts) AS DOUBLE)
+                       / 3600000000.0) END)                          AS sw,
+         sum(b.value * exp(-CAST(date_diff('microsecond', b.ts, a.ts)
+                                 AS DOUBLE) / 3600000000.0))         AS sv,
+         sum(b.value * b.value *
+             exp(-CAST(date_diff('microsecond', b.ts, a.ts) AS DOUBLE)
+                 / 3600000000.0))                                    AS svv,
+         count(b.value)                                              AS cnt
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
+  GROUP BY a.event_id, a.user_id, a.ts, a.value
+)
+SELECT event_id, user_id, ts,
+       ROUND(sv / sw, 6) + 0.0 AS ewma_value,
+       CASE WHEN value IS NOT NULL AND cnt - 1 >= 2 AND sw - 1.0 >= 2.0
+             AND (svv - value*value) / (sw - 1.0)
+                 - ((sv - value)/(sw - 1.0)) * ((sv - value)/(sw - 1.0)) > 0
+            THEN ROUND((value - (sv - value)/(sw - 1.0))
+                       / sqrt((svv - value*value) / (sw - 1.0)
+                              - ((sv - value)/(sw - 1.0))
+                                * ((sv - value)/(sw - 1.0))), 6) + 0.0
+       END AS ewma_z_value
+FROM s
+"""
+
+
 def q_backfill(sf_dir):
     from .stages.window import with_backfill
 
@@ -6077,6 +6136,7 @@ QUERIES = {
     "bucketed_join_agg": q_bucketed_join_agg,
     "source_quota": q_source_quota,
     "term_df_spectrum": q_term_df_spectrum,
+    "ewma_user_value": q_ewma_user_value,
 }
 
 ORACLE_SQL = {
@@ -6224,4 +6284,5 @@ ORACLE_SQL = {
     "bucketed_join_agg": SQL_JOIN_AGG,
     "source_quota": SQL_SOURCE_QUOTA,
     "term_df_spectrum": SQL_TERM_DF_SPECTRUM,
+    "ewma_user_value": SQL_EWMA_USER_VALUE,
 }

@@ -960,3 +960,110 @@ def test_interval_overlap_join_dense_matches_bruteforce(ray_session):
         # no duplicate pairs from the two-stab decomposition
         assert len(out) == len(got), f"dense_threshold={thresh}"
     assert (0, 0) in want  # the touching-endpoint pair really exercised
+
+
+# ---------------------------------------------------------------------------
+# with_ewma — EWMA mean + leakage-safe anomaly z-score
+# ---------------------------------------------------------------------------
+
+def _ref_ewma(df, tau_us, min_prev=2, min_weight=2.0):
+    """Direct O(n²) reference over a (eid, ts)-sorted frame, replicating
+    the documented gates (min_prev non-null previous events, Σw_prev ≥
+    min_weight, var_prev > 0)."""
+    n = len(df)
+    eid = df["eid"].to_numpy()
+    ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    v = df["v"].to_numpy(dtype="float64")
+    mean = np.full(n, np.nan)
+    z = np.full(n, np.nan)
+    for i in range(n):
+        sw = sv = svv = 0.0
+        cnt_prev = 0
+        for j in range(i + 1):
+            if eid[j] != eid[i] or np.isnan(v[j]):
+                continue
+            w = np.exp(-(ts[i] - ts[j]) / tau_us)
+            sw += w
+            sv += w * v[j]
+            svv += w * v[j] * v[j]
+            if j < i:
+                cnt_prev += 1
+        if sw > 0:
+            mean[i] = sv / sw
+        if np.isnan(v[i]):
+            continue
+        swp, svp, svvp = sw - 1.0, sv - v[i], svv - v[i] * v[i]
+        if cnt_prev < min_prev or swp < min_weight:
+            continue
+        mp = svp / swp
+        varp = svvp / swp - mp * mp
+        if varp > 0:
+            z[i] = (v[i] - mp) / np.sqrt(varp)
+    return mean, z
+
+
+def test_ewma_frame_matches_bruteforce():
+    from featureextraction_jl_ray.stages.window import _ewma_frame
+
+    rng = np.random.default_rng(7)
+    n = 300
+    df = pd.DataFrame({
+        "eid": np.sort(rng.choice(["a", "b", "c"], n)),
+        "ts": pd.to_datetime(0) + pd.to_timedelta(
+            np.concatenate([np.sort(rng.integers(0, 40_000, n - 2)),
+                            [100, 100]]), unit="s"),
+        "v": rng.normal(50.0, 20.0, n),
+    })
+    df.loc[rng.choice(n, 12, replace=False), "v"] = np.nan  # null contract
+    df = df.sort_values(["eid", "ts"], ignore_index=True)
+    tau_us = 3600e6
+    want_mean, want_z = _ref_ewma(df, tau_us)
+    got = _ewma_frame(df.copy(), "eid", "ts", "v", tau_us,
+                      "m", "z", min_prev=2, min_weight=2.0)
+    np.testing.assert_allclose(got["m"].to_numpy(), want_mean,
+                               rtol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(got["z"].to_numpy(), want_z,
+                               rtol=1e-7, equal_nan=True)
+    assert np.isfinite(want_z).sum() > 100  # the z path really exercised
+
+
+def test_ewma_is_leakage_free(ray_session):
+    """Perturbing a FUTURE row's value must not change any earlier row's
+    EWMA mean or z (strictly-backward contract)."""
+    import ray as _r
+    from featureextraction_jl_ray.stages.window import with_ewma
+
+    rng = np.random.default_rng(11)
+    n = 60
+    base = pd.DataFrame({
+        "eid": ["u"] * n,
+        "ts": pd.to_datetime(0) + pd.to_timedelta(
+            np.arange(n) * 600, unit="s"),
+        "v": rng.normal(10.0, 3.0, n),
+    })
+    bumped = base.copy()
+    bumped.loc[n - 1, "v"] += 1e6
+
+    def run(df):
+        ds = _r.data.from_arrow(pa.Table.from_pandas(df))
+        out = with_ewma(ds, "eid", "ts", "v", tau="1h", num_buckets=2)
+        return out.to_pandas().sort_values("ts", ignore_index=True)
+
+    a, b = run(base), run(bumped)
+    for c in ("ewma_v", "ewma_z_v"):
+        np.testing.assert_array_equal(a[c].to_numpy()[: n - 1],
+                                      b[c].to_numpy()[: n - 1], err_msg=c)
+    assert a["ewma_v"].iloc[n - 1] != b["ewma_v"].iloc[n - 1]
+    # the planted 1e6 spike is flagged as a gross anomaly
+    assert abs(b["ewma_z_v"].iloc[n - 1]) > 100
+
+
+def test_ewma_empty_frame():
+    from featureextraction_jl_ray.stages.window import _ewma_frame
+
+    df = pd.DataFrame({"eid": pd.Series(dtype="object"),
+                       "ts": pd.Series(dtype="datetime64[us]"),
+                       "v": pd.Series(dtype="float64")})
+    got = _ewma_frame(df, "eid", "ts", "v", 3600e6, "m", "z", 2, 2.0)
+    assert list(got.columns) == ["eid", "ts", "v", "m", "z"]
+    assert len(got) == 0
