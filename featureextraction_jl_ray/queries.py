@@ -5876,6 +5876,90 @@ FROM documents
 """
 
 
+def q_url_normalize(sf_dir):
+    """URL canonicalization — the url-dedup-key preprocessing of every
+    crawl pipeline: lowercase scheme/host, strip fragments, default
+    ports (:80/:443), tracking params (utm_*/gclid/fbclid) and trailing
+    path slashes.  The corpus has no URL column, so the gate derives one
+    per document via MIRRORED integer-case construction (mixed-case
+    host, rotating port/query/fragment shapes exercise every rewrite).
+    The engine chain is fixed RE2 pyarrow kernels (stages/url.py) and
+    the oracle applies the IDENTICAL regex chain in DuckDB — exact
+    string compare, no grid."""
+    from .stages.url import with_url_normalized
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        src = pd.Series(b.column("source").to_numpy(zero_copy_only=False))
+        ds_ = d.astype(str)
+        scheme = np.where(d % 2 == 0, "HTTP", "https")
+        port = np.select([d % 4 == 0, d % 4 == 1, d % 4 == 2],
+                         [":80", ":443", ":8080"], "")
+        path = "/Docs/" + pd.Series(ds_) + np.where(d % 5 == 0, "/", "")
+        query = np.select(
+            [d % 3 == 0, d % 3 == 1],
+            ["?utm_source=feed&id=" + pd.Series(ds_),
+             "?id=" + pd.Series(ds_) + "&utm_campaign=x"], "")
+        frag = np.where(d % 7 == 0, "#Sec-2", "")
+        url = (pd.Series(scheme) + "://" + src + (d % 40).astype(str)
+               + ".Example.COM" + pd.Series(port) + path
+               + pd.Series(query) + pd.Series(frag))
+        return pa.Table.from_arrays(
+            [b.column("doc_id"), pa.array(url, pa.string())],
+            names=["doc_id", "url"])
+
+    out = with_url_normalized(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        "url")
+    return out.select_columns(["doc_id", "url_norm", "host"])
+
+
+SQL_URL_NORMALIZE = r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+    || '://' || source || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM'
+    || (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+             WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+    || '/Docs/' || CAST(doc_id AS VARCHAR)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+             THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+             WHEN doc_id % 3 = 1
+             THEN '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#Sec-2' ELSE '' END) AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS v FROM u
+), sp AS (
+  SELECT doc_id, v,
+    regexp_matches(v, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([\s\S]*)$') AS ok,
+    lower(regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([\s\S]*)$', 1)) AS sch,
+    lower(regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([\s\S]*)$', 2)) AS hst0,
+    regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([\s\S]*)$', 3) AS rest0
+  FROM s1
+), p2 AS (
+  SELECT doc_id, v, ok, sch,
+    CASE WHEN sch = 'http'  THEN regexp_replace(hst0, ':80$', '')
+         WHEN sch = 'https' THEN regexp_replace(hst0, ':443$', '')
+         ELSE hst0 END AS hst,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(rest0, '(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&', '', 'g'),
+      '[?&](utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*$', ''),
+      '\?$', ''), '/+\?', '?'), '/+$', '') AS rest
+  FROM sp
+)
+SELECT doc_id,
+       CASE WHEN ok THEN sch || '://' || hst || rest ELSE v END AS url_norm,
+       CASE WHEN ok THEN hst END AS host
+FROM p2
+"""
+
+
 def q_ccnet_buckets(sf_dir):
     """CCNet-style perplexity bucketing: fit the char-bigram LM on the
     corpus, score every document, and split each LANGUAGE into
@@ -6137,6 +6221,7 @@ QUERIES = {
     "source_quota": q_source_quota,
     "term_df_spectrum": q_term_df_spectrum,
     "ewma_user_value": q_ewma_user_value,
+    "url_normalize": q_url_normalize,
 }
 
 ORACLE_SQL = {
@@ -6285,4 +6370,5 @@ ORACLE_SQL = {
     "source_quota": SQL_SOURCE_QUOTA,
     "term_df_spectrum": SQL_TERM_DF_SPECTRUM,
     "ewma_user_value": SQL_EWMA_USER_VALUE,
+    "url_normalize": SQL_URL_NORMALIZE,
 }
