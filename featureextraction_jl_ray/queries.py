@@ -5960,6 +5960,32 @@ FROM p2
 """
 
 
+def q_kcenter_embeddings(sf_dir):
+    """Greedy k-center diversity coreset over the embedding corpus
+    (farthest-point selection — the "most diverse k" curation primitive;
+    contrast k-means' dense representatives).  Composable-coreset plan:
+    per-block greedy keeps k local centers (only k×d rows leave a task),
+    an exchange-free fan-in composes pools above max_pool, the driver
+    finishes over the bounded pool; one stateless GEMM pass assigns
+    every row to its nearest center with the cosine distance.  Rows-only
+    (iterative farthest-point selection isn't SQL); pinned blocking
+    (override_num_blocks=8) keeps the composed pool deterministic."""
+    from .stages.groupagg import grouped_aggregate
+    from .stages.similarity import assign_clusters, kcenter_fit
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"],
+                            override_num_blocks=8)
+    C, _ids = kcenter_fit(ds, "embedding", 16, id_col="vec_id",
+                          metric="cosine")
+    out = assign_clusters(ds, C, vector_col="embedding", out_col="center",
+                          dist_col="dist", metric="cosine")
+    agg = grouped_aggregate(out, ["center"],
+                            {"n": ("vec_id", "count"),
+                             "max_dist": ("dist", "max")})
+    return _round_cols(agg, {"max_dist": 6})
+
+
 def q_ccnet_buckets(sf_dir):
     """CCNet-style perplexity bucketing: fit the char-bigram LM on the
     corpus, score every document, and split each LANGUAGE into
@@ -6222,6 +6248,7 @@ QUERIES = {
     "term_df_spectrum": q_term_df_spectrum,
     "ewma_user_value": q_ewma_user_value,
     "url_normalize": q_url_normalize,
+    "kcenter_embeddings": q_kcenter_embeddings,
 }
 
 ORACLE_SQL = {

@@ -37,6 +37,8 @@ __all__ = [
     "kmeans_fit",
     "kmeans_fit_distributed",
     "assign_clusters",
+    "greedy_kcenter",
+    "kcenter_fit",
     "ScalarQuantizer",
     "fit_scalar_quantizer",
     "quantize_embeddings",
@@ -275,25 +277,171 @@ def kmeans_fit_distributed(
 
 
 def assign_clusters(ds, centroids: np.ndarray, *, vector_col: str,
-                    out_col: str = "cluster", metric: str = "cosine"):
+                    out_col: str = "cluster", metric: str = "cosine",
+                    dist_col: str | None = None):
     """Attach the nearest-centroid id as ``out_col`` — one stateless
     GEMM per batch; the centroid matrix rides the task closure
     (deserialized once per worker), so parallelism follows the block
-    count exactly as ``build_ivf_index``'s assign pass."""
+    count exactly as ``build_ivf_index``'s assign pass.  With
+    ``dist_col`` the distance to that centroid is emitted too (cosine
+    distance 1−sim, or Euclidean for ``metric="l2"``)."""
     C = np.asarray(centroids, dtype=np.float64)
     if metric not in ("cosine", "l2"):
         raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
 
     def assign(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch.append_column(out_col, pa.array([], type=pa.int64()))
+            batch = batch.append_column(out_col, pa.array([], type=pa.int64()))
+            if dist_col:
+                batch = batch.append_column(
+                    dist_col, pa.array([], type=pa.float64()))
+            return batch
         X = list_column_to_numpy(batch, vector_col).astype(np.float64)
         if metric == "cosine":
             X = _normalize(X)
         a = _assign_to_centroids(X, C, metric).astype(np.int64)
-        return batch.append_column(out_col, pa.array(a))
+        batch = batch.append_column(out_col, pa.array(a))
+        if dist_col:
+            if metric == "cosine":
+                d = 1.0 - np.einsum("ij,ij->i", X, C[a])
+            else:
+                diff = X - C[a]
+                d = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+            batch = batch.append_column(dist_col, pa.array(d))
+        return batch
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center diversity sampling (farthest-point coreset selection)
+# ---------------------------------------------------------------------------
+
+def greedy_kcenter(X: np.ndarray, k: int, metric: str = "cosine",
+                   start_idx: int = 0) -> np.ndarray:
+    """Deterministic farthest-point greedy k-center over an in-memory
+    matrix (Gonzalez 1985 — a 2-approximation to the optimal k-center
+    radius).  Returns the selected ROW INDICES in selection order;
+    ties in the farthest-point argmax resolve to the smallest index.
+    ``metric="l2"`` selects on squared distance (monotone, same picks).
+    """
+    n = len(X)
+    k = min(int(k), n)
+    if k <= 0:
+        return np.empty(0, dtype=np.int64)
+    X = np.asarray(X, dtype=np.float64)
+    if metric == "cosine":
+        X = _normalize(X)
+
+        def dist_to(i):
+            return 1.0 - X @ X[i]
+    else:
+
+        def dist_to(i):
+            diff = X - X[i]
+            return np.einsum("ij,ij->i", diff, diff)
+
+    sel = np.empty(k, dtype=np.int64)
+    sel[0] = start_idx
+    dmin = dist_to(start_idx)
+    for j in range(1, k):
+        nxt = int(np.argmax(dmin))
+        sel[j] = nxt
+        dmin = np.minimum(dmin, dist_to(nxt))
+    return sel
+
+
+def _kcenter_start(ids, n: int, seed: int) -> int:
+    """Deterministic greedy start: the row with the smallest stable hash
+    of its id (row 0 when no ids) — no RNG state, resume-reproducible."""
+    if ids is None or n == 0:
+        return 0
+    h = stable_hash_array(np.asarray(ids), seed=seed)
+    return int(np.argmin(h))
+
+
+def kcenter_fit(
+    ds,
+    vector_col: str,
+    k: int,
+    *,
+    id_col: str | None = None,
+    metric: str = "cosine",
+    max_pool: int = 65536,
+    seed: int = 42,
+):
+    """Distributed greedy k-center — pick k maximally-spread rows (the
+    "most diverse k" curation / coreset-selection primitive; contrast
+    k-means, which picks DENSE representatives).
+
+    Composable-coreset plan (per-part farthest-point centers compose:
+    the union of local greedy k-centers covers the whole set within a
+    constant factor of the optimal radius — Gonzalez 1985 greedy +
+    Indyk et al. 2014 composable coresets for diversity):
+
+      1. per-BLOCK vectorized greedy k-center (``batch_size=None``) —
+         only (id, k×d) rows ever leave a task, pixels/corpus never
+         shuffle;
+      2. while more than ``max_pool`` local centers remain, coalesce
+         groups of them with the same greedy kernel via a plain
+         ``map_batches`` (row-bundled fan-in, NO exchange);
+      3. the driver runs the final greedy over the ≤ ``max_pool`` pool.
+
+    Every greedy starts at the row with the smallest stable hash of its
+    id (row 0 without ``id_col``) — deterministic for a fixed block
+    layout, like any composed sketch; single-block inputs reproduce the
+    exact in-memory greedy.  Returns ``(centers k×d float64, ids)``
+    (``ids`` is None without ``id_col``).
+    """
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    cols = [vector_col] + ([id_col] if id_col else [])
+    vec = ds.select_columns(cols)
+
+    def make_local(in_id_col: str | None):
+        def local(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                cols = {vector_col: pa.array([], pa.list_(pa.float64()))}
+                if id_col:
+                    cols["_fx_id"] = pa.array(
+                        [], batch.schema.field(in_id_col).type)
+                return pa.table(cols)
+            X = list_column_to_numpy(batch, vector_col).astype(np.float64)
+            ids = (batch.column(in_id_col).to_numpy(zero_copy_only=False)
+                   if in_id_col else None)
+            sel = greedy_kcenter(
+                X, k, metric, _kcenter_start(ids, len(X), seed))
+            out = {vector_col: pa.array([r.tolist() for r in X[sel]],
+                                        pa.list_(pa.float64()))}
+            if in_id_col:
+                out["_fx_id"] = pa.array(ids[sel])
+            return pa.table(out)
+
+        return local
+
+    pool = vec.map_batches(make_local(id_col), batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    compose = make_local("_fx_id" if id_col else None)
+    n_pool = pool.count()
+    while n_pool > max_pool:
+        # coalesce ~max_pool local centers per group down to k — rows
+        # bundle across blocks without a shuffle
+        pool = pool.map_batches(compose, batch_format="pyarrow",
+                                batch_size=min(max_pool, 2 * k * 64))
+        new_n = pool.count()
+        if new_n >= n_pool:  # cannot shrink further (k ≥ group size)
+            break
+        n_pool = new_n
+    tbl = pa.concat_tables([
+        b for b in pool.iter_batches(batch_size=None, batch_format="pyarrow")
+    ])
+    X = list_column_to_numpy(tbl, vector_col).astype(np.float64)
+    ids = (tbl.column("_fx_id").to_numpy(zero_copy_only=False)
+           if id_col else None)
+    sel = greedy_kcenter(X, k, metric, _kcenter_start(ids, len(X), seed))
+    if metric == "cosine":
+        X = _normalize(X)
+    return X[sel], (ids[sel] if ids is not None else None)
 
 
 class IvfIndex:

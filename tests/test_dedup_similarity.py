@@ -1263,3 +1263,86 @@ def test_embedding_cross_filter_planted(ray_session):
                                    id_col="vid", threshold=0.999,
                                    num_buckets=4)
     assert kept2.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# greedy k-center diversity sampling (kcenter_fit)
+# ---------------------------------------------------------------------------
+
+def _blobs(rng, centers, per=40, scale=0.02):
+    X = np.concatenate([c + rng.normal(0, scale, (per, len(c)))
+                        for c in centers])
+    return X
+
+
+def test_greedy_kcenter_picks_one_per_separated_blob():
+    from featureextraction_jl_ray.stages.similarity import greedy_kcenter
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4) * 5.0  # far-apart blob means in 4D
+    X = _blobs(rng, centers)
+    sel = greedy_kcenter(X, 4, metric="l2")
+    # each selected point belongs to a distinct blob
+    blobs = set((sel // 40).tolist())
+    assert blobs == {0, 1, 2, 3}
+    # determinism + tie contract
+    sel2 = greedy_kcenter(X, 4, metric="l2")
+    np.testing.assert_array_equal(sel, sel2)
+
+
+def test_kcenter_fit_single_block_equals_inmemory(ray_session):
+    import ray as _r
+    from featureextraction_jl_ray.stages.similarity import (
+        greedy_kcenter, kcenter_fit, _kcenter_start)
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1, (120, 6))
+    ids = np.arange(1000, 1120)
+    t = pa.table({"vid": ids,
+                  "vec": pa.array([r.tolist() for r in X],
+                                  pa.list_(pa.float64()))})
+    ds = _r.data.from_arrow(t)  # one block: pool == full data
+    C, cids = kcenter_fit(ds, "vec", 7, id_col="vid", metric="l2")
+    start = _kcenter_start(ids, len(X), 42)
+    want = greedy_kcenter(X, 7, "l2", start)
+    np.testing.assert_array_equal(cids, ids[want])
+    np.testing.assert_allclose(C, X[want])
+
+
+def test_kcenter_fit_multiblock_and_compose_covers_blobs(ray_session):
+    import ray as _r
+    from featureextraction_jl_ray.stages.similarity import (
+        assign_clusters, kcenter_fit)
+
+    rng = np.random.default_rng(9)
+    means = np.eye(5) * 4.0
+    X = _blobs(rng, means, per=60)
+    perm = rng.permutation(len(X))  # blobs spread across blocks
+    X = X[perm]
+    t = pa.table({"vid": np.arange(len(X)),
+                  "vec": pa.array([r.tolist() for r in X],
+                                  pa.list_(pa.float64()))})
+    ds = _r.data.from_arrow(t).repartition(6)
+    # max_pool=8 < 6 blocks × 5 = 30 local centers → compose path runs
+    C, cids = kcenter_fit(ds, "vec", 5, id_col="vid", metric="l2",
+                          max_pool=8)
+    assert len(C) == 5 and len(cids) == 5
+    # the 5 centers land in 5 DISTINCT blobs (nearest blob mean)
+    blob_of = np.linalg.norm(C[:, None, :] - means[None], axis=2).argmin(1)
+    assert len(set(blob_of.tolist())) == 5
+    # and every corpus row is within a blob radius of its center
+    out = assign_clusters(ds, C, vector_col="vec", out_col="c",
+                          dist_col="d", metric="l2").to_pandas()
+    assert out["d"].max() < 1.0  # blob diameter ≪ inter-blob distance 4+
+
+
+def test_kcenter_fit_k_exceeds_rows(ray_session):
+    import ray as _r
+    from featureextraction_jl_ray.stages.similarity import kcenter_fit
+
+    t = pa.table({"vid": [1, 2, 3],
+                  "vec": pa.array([[0.0, 1], [1, 0], [1, 1]],
+                                  pa.list_(pa.float64()))})
+    C, cids = kcenter_fit(_r.data.from_arrow(t), "vec", 10, id_col="vid",
+                          metric="l2")
+    assert len(C) == 3 and set(cids.tolist()) == {1, 2, 3}
