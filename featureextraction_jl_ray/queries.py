@@ -2378,6 +2378,100 @@ WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
 """
 
 
+def q_hybrid_search(sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack 2009):
+    keyword channel = BM25 over documents.text, semantic channel =
+    cosine of every embedding to the vec_id=0 query vector (ids shared
+    across the two tables); each channel cut to its top-50 by (rounded
+    score desc, id asc), fused as Σ 1/(60+rank).  Channel scoring stays
+    distributed; the fuse is driver-side over two model-sized rank
+    lists.  Ranks are integer-exact on both sides because ordering
+    happens on the 1e-6-rounded scores with id tiebreak, so the fused
+    floats are bit-identical (1/(60+r) of equal ints)."""
+    from .functions.veccol import list_column_to_numpy
+    from .stages.vectorize import bm25_score, rrf_fuse
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    bm = _round_cols(
+        bm25_score(docs, ["vector", "merge", "scan"],
+                   text_col="text", id_col="doc_id"),
+        {"score": 6})
+
+    # query vector: the vec_id=0 row (driver-side 1-row model fetch)
+    import pyarrow.parquet as pq
+
+    tq = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qrow = tq.filter(pc.equal(tq.column("vec_id"), 0))
+    qv = np.asarray(qrow.column("embedding")[0].as_py(), dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+
+    def cos(t: pa.Table) -> pa.Table:
+        X = list_column_to_numpy(t, "embedding").astype(np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0] = 1.0
+        s = np.round(X @ qn / nrm, 6)
+        return pa.table({"doc_id": t.column("vec_id"),
+                         "score": pa.array(s, pa.float64())})
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    cs = emb.map_batches(cos, batch_format="pyarrow", zero_copy_batch=True)
+    return rrf_fuse([bm, cs], id_col="doc_id", k=50, k0=60, out_col="rrf")
+
+
+SQL_HYBRID_SEARCH = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+), st AS (
+  SELECT count(*) AS n, sum(len(ws)) AS total_len FROM tok
+), tf AS (
+  SELECT doc_id, len(ws) AS dl,
+         len(list_filter(ws, x -> x = 'vector')) AS tf0,
+         len(list_filter(ws, x -> x = 'merge'))  AS tf1,
+         len(list_filter(ws, x -> x = 'scan'))   AS tf2
+  FROM tok
+), dfs AS (
+  SELECT count(*) FILTER (WHERE tf0 > 0) AS df0,
+         count(*) FILTER (WHERE tf1 > 0) AS df1,
+         count(*) FILTER (WHERE tf2 > 0) AS df2
+  FROM tf
+), bm AS (
+  SELECT tf.doc_id,
+         ROUND(
+             ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+               / (tf0 + 1.2 * (0.25 + 0.75 * dl / (CAST(total_len AS DOUBLE) / n)))
+           + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+               / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(total_len AS DOUBLE) / n)))
+           + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+               / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(total_len AS DOUBLE) / n))),
+         6) AS score
+  FROM tf, st, dfs
+  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+), bt AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM bm) WHERE r <= 50
+), q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+), cs AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+           AS score
+  FROM embeddings, q
+), ct AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM cs) WHERE r <= 50
+)
+SELECT coalesce(bt.doc_id, ct.doc_id) AS doc_id,
+       ROUND(coalesce(1.0 / (60 + bt.r), 0.0)
+             + coalesce(1.0 / (60 + ct.r), 0.0), 6) AS rrf
+FROM bt FULL OUTER JOIN ct ON bt.doc_id = ct.doc_id
+"""
+
+
 def q_doc_keywords(sf_dir):
     """Per-document top-3 TF-IDF keywords — a pure COMPOSITION of
     existing operators: token explode → (doc, term) tf counts → term df
@@ -6249,6 +6343,7 @@ QUERIES = {
     "ewma_user_value": q_ewma_user_value,
     "url_normalize": q_url_normalize,
     "kcenter_embeddings": q_kcenter_embeddings,
+    "hybrid_search": q_hybrid_search,
 }
 
 ORACLE_SQL = {
@@ -6398,4 +6493,5 @@ ORACLE_SQL = {
     "term_df_spectrum": SQL_TERM_DF_SPECTRUM,
     "ewma_user_value": SQL_EWMA_USER_VALUE,
     "url_normalize": SQL_URL_NORMALIZE,
+    "hybrid_search": SQL_HYBRID_SEARCH,
 }

@@ -297,3 +297,39 @@ def term_df_spectrum(ds, text_col: str = "text", *, num_buckets: int = 64):
 
 
 __all__.append("term_df_spectrum")
+
+
+def rrf_fuse(channels, *, id_col: str = "doc_id", score_col: str = "score",
+             k: int = 50, k0: int = 60, out_col: str = "rrf"):
+    """Reciprocal-rank fusion of retrieval channels (Cormack et al.
+    2009): ``rrf(d) = Σ_c 1/(k0 + rank_c(d))`` over the channels where
+    the doc appears in the top-``k``.
+
+    Each channel is a Dataset of ``(id_col, score_col)`` rows — e.g.
+    :func:`bm25_score` and a cosine-similarity pass — cut to its top-k
+    by (score desc, id asc).  The per-channel SCORING stays distributed;
+    the rank lists themselves are model-sized (k ≤ ~1000 per channel),
+    so the cut is a Dataset sort+limit and the fuse is driver-side over
+    ≤ len(channels)·k rows — never the corpus.  For cross-engine
+    reproducible ranks, round channel scores to a fixed grid upstream
+    (ties then break on the id).  Terms add in channel order; ranks are
+    1-based.  Returns a pandas DataFrame ``(id_col, out_col)``.
+    """
+    ranked = []
+    for i, ch in enumerate(channels):
+        top = (ch.sort([score_col, id_col], descending=[True, False])
+               .limit(k).to_pandas())
+        top[f"_r{i}"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        ranked.append(top[[id_col, f"_r{i}"]])
+    merged = ranked[0]
+    for nxt in ranked[1:]:
+        merged = merged.merge(nxt, on=id_col, how="outer")
+    rrf = np.zeros(len(merged), dtype=np.float64)
+    for i in range(len(ranked)):
+        r = merged[f"_r{i}"].to_numpy(dtype=np.float64)
+        rrf = rrf + np.where(np.isnan(r), 0.0, 1.0 / (float(k0) + r))
+    return pd.DataFrame({id_col: merged[id_col],
+                         out_col: np.round(rrf, 6)})
+
+
+__all__.append("rrf_fuse")

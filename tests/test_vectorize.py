@@ -301,3 +301,27 @@ def test_term_df_spectrum_multiblock_partials(ray_session):
     ).to_pandas()
     key = lambda d: sorted(map(tuple, d[["df", "n_terms"]].to_numpy()))
     assert key(one) == key(many)
+
+
+def test_rrf_fuse_ranks_ties_and_missing_channels(ray_session):
+    import ray as _r
+    from featureextraction_jl_ray.stages.vectorize import rrf_fuse
+
+    # channel A: doc 3 best, then tie (2, 5) broken by id, then 9
+    a = pa.table({"doc_id": [2, 3, 5, 9],
+                  "score": [0.5, 0.9, 0.5, 0.1]})
+    # channel B: doc 5 best; docs 3/9 absent; doc 7 only here
+    b = pa.table({"doc_id": [5, 2, 7],
+                  "score": [0.8, 0.4, 0.2]})
+    out = rrf_fuse([_r.data.from_arrow(a), _r.data.from_arrow(b)],
+                   id_col="doc_id", k=3, k0=60)
+    got = dict(zip(out["doc_id"], out["rrf"]))
+    # k=3 cuts channel A to ranks: 3→1, 2→2 (tie with 5, smaller id), 5→3
+    # channel B ranks: 5→1, 2→2, 7→3; doc 9 cut everywhere
+    assert got == {
+        3: round(1 / 61, 6),
+        2: round(1 / 62 + 1 / 62, 6),
+        5: round(1 / 63 + 1 / 61, 6),
+        7: round(1 / 63, 6),
+    }
+    assert 9 not in got
