@@ -5970,6 +5970,77 @@ FROM documents
 """
 
 
+def q_gopher_quality(sf_dir):
+    """The canonical Gopher document-quality rules (Rae 2021 A1.1) as
+    per-doc signals + pass flag.  The corpus is single-line prose, so
+    the gate injects line structure via MIRRORED replaces (bullet-start
+    lines via ' line ', ellipsis-end lines via ' fast ') to exercise the
+    line-based rules; min_words=30 / min_stop_hits=1 sit inside the
+    corpus distribution so the flag splits.  Every ratio is an int/int
+    division written identically on both sides — bit-exact, NO rounding
+    grid (see stages/text.py::GopherQuality)."""
+    from .stages.text import with_gopher_quality
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column("text"), "")
+        t = pc.replace_substring(t, " line ", "\n- line ")
+        t = pc.replace_substring(t, " fast ", " fast...\n ")
+        return b.set_column(b.schema.get_field_index("text"), "text", t)
+
+    out = with_gopher_quality(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        min_words=30, min_stop_hits=1)
+    return out.select_columns(
+        ["doc_id", "n_words", "mean_wlen", "symbol_ratio", "bullet_frac",
+         "ellipsis_frac", "alpha_word_frac", "stop_hits", "gopher_pass"])
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH d AS (
+  SELECT doc_id,
+         replace(replace(coalesce(text, ''), ' line ', chr(10) || '- line '),
+                 ' fast ', ' fast...' || chr(10) || ' ') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t, '\S+')) AS n_words,
+    len(regexp_extract_all(t, '\S')) AS n_wchars,
+    len(regexp_extract_all(t, '#|\.\.\.|…')) AS n_sym,
+    len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]')) AS n_bullet,
+    len(regexp_extract_all(t, '(?m)(\.\.\.|…)$')) AS n_ellip,
+    len(regexp_extract_all(t, '[^\s]*[A-Za-zÀ-ÿ][^\s]*')) AS n_alpha,
+    len(regexp_extract_all(lower(t),
+        '\b(the|be|to|of|and|that|have|with)\b')) AS stop_hits,
+    len(t) - len(replace(t, chr(10), '')) + 1 AS n_lines
+  FROM d
+)
+SELECT doc_id, n_words,
+  CASE WHEN n_words > 0 THEN CAST(n_wchars AS DOUBLE) / n_words END
+    AS mean_wlen,
+  CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words END
+    AS symbol_ratio,
+  CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+  CAST(n_ellip AS DOUBLE) / n_lines AS ellipsis_frac,
+  CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words END
+    AS alpha_word_frac,
+  stop_hits,
+  CASE WHEN n_words > 0 THEN
+    (n_words >= 30 AND n_words <= 100000
+     AND CAST(n_wchars AS DOUBLE) / n_words >= 3.0
+     AND CAST(n_wchars AS DOUBLE) / n_words <= 10.0
+     AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
+     AND CAST(n_bullet AS DOUBLE) / n_lines <= 0.9
+     AND CAST(n_ellip AS DOUBLE) / n_lines <= 0.3
+     AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+     AND stop_hits >= 1)
+  ELSE FALSE END AS gopher_pass
+FROM c
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -6344,6 +6415,7 @@ QUERIES = {
     "url_normalize": q_url_normalize,
     "kcenter_embeddings": q_kcenter_embeddings,
     "hybrid_search": q_hybrid_search,
+    "gopher_quality": q_gopher_quality,
 }
 
 ORACLE_SQL = {
@@ -6494,4 +6566,5 @@ ORACLE_SQL = {
     "ewma_user_value": SQL_EWMA_USER_VALUE,
     "url_normalize": SQL_URL_NORMALIZE,
     "hybrid_search": SQL_HYBRID_SEARCH,
+    "gopher_quality": SQL_GOPHER_QUALITY,
 }

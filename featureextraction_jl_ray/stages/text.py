@@ -50,6 +50,8 @@ __all__ = [
     "char_entropy",
     "with_char_entropy",
     "split_ws_tokens",
+    "GopherQuality",
+    "with_gopher_quality",
 ]
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -631,6 +633,106 @@ class CharEntropy:
 
 
 with_char_entropy = _actor_stage(CharEntropy)
+
+
+class GopherQuality:
+    """The canonical Gopher document-quality rules (Rae et al. 2021,
+    Appendix A1.1) as per-document signals + a single ``gopher_pass``
+    flag.  All seven signals are Arrow RE2/count kernels — block-local,
+    zero exchange, zero per-row Python — and every ratio is an
+    int-count / int-count division, so a SQL oracle computing the same
+    counts reproduces the floats BIT-identically (no rounding grid):
+
+      - ``n_words``          whitespace tokens (``\\S+``), bounds
+        [min_words, max_words]
+      - ``mean_wlen``        non-whitespace chars / words, bounds [3, 10]
+      - ``symbol_ratio``     '#'/ellipsis occurrences / words, ≤ 0.1
+      - ``bullet_frac``      lines starting with a bullet, ≤ 0.9
+      - ``ellipsis_frac``    lines ending with an ellipsis, ≤ 0.3
+      - ``alpha_word_frac``  words containing ≥1 alphabetic char, ≥ 0.8
+      - ``stop_hits``        hits of the 8-word Gopher stop list, ≥ 2
+
+    Zero-word documents emit null ratios and fail the flag.
+    """
+
+    _STOP_RE = r"\b(the|be|to|of|and|that|have|with)\b"
+
+    def __init__(self, text_col: str = "text", *, min_words: int = 50,
+                 max_words: int = 100_000, min_mean_wlen: float = 3.0,
+                 max_mean_wlen: float = 10.0, max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8, min_stop_hits: int = 2):
+        self._text_col = text_col
+        self._t = dict(min_words=min_words, max_words=max_words,
+                       min_mean_wlen=min_mean_wlen,
+                       max_mean_wlen=max_mean_wlen,
+                       max_symbol_ratio=max_symbol_ratio,
+                       max_bullet_frac=max_bullet_frac,
+                       max_ellipsis_frac=max_ellipsis_frac,
+                       min_alpha_word_frac=min_alpha_word_frac,
+                       min_stop_hits=min_stop_hits)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column(self._text_col), "")
+        cnt = pc.count_substring_regex
+        n_words = cnt(t, r"\S+").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_wchars = cnt(t, r"\S").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_sym = cnt(t, r"#|\.\.\.|…").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_bullet = cnt(t, r"(?m)^[ \t]*[-*•]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_ellip = cnt(t, r"(?m)(\.\.\.|…)$").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_alpha_w = cnt(t, r"[^\s]*[A-Za-zÀ-ÿ][^\s]*").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        stop_hits = cnt(pc.utf8_lower(t), self._STOP_RE).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_lines = pc.add(pc.count_substring(t, "\n"), 1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nw = n_words.astype(np.float64)
+            mean_wlen = np.where(n_words > 0, n_wchars / nw, np.nan)
+            symbol_ratio = np.where(n_words > 0, n_sym / nw, np.nan)
+            alpha_frac = np.where(n_words > 0, n_alpha_w / nw, np.nan)
+            bullet_frac = n_bullet / n_lines.astype(np.float64)  # ≥1 line
+            ellipsis_frac = n_ellip / n_lines.astype(np.float64)
+        c = self._t
+        gpass = (
+            (n_words >= c["min_words"]) & (n_words <= c["max_words"])
+            & (mean_wlen >= c["min_mean_wlen"])
+            & (mean_wlen <= c["max_mean_wlen"])
+            & (symbol_ratio <= c["max_symbol_ratio"])
+            & (bullet_frac <= c["max_bullet_frac"])
+            & (ellipsis_frac <= c["max_ellipsis_frac"])
+            & (alpha_frac >= c["min_alpha_word_frac"])
+            & (stop_hits >= c["min_stop_hits"])
+        )
+        gpass = np.where(n_words > 0, gpass, False).astype(bool)
+        out = batch
+        for name, arr in [
+            ("n_words", pa.array(n_words)),
+            ("mean_wlen", pa.array(mean_wlen)),
+            ("symbol_ratio", pa.array(symbol_ratio)),
+            ("bullet_frac", pa.array(bullet_frac)),
+            ("ellipsis_frac", pa.array(ellipsis_frac)),
+            ("alpha_word_frac", pa.array(alpha_frac)),
+            ("stop_hits", pa.array(stop_hits)),
+            ("gopher_pass", pa.array(gpass)),
+        ]:
+            if name in out.column_names:
+                out = out.set_column(out.schema.get_field_index(name),
+                                     name, arr)
+            else:
+                out = out.append_column(name, arr)
+        return out
+
+
+def with_gopher_quality(ds, text_col: str = "text", **thresholds):
+    """Attach the Gopher quality signals + pass flag (see
+    :class:`GopherQuality`); compose with ``ds.filter`` on
+    ``gopher_pass`` for the canonical drop."""
+    return ds.map_batches(GopherQuality(text_col, **thresholds),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
 
 class RepetitionStats:

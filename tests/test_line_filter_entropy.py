@@ -299,3 +299,48 @@ def test_c4_clean_pipeline_empty_input(ray_session):
         "doc_id": pa.array([], type=pa.int64()),
         "text": pa.array([], type=pa.string())}))
     assert run_c4_clean(ds, num_buckets=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# GopherQuality — one planted failure per rule
+# ---------------------------------------------------------------------------
+
+def test_gopher_quality_planted_rules():
+    from featureextraction_jl_ray.stages.text import GopherQuality
+
+    good = ("the quick brown fox jumps over the lazy dog and runs away "
+            "with all of that energy to spare every single day") * 1
+    docs = {
+        "good": good,                                   # passes everything
+        "too_short": "the cat sat with joy",            # < min_words
+        "symbols": good + " " + "# # # # # # # # # # # # # # #",
+        "bullets": "\n".join("- the item of note" for _ in range(10)),
+        "ellipsis": "\n".join("the story trails of..." for _ in range(10)),
+        "nonalpha": good + " " + " ".join(["123"] * 80),  # alpha frac < 0.8
+        "no_stop": " ".join(["lorem"] * 60),              # 0 stop hits
+        "long_words": " ".join(["antidisestablishmentarian"] * 60),
+        "empty": "",
+    }
+    t = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    out = GopherQuality("text", min_words=20, min_stop_hits=2)(t)
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("gopher_pass").to_pylist()))
+    assert got["good"] is True
+    for k in docs:
+        if k != "good":
+            assert got[k] is False, k
+    # null ratios + False on the empty doc
+    row = out.to_pandas().set_index("doc_id").loc["empty"]
+    assert np.isnan(row["mean_wlen"]) and row["n_words"] == 0
+
+
+def test_gopher_quality_signal_values():
+    from featureextraction_jl_ray.stages.text import GopherQuality
+
+    t = pa.table({"text": ["the cat... sat\n- on the mat..."]})
+    out = GopherQuality("text")(t).to_pandas().iloc[0]
+    assert out["n_words"] == 7            # the cat... sat - on the mat...
+    assert out["stop_hits"] == 2          # 'the' twice; 'on' not in the list
+    assert out["bullet_frac"] == 0.5      # 1 of 2 lines starts with '-'
+    assert out["ellipsis_frac"] == 0.5    # second line ends with ...
+    assert out["symbol_ratio"] == 2 / 7
