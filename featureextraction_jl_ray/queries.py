@@ -6041,6 +6041,63 @@ FROM c
 """
 
 
+def q_script_profile(sf_dir):
+    """Unicode-script mix per document (multilingual routing / mixed-
+    script spam signal): per-script letter fractions + first-max
+    dominant script.  The corpus is Latin-only, so the gate injects
+    Cyrillic/Han/Greek words via MIRRORED replaces; fractions are
+    int/int divisions and the dominant pick is integer comparison —
+    bit-exact, no grid (stages/text.py::ScriptProfile)."""
+    from .stages.text import with_script_profile
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = pc.fill_null(b.column("text"), "")
+        t = pc.replace_substring(t, " table ", " таблица ")
+        t = pc.replace_substring(t, " join ", " 加入 ")
+        t = pc.replace_substring(t, " scan ", " σάρωση ")
+        return b.set_column(b.schema.get_field_index("text"), "text", t)
+
+    out = with_script_profile(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        scripts=("Latin", "Cyrillic", "Han", "Greek"))
+    return out.select_columns(
+        ["doc_id", "n_letters", "latin_frac", "cyrillic_frac", "han_frac",
+         "greek_frac", "dominant_script"])
+
+
+SQL_SCRIPT_PROFILE = r"""
+WITH d AS (
+  SELECT doc_id,
+         replace(replace(replace(coalesce(text, ''),
+           ' table ', ' таблица '), ' join ', ' 加入 '),
+           ' scan ', ' σάρωση ') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t, '\p{L}')) AS n_letters,
+    len(regexp_extract_all(t, '\p{Latin}')) AS c0,
+    len(regexp_extract_all(t, '\p{Cyrillic}')) AS c1,
+    len(regexp_extract_all(t, '\p{Han}')) AS c2,
+    len(regexp_extract_all(t, '\p{Greek}')) AS c3
+  FROM d
+)
+SELECT doc_id, n_letters,
+  CASE WHEN n_letters > 0 THEN CAST(c0 AS DOUBLE) / n_letters END AS latin_frac,
+  CASE WHEN n_letters > 0 THEN CAST(c1 AS DOUBLE) / n_letters END AS cyrillic_frac,
+  CASE WHEN n_letters > 0 THEN CAST(c2 AS DOUBLE) / n_letters END AS han_frac,
+  CASE WHEN n_letters > 0 THEN CAST(c3 AS DOUBLE) / n_letters END AS greek_frac,
+  CASE WHEN greatest(c0, c1, c2, c3) = 0 THEN 'other'
+       WHEN c0 = greatest(c0, c1, c2, c3) THEN 'Latin'
+       WHEN c1 = greatest(c0, c1, c2, c3) THEN 'Cyrillic'
+       WHEN c2 = greatest(c0, c1, c2, c3) THEN 'Han'
+       ELSE 'Greek' END AS dominant_script
+FROM c
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -6416,6 +6473,7 @@ QUERIES = {
     "kcenter_embeddings": q_kcenter_embeddings,
     "hybrid_search": q_hybrid_search,
     "gopher_quality": q_gopher_quality,
+    "script_profile": q_script_profile,
 }
 
 ORACLE_SQL = {
@@ -6567,4 +6625,5 @@ ORACLE_SQL = {
     "url_normalize": SQL_URL_NORMALIZE,
     "hybrid_search": SQL_HYBRID_SEARCH,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "script_profile": SQL_SCRIPT_PROFILE,
 }

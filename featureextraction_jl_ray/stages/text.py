@@ -52,6 +52,8 @@ __all__ = [
     "split_ws_tokens",
     "GopherQuality",
     "with_gopher_quality",
+    "ScriptProfile",
+    "with_script_profile",
 ]
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -732,6 +734,60 @@ def with_gopher_quality(ds, text_col: str = "text", **thresholds):
     :class:`GopherQuality`); compose with ``ds.filter`` on
     ``gopher_pass`` for the canonical drop."""
     return ds.map_batches(GopherQuality(text_col, **thresholds),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+class ScriptProfile:
+    """Unicode-script mix per document — the multilingual-corpus routing
+    signal (which LM/tokenizer lane does this doc belong to, is it a
+    mixed-script spam page?).  For each script in ``scripts``: the
+    fraction of the document's LETTER codepoints (``\\p{L}``) in that
+    script (``<script>_frac``, lowercased column name), plus
+    ``n_letters`` and ``dominant_script`` (first max in list order;
+    ``'other'`` when no listed script matches or there are no letters).
+
+    One RE2 count kernel per script, block-local, zero exchange.  Every
+    fraction is an int/int division and the dominant pick is integer
+    comparison — a SQL oracle mirrors both bit-exactly.
+    """
+
+    DEFAULT_SCRIPTS = ("Latin", "Cyrillic", "Han", "Arabic", "Greek",
+                       "Hebrew", "Devanagari", "Hangul", "Hiragana",
+                       "Katakana")
+
+    def __init__(self, text_col: str = "text",
+                 scripts: tuple[str, ...] = DEFAULT_SCRIPTS):
+        self._text_col = text_col
+        self._scripts = tuple(scripts)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column(self._text_col), "")
+        n_letters = pc.count_substring_regex(t, r"\p{L}").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = np.stack([
+            pc.count_substring_regex(t, r"\p{%s}" % s).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            for s in self._scripts
+        ])  # (k, n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fracs = np.where(n_letters > 0,
+                             counts / n_letters.astype(np.float64), np.nan)
+        m = counts.max(axis=0)
+        first_max = counts.argmax(axis=0)  # numpy argmax = first max
+        names = np.array(list(self._scripts) + ["other"], dtype=object)
+        dom = names[np.where(m > 0, first_max, len(self._scripts))]
+        out = batch.append_column("n_letters", pa.array(n_letters))
+        for i, s in enumerate(self._scripts):
+            out = out.append_column(f"{s.lower()}_frac", pa.array(fracs[i]))
+        return out.append_column("dominant_script",
+                                 pa.array(dom, pa.string()))
+
+
+def with_script_profile(ds, text_col: str = "text",
+                        scripts: tuple[str, ...] = ScriptProfile.DEFAULT_SCRIPTS):
+    """Attach per-script letter fractions + the dominant script (see
+    :class:`ScriptProfile`)."""
+    return ds.map_batches(ScriptProfile(text_col, scripts),
                           batch_format="pyarrow", zero_copy_batch=True)
 
 

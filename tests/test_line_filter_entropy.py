@@ -344,3 +344,22 @@ def test_gopher_quality_signal_values():
     assert out["bullet_frac"] == 0.5      # 1 of 2 lines starts with '-'
     assert out["ellipsis_frac"] == 0.5    # second line ends with ...
     assert out["symbol_ratio"] == 2 / 7
+
+
+def test_script_profile_mixed_and_dominant():
+    from featureextraction_jl_ray.stages.text import ScriptProfile
+
+    t = pa.table({"text": [
+        "Hello Привет 你好 γειά",   # mixed, Cyrillic max (6 letters)
+        "12345 !!!",                # no letters
+        "αβγ abc",                  # tie 3-3 → first in list order (Latin)
+        None,                       # null → treated as ""
+    ]})
+    out = ScriptProfile("text", ("Latin", "Cyrillic", "Han", "Greek"))(t)
+    df = out.to_pandas()
+    assert list(df["dominant_script"]) == ["Cyrillic", "other", "Latin",
+                                           "other"]
+    r = df.iloc[0]
+    assert r["n_letters"] == 5 + 6 + 2 + 4
+    assert r["cyrillic_frac"] == 6 / 17
+    assert np.isnan(df.iloc[1]["latin_frac"])
