@@ -6098,6 +6098,196 @@ FROM c
 """
 
 
+_WEB_MIRROR_TEXT = ("the shared mirror body text repeats across hosts "
+                    "with enough words to pass the gate today")
+
+
+def q_web_curation(sf_dir):
+    """COMPOSED web-crawl curation funnel, oracled END-TO-END by one
+    chained SQL: HTML extraction → unicode normalize → Gopher quality
+    gate → URL canonicalize → per-URL dedup → corpus text dedup.  The
+    gate derives (html, url) per document via MIRRORED construction:
+    the html_extract wrapper/replaces; URLs where docs i and i+250
+    share one canonical URL (same parity → same scheme/port, same
+    host/path mod) but differ in raw tracking params/fragments; and a
+    planted constant body on doc_id%11 rows so cross-host mirror pages
+    collapse in the final text dedup.  Stage ORDER is locked: quality
+    gates EXTRACTED text, URL dedup keeps the smallest id among QUALITY
+    SURVIVORS (dedup-before-quality would let a failing re-crawl shadow
+    a passing one), text dedup runs last."""
+    from .pipelines.webcuration import run_web_curation
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        raw = pd.Series(
+            pc.fill_null(b.column("text"), "").to_numpy(zero_copy_only=False))
+        t = pa.array(np.where(d % 11 == 0, _WEB_MIRROR_TEXT, raw),
+                     pa.string())
+        t = pc.replace_substring(
+            t, " table ",
+            '.</p><script type="text/javascript">var i = 0;</script><p>')
+        t = pc.replace_substring(t, " row ", ".</li><li>")
+        t = pc.replace_substring(t, " data ", " &amp; <b>data</b> ")
+        html = pc.binary_join_element_wise(
+            pa.array(["<html><head><title>T</title><style>body { font: 10px }"
+                      "</style></head><body><!-- gen --><nav>- | - | -</nav>"
+                      "<ul><li>"] * len(b)),
+            t,
+            pa.array(["</li></ul><div>Footer &copy; 2026 All rights reserved"
+                      "</div></body></html>"] * len(b)),
+            "")
+        pid = (d % 250).astype(str)
+        scheme = np.where(d % 2 == 0, "HTTP", "https")
+        port = np.where(d % 2 == 0, ":80", ":443")
+        host = "www.Site" + pd.Series((d % 5).astype(str)) + ".COM"
+        path = "/Docs/" + pd.Series(pid) + np.where(d % 5 == 0, "/", "")
+        query = np.select(
+            [d % 3 == 0, d % 3 == 1],
+            ["?utm_source=feed&id=" + pd.Series(pid),
+             "?id=" + pd.Series(pid) + "&utm_campaign=x"],
+            "?id=" + pd.Series(pid))
+        frag = np.where(d % 7 == 0, "#Frag", "")
+        url = (pd.Series(scheme) + "://" + host + pd.Series(port) + path
+               + pd.Series(query) + pd.Series(frag))
+        return pa.table({"doc_id": b.column("doc_id"), "html": html,
+                         "url": pa.array(url, pa.string())})
+
+    cur = run_web_curation(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        min_words=10, min_stop_hits=1, num_buckets=8)
+    return cur.select_columns(
+        ["doc_id", "url_norm", "host", "text", "n_words"])
+
+
+SQL_WEB_CURATION = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>T</title><style>body { font: 10px }</style>'
+         || '</head><body><!-- gen --><nav>- | - | -</nav><ul><li>'
+         || replace(replace(replace(
+              CASE WHEN doc_id % 11 = 0
+                   THEN 'the shared mirror body text repeats across hosts '
+                        || 'with enough words to pass the gate today'
+                   ELSE coalesce(text, '') END,
+              ' table ',
+              '.</p><script type="text/javascript">var i = 0;</script><p>'),
+              ' row ', '.</li><li>'),
+              ' data ', ' &amp; <b>data</b> ')
+         || '</li></ul><div>Footer &copy; 2026 All rights reserved'
+         || '</div></body></html>' AS html,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://www.Site' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         || '/Docs/' || CAST(doc_id % 250 AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN '?utm_source=feed&id=' || CAST(doc_id % 250 AS VARCHAR)
+                  WHEN doc_id % 3 = 1
+                  THEN '?id=' || CAST(doc_id % 250 AS VARCHAR)
+                       || '&utm_campaign=x'
+                  ELSE '?id=' || CAST(doc_id % 250 AS VARCHAR) END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END) AS url
+  FROM documents),
+s AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(regexp_replace(html,
+           '(?s)<!--.*?-->', '', 'g'),
+           '(?is)<script[^>]*>.*?</script>', '', 'g'),
+           '(?is)<style[^>]*>.*?</style>', '', 'g') AS t1
+  FROM h),
+b AS (
+  SELECT doc_id, url,
+         regexp_replace(t1,
+           '(?i)<br[^>]*>|</p>|</div>|</h1>|</h2>|</h3>|</h4>|</h5>|</h6>'
+           || '|</li>|</tr>|</ul>|</ol>|</table>|</section>|</article>'
+           || '|</header>|</footer>|</nav>|</blockquote>|</pre>|</title>',
+           chr(10), 'g') AS t2
+  FROM s),
+c AS (
+  SELECT doc_id, url, regexp_replace(t2, '(?s)<[^>]*>', '', 'g') AS t3
+  FROM b),
+e AS (
+  SELECT doc_id, url,
+         replace(replace(replace(replace(replace(replace(t3,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&amp;', '&') AS t4
+  FROM c),
+f AS (
+  SELECT doc_id, url,
+         array_to_string(list_filter(
+           list_transform(string_split(t4, chr(10)),
+                          l -> trim(l, ' ' || chr(9) || chr(13))),
+           l -> len(regexp_extract_all(l, '\S+')) >= 2
+                AND len(l) > 0
+                AND CAST(len(regexp_extract_all(l, '[A-Za-z0-9]')) AS DOUBLE)
+                    / len(l) >= 0.5), chr(10)) AS tx
+  FROM e),
+nrm AS (
+  SELECT doc_id, url,
+         trim(regexp_replace(regexp_replace(nfc_normalize(tx),
+           '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+           '\s+', ' ', 'g')) AS txt
+  FROM f),
+gq AS (
+  SELECT doc_id, url, txt,
+    len(regexp_extract_all(txt, '\S+')) AS n_words,
+    len(regexp_extract_all(txt, '\S')) AS n_wchars,
+    len(regexp_extract_all(txt, '#|\.\.\.|…')) AS n_sym,
+    len(regexp_extract_all(txt, '(?m)^[ \t]*[-*•]')) AS n_bullet,
+    len(regexp_extract_all(txt, '(?m)(\.\.\.|…)$')) AS n_ellip,
+    len(regexp_extract_all(txt, '[^\s]*[A-Za-zÀ-ÿ][^\s]*')) AS n_alpha,
+    len(regexp_extract_all(lower(txt),
+        '\b(the|be|to|of|and|that|have|with)\b')) AS stop_hits,
+    len(txt) - len(replace(txt, chr(10), '')) + 1 AS n_lines
+  FROM nrm),
+surv AS (
+  SELECT doc_id, url, txt, n_words FROM gq
+  WHERE n_words > 0
+    AND n_words >= 10 AND n_words <= 100000
+    AND CAST(n_wchars AS DOUBLE) / n_words >= 3.0
+    AND CAST(n_wchars AS DOUBLE) / n_words <= 10.0
+    AND CAST(n_sym AS DOUBLE) / n_words <= 0.1
+    AND CAST(n_bullet AS DOUBLE) / n_lines <= 0.9
+    AND CAST(n_ellip AS DOUBLE) / n_lines <= 0.3
+    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+    AND stop_hits >= 1),
+s1u AS (
+  SELECT doc_id, txt, n_words, regexp_replace(url, '#.*$', '') AS v
+  FROM surv),
+spu AS (
+  SELECT doc_id, txt, n_words, v,
+    lower(regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([\s\S]*)$', 1)) AS sch,
+    lower(regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([\s\S]*)$', 2)) AS hst0,
+    regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([\s\S]*)$', 3) AS rest0
+  FROM s1u),
+p2u AS (
+  SELECT doc_id, txt, n_words, sch,
+    CASE WHEN sch = 'http'  THEN regexp_replace(hst0, ':80$', '')
+         WHEN sch = 'https' THEN regexp_replace(hst0, ':443$', '')
+         ELSE hst0 END AS host,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(rest0, '(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*&', '', 'g'),
+      '[?&](utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*$', ''),
+      '\?$', ''), '/+\?', '?'), '/+$', '') AS rest
+  FROM spu),
+canon AS (
+  SELECT doc_id, txt, n_words, host,
+         sch || '://' || host || rest AS url_norm
+  FROM p2u),
+u1 AS (
+  SELECT * FROM canon
+  QUALIFY row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1),
+t1 AS (
+  SELECT * FROM u1
+  QUALIFY row_number() OVER (PARTITION BY txt ORDER BY doc_id) = 1)
+SELECT doc_id, url_norm, host, txt AS text, CAST(n_words AS BIGINT) AS n_words
+FROM t1
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -6474,6 +6664,7 @@ QUERIES = {
     "hybrid_search": q_hybrid_search,
     "gopher_quality": q_gopher_quality,
     "script_profile": q_script_profile,
+    "web_curation": q_web_curation,
 }
 
 ORACLE_SQL = {
@@ -6626,4 +6817,5 @@ ORACLE_SQL = {
     "hybrid_search": SQL_HYBRID_SEARCH,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "script_profile": SQL_SCRIPT_PROFILE,
+    "web_curation": SQL_WEB_CURATION,
 }
