@@ -6288,6 +6288,67 @@ FROM t1
 """
 
 
+def q_snapshot_diff(sf_dir):
+    """Snapshot diff (table-version delta / CDC): rows added, removed or
+    changed between two versions of the orders table, derived via
+    MIRRORED filters/mutations (old drops key%11=3 → 'added'; new drops
+    key%13=5 → 'removed'; new bumps price on key%7=0 → 'changed';
+    everything else is equal and MUST be dropped).  One blob-packed
+    tagged-union exchange on the key hash; per-bucket outer merge +
+    null-safe compares; output bounded by the delta
+    (stages/diff.py::snapshot_diff)."""
+    from .stages.diff import snapshot_diff
+
+    base = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_totalprice"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey")
+        keep = pc.not_equal(
+            pc.subtract(k, pc.multiply(pc.divide(k, 11), 11)), 3)
+        return t.filter(keep)
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey")
+        keep = pc.not_equal(
+            pc.subtract(k, pc.multiply(pc.divide(k, 13), 13)), 5)
+        t = t.filter(keep)
+        k = t.column("o_orderkey")
+        bump = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 7), 7)), 0)
+        price = pc.if_else(bump, pc.add(t.column("o_totalprice"), 1.5),
+                           t.column("o_totalprice"))
+        return t.set_column(t.schema.get_field_index("o_totalprice"),
+                            "o_totalprice", price)
+
+    old = base.map_batches(mk_old, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    new = base.map_batches(mk_new, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return snapshot_diff(old, new, "o_orderkey",
+                         compare_cols="o_totalprice", num_buckets=16)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH v_old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 3
+), v_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 5
+)
+SELECT coalesce(v_old.o_orderkey, v_new.o_orderkey) AS o_orderkey,
+       CASE WHEN v_old.o_orderkey IS NULL THEN 'added'
+            WHEN v_new.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       v_old.o_totalprice AS old_o_totalprice,
+       v_new.o_totalprice AS new_o_totalprice
+FROM v_old FULL OUTER JOIN v_new ON v_old.o_orderkey = v_new.o_orderkey
+WHERE v_old.o_orderkey IS NULL OR v_new.o_orderkey IS NULL
+   OR v_old.o_totalprice IS DISTINCT FROM v_new.o_totalprice
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -6665,6 +6726,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "script_profile": q_script_profile,
     "web_curation": q_web_curation,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -6818,4 +6880,5 @@ ORACLE_SQL = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "script_profile": SQL_SCRIPT_PROFILE,
     "web_curation": SQL_WEB_CURATION,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
 }
