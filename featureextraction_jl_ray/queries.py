@@ -1886,6 +1886,60 @@ FROM s
 """
 
 
+def q_survival_labels(sf_dir):
+    """Survival / time-to-event labels (churn & next-purchase models):
+    per event, seconds until the user's NEXT strictly-later 'purchase'
+    event right-censored at a 7-day horizon (tte_s = Δ & observed = 1
+    within horizon, else exactly 604800.0 & 0 — never null, directly
+    consumable by a Cox/AFT fit), plus the backward recency feature
+    since_s (seconds since the last strictly-earlier purchase; null
+    before the first — "never purchased" ≠ "purchased just now").
+    Strictly-later is ROW order (ts, event_id), so a purchase row looks
+    forward to the NEXT purchase, never at itself — the label cannot
+    leak its own outcome.  One bucketed exchange; forward pass is a
+    reversed cython groupby.cummin (stages/window.py::
+    with_time_to_event).  BIT-exact vs the oracle, no rounding grid:
+    both sides divide the exact integer-µs delta by 1e6 in float64."""
+    from .stages.window import with_time_to_event
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_purchase", pc.equal(t["event_type"], "purchase"))
+
+    ds = _events(sf_dir).map_batches(mark, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    ds = with_time_to_event(ds, "user_id", "ts", "is_purchase",
+                            horizon="7d", num_buckets=32,
+                            tiebreak_cols=("event_id",))
+    return ds.select_columns(["event_id", "tte_s", "observed", "since_s"])
+
+
+SQL_SURVIVAL_LABELS = """
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN ts END AS tts
+  FROM events
+), w AS (
+  SELECT event_id, ts,
+    MIN(tts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt,
+    MAX(tts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prv
+  FROM base
+)
+SELECT event_id,
+  CASE WHEN nxt IS NOT NULL
+        AND date_diff('microsecond', ts, nxt) <= 604800000000
+       THEN date_diff('microsecond', ts, nxt) / 1000000.0
+       ELSE 604800.0 END AS tte_s,
+  CASE WHEN nxt IS NOT NULL
+        AND date_diff('microsecond', ts, nxt) <= 604800000000
+       THEN 1 ELSE 0 END AS observed,
+  date_diff('microsecond', prv, ts) / 1000000.0 AS since_s
+FROM w
+"""
+
+
 def q_backfill(sf_dir):
     from .stages.window import with_backfill
 
@@ -6727,6 +6781,7 @@ QUERIES = {
     "script_profile": q_script_profile,
     "web_curation": q_web_curation,
     "snapshot_diff": q_snapshot_diff,
+    "survival_labels": q_survival_labels,
 }
 
 ORACLE_SQL = {
@@ -6881,4 +6936,5 @@ ORACLE_SQL = {
     "script_profile": SQL_SCRIPT_PROFILE,
     "web_curation": SQL_WEB_CURATION,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "survival_labels": SQL_SURVIVAL_LABELS,
 }

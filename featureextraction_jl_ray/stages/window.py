@@ -488,6 +488,87 @@ def with_ewma(
     )
 
 
+def with_time_to_event(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    target_col: str,
+    *,
+    horizon: str | pd.Timedelta | None = None,
+    tte_col: str = "tte_s",
+    observed_col: str = "observed",
+    since_col: str | None = "since_s",
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Survival / time-to-event labels per entity (churn, LTV, next-
+    purchase models): for every event, the seconds until the NEXT
+    strictly-later target event of the same entity, right-censored at
+    ``horizon``, plus the backward recency feature (seconds since the
+    most recent strictly-earlier target event).
+
+    ``target_col``: name of a BOOLEAN column marking target events
+    (compute it upstream — e.g. ``event_type == 'purchase'``).
+
+    Censoring semantics (standard survival encoding): with a horizon H,
+    ``tte_col`` = Δ and ``observed_col`` = 1 when a target falls within
+    H seconds, else ``tte_col`` = H and ``observed_col`` = 0 — never
+    null, directly consumable by a Cox / AFT fit.  With ``horizon=None``
+    the label is uncensored: Δ or null, ``observed_col`` = notnull.
+    ``since_col`` is null before the entity's first target (no silent 0
+    — "never purchased" ≠ "purchased just now"); pass None to skip it.
+
+    "Strictly later/earlier" is ROW order (ts, then tiebreaks), so a
+    target event's own row looks FORWARD to the next target, not at
+    itself — the label never leaks its own outcome.  One bucketed
+    exchange; inside a bucket the forward pass is a reversed cython
+    ``groupby.cummin`` and the backward pass a ``groupby.cummax`` —
+    no per-row Python.
+    """
+    horizon_us = (int(pd.Timedelta(horizon).value // 1000)
+                  if horizon is not None else None)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df[ts_col].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))  # µs since epoch, resolution-normalized
+        m = df[target_col].fillna(False).to_numpy(dtype=bool)
+        ent = df[entity_col]
+        # µs epochs (~1.7e15) are exact in float64 (< 2^53).  ±inf, not
+        # NaN, as the "no target" sentinel: groupby cummin/cummax leave
+        # NaN positions NaN instead of carrying the running extremum.
+        tt = pd.Series(np.where(m, t.astype(np.float64), np.inf),
+                       index=df.index)
+        g_rev = tt.iloc[::-1].groupby(ent.iloc[::-1], sort=False)
+        incl_next = g_rev.cummin().iloc[::-1]           # ≥ current row
+        nxt = incl_next.groupby(ent, sort=False).shift(-1)  # strictly after
+        delta = (nxt.to_numpy() - t) / 1e6
+        delta = np.where(np.isfinite(delta), delta, np.nan)
+        if horizon_us is not None:
+            h_s = horizon_us / 1e6
+            obs = np.where(np.isnan(delta), False, delta <= h_s)
+            df[tte_col] = np.where(obs, delta, h_s)
+            df[observed_col] = obs.astype(np.int64)
+        else:
+            df[tte_col] = delta
+            df[observed_col] = (~np.isnan(delta)).astype(np.int64)
+        if since_col is not None:
+            bt = pd.Series(np.where(m, t.astype(np.float64), -np.inf),
+                           index=df.index)
+            incl_prev = bt.groupby(ent, sort=False).cummax()
+            prv = incl_prev.groupby(ent, sort=False).shift(1)
+            since = (t - prv.to_numpy()) / 1e6
+            df[since_col] = np.where(np.isfinite(since), since, np.nan)
+        return df
+
+    return sorted_scan(
+        ds, entity_col, ts_col, fn, num_buckets=num_buckets,
+        tiebreak_cols=tiebreak_cols,
+    )
+
+
+__all__.append("with_time_to_event")
+
+
 def make_windows_frame_fn(
     entity_col: str,
     ts_col: str,

@@ -1067,3 +1067,112 @@ def test_ewma_empty_frame():
     got = _ewma_frame(df, "eid", "ts", "v", 3600e6, "m", "z", 2, 2.0)
     assert list(got.columns) == ["eid", "ts", "v", "m", "z"]
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------- tte
+
+
+def _tte_bruteforce(df, horizon_s=None):
+    """Pure-Python reference for with_time_to_event."""
+    out = []
+    for _, r in df.iterrows():
+        later = df[(df.user == r.user)
+                   & ((df.ts > r.ts)
+                      | ((df.ts == r.ts) & (df.eid > r.eid)))
+                   & df.is_t]
+        earlier = df[(df.user == r.user)
+                     & ((df.ts < r.ts)
+                        | ((df.ts == r.ts) & (df.eid < r.eid)))
+                     & df.is_t]
+        nxt = later.ts.min() if len(later) else None
+        prv = earlier.ts.max() if len(earlier) else None
+        d = (nxt - r.ts).total_seconds() if nxt is not None else None
+        if horizon_s is not None:
+            obs = int(d is not None and d <= horizon_s)
+            tte = d if obs else float(horizon_s)
+        else:
+            obs, tte = int(d is not None), d
+        out.append({
+            "eid": r.eid, "tte_s": tte, "observed": obs,
+            "since_s": ((r.ts - prv).total_seconds()
+                        if prv is not None else None),
+        })
+    return (pd.DataFrame(out).sort_values("eid", ignore_index=True)
+            .astype({"tte_s": "float64", "since_s": "float64"}))
+
+
+def _tte_run(df, **kw):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import with_time_to_event
+
+    got = with_time_to_event(
+        rd.from_pandas(df), "user", "ts", "is_t",
+        tiebreak_cols=("eid",), num_buckets=4, **kw,
+    ).to_pandas()
+    return (got[["eid", "tte_s", "observed", "since_s"]]
+            .sort_values("eid", ignore_index=True)
+            .astype({"tte_s": "float64", "since_s": "float64",
+                     "observed": "int64"}))
+
+
+def _tte_frame(seed=0, n=300, n_users=12):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "user": rng.integers(0, n_users, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.integers(0, 30 * 86400, n), unit="s"),
+        "is_t": rng.random(n) < 0.2,
+    })
+    # plant exact-tie timestamps to exercise the row-order tiebreak
+    df.loc[5, ["user", "ts"]] = df.loc[4, ["user", "ts"]]
+    return df
+
+
+def test_tte_matches_bruteforce_censored(ray_session):
+    df = _tte_frame()
+    got = _tte_run(df, horizon="3d")
+    want = _tte_bruteforce(df, horizon_s=3 * 86400)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # censored rows carry exactly the horizon and observed=0
+    cens = got[got.observed == 0]
+    assert len(cens) > 0 and (cens.tte_s == 3 * 86400.0).all()
+
+
+def test_tte_uncensored_nulls(ray_session):
+    df = _tte_frame(seed=1)
+    got = _tte_run(df, horizon=None)
+    want = _tte_bruteforce(df, horizon_s=None)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # after each user's last target, tte is null and observed 0
+    assert got.tte_s.isna().any()
+    assert (got.loc[got.tte_s.isna(), "observed"] == 0).all()
+
+
+def test_tte_target_row_looks_forward_not_at_itself(ray_session):
+    # single user, one target: the target row itself must be censored
+    df = pd.DataFrame({
+        "eid": np.arange(3, dtype=np.int64),
+        "user": np.zeros(3, dtype=np.int64),
+        "ts": pd.to_datetime([0, 100, 200], unit="s"),
+        "is_t": [False, True, False],
+    })
+    got = _tte_run(df, horizon="1d")
+    assert got.loc[got.eid == 0, "observed"].item() == 1
+    assert got.loc[got.eid == 0, "tte_s"].item() == 100.0
+    assert got.loc[got.eid == 1, "observed"].item() == 0   # no self-match
+    assert got.loc[got.eid == 1, "since_s"].isna().item()  # strictly earlier
+    assert got.loc[got.eid == 2, "since_s"].item() == 100.0
+
+
+def test_tte_never_target_entity(ray_session):
+    df = pd.DataFrame({
+        "eid": np.arange(4, dtype=np.int64),
+        "user": np.array([0, 0, 1, 1], dtype=np.int64),
+        "ts": pd.to_datetime([0, 10, 0, 10], unit="s"),
+        "is_t": [False, False, False, False],
+    })
+    got = _tte_run(df, horizon="1d")
+    assert (got.observed == 0).all()
+    assert (got.tte_s == 86400.0).all()
+    assert got.since_s.isna().all()
