@@ -6403,6 +6403,114 @@ WHERE v_old.o_orderkey IS NULL OR v_new.o_orderkey IS NULL
 """
 
 
+def q_anova_f(sf_dir):
+    """One-way ANOVA F of event value across event types — the numeric-
+    feature-vs-categorical-target selection screen (the χ² sibling for
+    numeric features).  Per-level (n, Σv, Σv²) partials combine inside
+    map_batches; the driver sees 5 level rows, never events.  Both
+    sides compute SSB/SSW from the same sufficient statistics and pin
+    to the 1e-6 grid (stages/profile.py::anova_f)."""
+    from .stages.profile import anova_f
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    out = anova_f(ds, "event_type", "value")
+    for c in ("f_stat", "eta_sq"):
+        out[c] = np.round(out[c], 6) + 0.0
+    return out
+
+
+SQL_ANOVA_F = """
+WITH g AS (
+  SELECT event_type, count(*) AS n_g, sum(value) AS s_g,
+         sum(value * value) AS ss_g
+  FROM events GROUP BY event_type
+), t AS (
+  SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s,
+         sum(ss_g) AS ss, sum(s_g * s_g / n_g) AS sg2
+  FROM g
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+  ROUND(((sg2 - s * s / n) / (k - 1)) / ((ss - sg2) / (n - k)), 6) + 0.0
+    AS f_stat,
+  ROUND((sg2 - s * s / n) / (ss - s * s / n), 6) + 0.0 AS eta_sq
+FROM t
+"""
+
+
+def q_woe_iv(sf_dir):
+    """Weight-of-evidence + information value of the document `source`
+    category against English-ness (lang = 'en') — the credit-scoring-
+    standard categorical screen with add-0.5 smoothing on the cells
+    (raw totals in the denominators).  Per-category pos/count partials
+    combine inside map_batches; the driver sees one row per source.
+    1e-6 grid both sides (stages/encode.py::fit_woe)."""
+    from .stages.encode import fit_woe
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "lang"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t.column("source"),
+                         "is_en": pc.equal(t.column("lang"), "en")})
+
+    ds = ds.map_batches(lab, batch_format="pyarrow", zero_copy_batch=True)
+    out = fit_woe(ds, "source", "is_en", smoothing=0.5).to_pandas()
+    for c in ("woe", "iv_term"):
+        out[c] = np.round(out[c], 6) + 0.0
+    return out
+
+
+SQL_WOE_IV = """
+WITH g AS (
+  SELECT source,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+         count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS neg
+  FROM documents GROUP BY source
+), t AS (SELECT sum(pos) AS pt, sum(neg) AS nt FROM g)
+SELECT source, CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+  ROUND(ln(((pos + 0.5) / pt) / ((neg + 0.5) / nt)), 6) + 0.0 AS woe,
+  ROUND(((pos + 0.5) / pt - (neg + 0.5) / nt)
+        * ln(((pos + 0.5) / pt) / ((neg + 0.5) / nt)), 6) + 0.0 AS iv_term
+FROM g CROSS JOIN t
+"""
+
+
+def q_assoc_lift(sf_dir):
+    """Market-basket association of event types across users: lift of
+    each unordered type pair over distinct (user, type) incidence —
+    lift = N·n_ab/(n_a·n_b).  Three bounded exchanges (incidence →
+    per-bucket pair partials → pair sum); the driver sees ≤ C(5,2)=10
+    pair rows.  1e-6 grid both sides
+    (stages/groupagg.py::association_lift)."""
+    from .stages.groupagg import association_lift
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    out = association_lift(ds, "user_id", "event_type")
+    out["lift"] = np.round(out["lift"], 6) + 0.0
+    return out
+
+
+SQL_ASSOC_LIFT = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (
+  SELECT a.event_type AS item_a, b.event_type AS item_b, count(*) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+t AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut)
+SELECT p.item_a, p.item_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(nu.n_users * p.n_ab / (ta.n * tb.n), 6) + 0.0 AS lift
+FROM p
+CROSS JOIN nu
+JOIN t ta ON ta.event_type = p.item_a
+JOIN t tb ON tb.event_type = p.item_b
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -6782,6 +6890,9 @@ QUERIES = {
     "web_curation": q_web_curation,
     "snapshot_diff": q_snapshot_diff,
     "survival_labels": q_survival_labels,
+    "anova_f_value": q_anova_f,
+    "woe_iv_sources": q_woe_iv,
+    "assoc_lift_events": q_assoc_lift,
 }
 
 ORACLE_SQL = {
@@ -6937,4 +7048,7 @@ ORACLE_SQL = {
     "web_curation": SQL_WEB_CURATION,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "survival_labels": SQL_SURVIVAL_LABELS,
+    "anova_f_value": SQL_ANOVA_F,
+    "woe_iv_sources": SQL_WOE_IV,
+    "assoc_lift_events": SQL_ASSOC_LIFT,
 }

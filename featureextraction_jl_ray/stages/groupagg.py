@@ -1008,3 +1008,93 @@ def cohort_retention(ds, entity_col: str, ts_col: str, *,
 
 
 __all__.append("cohort_retention")
+
+
+def association_lift(ds, entity_col: str, item_col: str, *,
+                     min_count: int = 1, num_buckets: int = 16) -> pd.DataFrame:
+    """Pairwise item co-occurrence with lift — market-basket association
+    over (entity, item) events: which event types / products / sources
+    co-occur in the same entity's history more than independence
+    predicts?
+
+        lift(a,b) = N · n_ab / (n_a · n_b)
+
+    over DISTINCT (entity, item) incidence (an entity counts once per
+    item no matter how many raw events).  Exchange plan, all bounded:
+    (1) distinct (entity, item) via the grouped-count exchange —
+    bounded by incidence, not raw rows; (2) a co-partitioned pass
+    groups each entity's items and PARTIAL-COUNTS its unordered pairs
+    inside the bucket, so the second exchange ships (a, b, partial)
+    rows bounded by buckets × distinct-pairs; (3) the per-item totals
+    ride the same incidence table.  The driver sees one row per ITEM
+    PAIR — with m distinct items that is ≤ m(m−1)/2 rows, never
+    entity- or row-scale.  Entities with huge item sets make step 2
+    quadratic per entity: this operator is for bounded vocabularies
+    (event types, product categories), not free-text tokens.
+
+    Returns (item_a, item_b, n_ab, lift) with item_a < item_b, filtered
+    to n_ab ≥ ``min_count``, sorted by (item_a, item_b)."""
+    from .partition import bucketed_map_groups
+
+    incidence = grouped_aggregate(
+        ds.select_columns([entity_col, item_col]),
+        [entity_col, item_col],
+        {"__n": (item_col, "count")},
+        num_buckets=num_buckets,
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        df = arrow_to_pandas_safe(t.select([entity_col, item_col]))
+        rows_a, rows_b = [], []
+        for _, items in df.groupby(entity_col, sort=False)[item_col]:
+            vals = np.sort(items.to_numpy())
+            if len(vals) < 2:
+                continue
+            ia, ib = np.triu_indices(len(vals), k=1)
+            rows_a.append(vals[ia])
+            rows_b.append(vals[ib])
+        if not rows_a:
+            it = t.schema.field(item_col).type
+            return pa.table({"item_a": pa.array([], type=it),
+                             "item_b": pa.array([], type=it),
+                             "__c": pa.array([], type=pa.int64())})
+        pairs = pd.DataFrame({"item_a": np.concatenate(rows_a),
+                              "item_b": np.concatenate(rows_b)})
+        cnt = (pairs.groupby(["item_a", "item_b"], sort=False)
+                    .size().rename("__c").reset_index())
+        return pandas_to_arrow(cnt)
+
+    pair_counts = grouped_aggregate(
+        bucketed_map_groups(incidence, entity_col, pair_partials,
+                            num_buckets=num_buckets),
+        ["item_a", "item_b"],
+        {"n_ab": ("__c", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    inc = grouped_aggregate(
+        incidence, item_col, {"__n": (item_col, "count")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    totals = dict(zip(inc[item_col], inc["__n"].astype(np.int64)))
+    n_entities = int(
+        grouped_aggregate(incidence, entity_col,
+                          {"__n": (entity_col, "count")},
+                          num_buckets=num_buckets).count()
+    )
+    if pair_counts.empty:
+        return pd.DataFrame({"item_a": pd.Series(dtype=object),
+                             "item_b": pd.Series(dtype=object),
+                             "n_ab": pd.Series(dtype=np.int64),
+                             "lift": pd.Series(dtype=np.float64)})
+    pair_counts = pair_counts[pair_counts["n_ab"] >= min_count]
+    na = pair_counts["item_a"].map(totals).to_numpy(dtype=np.float64)
+    nb = pair_counts["item_b"].map(totals).to_numpy(dtype=np.float64)
+    nab = pair_counts["n_ab"].to_numpy(dtype=np.float64)
+    out = pair_counts[["item_a", "item_b"]].copy()
+    out["n_ab"] = pair_counts["n_ab"].astype(np.int64).to_numpy()
+    out["lift"] = n_entities * nab / (na * nb)
+    return out.sort_values(["item_a", "item_b"], ignore_index=True)
+
+
+__all__.append("association_lift")

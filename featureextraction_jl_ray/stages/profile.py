@@ -281,3 +281,64 @@ def categorical_drift(ref_ds, cur_ds, col: str, *, num_buckets: int = 16,
 
 
 __all__.append("categorical_drift")
+
+
+def anova_f(ds, group_col: str, value_col: str, *,
+            num_buckets: int = 16) -> pd.DataFrame:
+    """One-way ANOVA F of a numeric column across the levels of a
+    categorical column — the numeric-feature-vs-categorical-target
+    selection screen (the sibling of :func:`categorical_association`
+    for numeric features).
+
+    One bounded exchange: per-group (n, Σv, Σv²) partial-aggregate
+    inside ``map_batches`` before the keyed shuffle; the driver sees one
+    row per LEVEL, never row-scale data.  Closed form from the
+    sufficient statistics:
+
+        SSB = Σ_g s_g²/n_g − S²/N        (between groups)
+        SSW = Σ_g ss_g − Σ_g s_g²/n_g    (within groups)
+        F   = (SSB/(k−1)) / (SSW/(N−k)),  eta² = SSB/(SSB+SSW)
+
+    Returns one row (k, n, f_stat, eta_sq); F is null when k < 2 or
+    N ≤ k or SSW = 0 (constant-within-groups), matching the SQL-oracle
+    formulation over the same statistics."""
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_aggregate
+
+    def widen(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.float64())
+        return pa.table({group_col: t.column(group_col), "__v": v,
+                         "__vv": pc.multiply(v, v)})
+
+    g = grouped_aggregate(
+        ds.select_columns([group_col, value_col])
+          .map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        group_col,
+        {"__n": ("__v", "count"), "__s": ("__v", "sum"),
+         "__ss": ("__vv", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if g.empty:
+        return pd.DataFrame({"k": [np.int64(0)], "n": [np.int64(0)],
+                             "f_stat": [np.nan], "eta_sq": [np.nan]})
+    # deterministic summation order: driver sums over key-sorted levels,
+    # the same order the SQL oracle's per-level sums reduce in
+    g = g.sort_values(group_col, ignore_index=True)
+    n_g = g["__n"].to_numpy(dtype=np.float64)
+    s_g = g["__s"].to_numpy(dtype=np.float64)
+    ss_g = g["__ss"].to_numpy(dtype=np.float64)
+    k, n = len(g), n_g.sum()
+    sg2 = (s_g * s_g / n_g).sum()
+    ssb = sg2 - (s_g.sum() ** 2) / n
+    ssw = ss_g.sum() - sg2
+    if k < 2 or n <= k or ssw <= 0:
+        f = np.nan
+    else:
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+    eta = ssb / (ssb + ssw) if (ssb + ssw) > 0 else np.nan
+    return pd.DataFrame({"k": [np.int64(k)], "n": [np.int64(n)],
+                         "f_stat": [f], "eta_sq": [eta]})
+
+
+__all__.append("anova_f")
