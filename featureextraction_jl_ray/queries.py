@@ -6511,6 +6511,79 @@ JOIN t tb ON tb.event_type = p.item_b
 """
 
 
+def q_incremental_dedup(sf_dir):
+    """Incremental cross-run dedup against a persisted fingerprint
+    store: the 'historical corpus' (doc_id % 3 == 0) is fingerprinted
+    into a hash-partitioned on-disk store (8 B of identity per doc —
+    at 100 TB the corpus itself never re-shuffles), then the 'new
+    crawl' (doc_id % 3 != 0) probes it, each bucket task reading ONLY
+    its own store partition.  Survivors = new docs whose text matches
+    no stored doc (stages/fpstore.py).  The oracle expresses the same
+    thing content-wise (NOT EXISTS on text equality); a 64-bit
+    fingerprint collision would break the match — probability ~1e-11
+    at this scale, and the store's documented contract."""
+    import tempfile
+
+    from .stages.fpstore import dedup_against_store, fingerprint_store_update
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "source"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        # the base texts are all distinct, so plant MIRRORED duplicates:
+        # history docs at doc_id%50==0 and new docs at doc_id%11==1 both
+        # get text 'dup-<doc_id%7>' — the planted new docs must be the
+        # ones the store probe drops
+        k = t.column("doc_id")
+        tag = pc.binary_join_element_wise(
+            "dup-", pc.cast(pc.subtract(k, pc.multiply(pc.divide(k, 7), 7)),
+                            pa.string()), "")
+        r50 = pc.subtract(k, pc.multiply(pc.divide(k, 50), 50))
+        r11 = pc.subtract(k, pc.multiply(pc.divide(k, 11), 11))
+        is_dup = pc.or_(pc.equal(r50, 0), pc.equal(r11, 1))
+        text = pc.if_else(is_dup, tag, t.column("text"))
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    docs = docs.map_batches(plant, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def split(rem_keep):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column("doc_id")
+            r = pc.subtract(k, pc.multiply(pc.divide(k, 3), 3))
+            return t.filter(pc.equal(r, 0) if rem_keep == 0
+                            else pc.not_equal(r, 0))
+        return fn
+
+    store_dir = tempfile.mkdtemp(prefix="fx_fpstore_")
+    history = docs.map_batches(split(0), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    fingerprint_store_update(history, store_dir, "doc_id", "text",
+                             num_buckets=16)
+    new = docs.map_batches(split(1), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = dedup_against_store(new, store_dir, "text", num_buckets=16)
+    return out.select_columns(["doc_id", "source"])
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 50 = 0 OR doc_id % 11 = 1
+              THEN 'dup-' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT d.doc_id, d.source
+FROM planted d
+WHERE d.doc_id % 3 <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM planted s
+    WHERE s.doc_id % 3 = 0 AND s.text = d.text
+  )
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -6893,6 +6966,7 @@ QUERIES = {
     "anova_f_value": q_anova_f,
     "woe_iv_sources": q_woe_iv,
     "assoc_lift_events": q_assoc_lift,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLE_SQL = {
@@ -7051,4 +7125,5 @@ ORACLE_SQL = {
     "anova_f_value": SQL_ANOVA_F,
     "woe_iv_sources": SQL_WOE_IV,
     "assoc_lift_events": SQL_ASSOC_LIFT,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
 }

@@ -1,0 +1,93 @@
+"""Persisted fingerprint store (incremental cross-run dedup): update /
+probe round-trip, idempotent re-update, first-writer-wins merge,
+invert audit, missing-partition passthrough, and footer-only stats."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from featureextraction_jl_ray.stages.fpstore import (
+    dedup_against_store,
+    fingerprint_store_stats,
+    fingerprint_store_update,
+    with_fingerprint,
+)
+
+
+def _docs(ids, texts):
+    return rd.from_pandas(pd.DataFrame({
+        "doc_id": np.asarray(ids, dtype=np.int64),
+        "text": list(texts),
+    }))
+
+
+def test_update_probe_roundtrip(ray_session, tmp_path):
+    store = str(tmp_path / "store")
+    hist = _docs(range(100), [f"h{i}" for i in range(100)])
+    added = fingerprint_store_update(hist, store, "doc_id", "text",
+                                     num_buckets=8)
+    assert added == 100
+    # new batch: 40 fresh + 10 exact copies of history texts
+    new = _docs(range(1000, 1050),
+                [f"n{i}" for i in range(40)] + [f"h{i}" for i in range(10)])
+    out = dedup_against_store(new, store, "text", num_buckets=8).to_pandas()
+    assert len(out) == 40
+    assert sorted(out.text) == sorted(f"n{i}" for i in range(40))
+    assert "__fp" not in out.columns
+    # invert: the "seen before" audit
+    seen = dedup_against_store(new, store, "text", num_buckets=8,
+                               invert=True).to_pandas()
+    assert sorted(seen.text) == sorted(f"h{i}" for i in range(10))
+
+
+def test_update_is_idempotent_first_writer_wins(ray_session, tmp_path):
+    store = str(tmp_path / "store")
+    a = _docs([1, 2, 3], ["x", "y", "z"])
+    assert fingerprint_store_update(a, store, "doc_id", "text",
+                                    num_buckets=4) == 3
+    # same content, different keys: nothing added, original keys kept
+    b = _docs([91, 92, 93, 94], ["x", "y", "z", "w"])
+    assert fingerprint_store_update(b, store, "doc_id", "text",
+                                    num_buckets=4) == 1
+    stats = fingerprint_store_stats(store)
+    assert stats["fingerprints"] == 4
+    # probing either generation behaves the same
+    out = dedup_against_store(_docs([5], ["x"]), store, "text",
+                              num_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_missing_partition_passthrough(ray_session, tmp_path):
+    # store with few buckets populated: probes of unpopulated buckets
+    # must pass rows through, not crash on the absent file
+    store = str(tmp_path / "store")
+    fingerprint_store_update(_docs([1], ["only"]), store, "doc_id", "text",
+                             num_buckets=16)
+    assert fingerprint_store_stats(store)["partitions"] == 1
+    new = _docs(range(50), [f"t{i}" for i in range(50)])
+    out = dedup_against_store(new, store, "text", num_buckets=16).to_pandas()
+    assert len(out) == 50
+
+
+def test_fingerprint_determinism(ray_session):
+    ds = _docs([1, 2], ["same", "same"])
+    fp = with_fingerprint(ds, "text").to_pandas()["__fp"]
+    assert fp.iloc[0] == fp.iloc[1]
+    # distinct content → distinct fingerprints (collision would be ~2^-64)
+    fp2 = with_fingerprint(_docs([1, 2], ["a", "b"]),
+                           "text").to_pandas()["__fp"]
+    assert fp2.iloc[0] != fp2.iloc[1]
+
+
+def test_store_layout_is_hive_partitioned(ray_session, tmp_path):
+    store = str(tmp_path / "store")
+    fingerprint_store_update(_docs(range(200), [f"d{i}" for i in range(200)]),
+                             store, "doc_id", "text", num_buckets=8)
+    parts = [p for p in os.listdir(store) if p.startswith("fp_bucket=")]
+    assert 1 < len(parts) <= 8
+    stats = fingerprint_store_stats(store)
+    assert stats["fingerprints"] == 200 and stats["bytes"] > 0
