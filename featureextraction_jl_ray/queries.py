@@ -6584,6 +6584,51 @@ WHERE d.doc_id % 3 <> 0
 """
 
 
+def q_zorder_events(sf_dir):
+    """Z-order (Morton) clustering key of (user_id, ⌊value⌋) + the
+    global Z-rank — the multi-column data-layout operator (Delta
+    OPTIMIZE ZORDER class): sorting by the interleaved key co-locates
+    rows close in BOTH dimensions so range predicates on either column
+    prune contiguous row groups.  The rank rides the range-partitioned
+    distributed sort (stages/sort.py::with_global_rank); the key is
+    bit-exact vs a generated 32-term SQL mirror
+    (stages/sort.py::zorder_sql_expr — the sql_hash_cte pattern)."""
+    from .stages.sort import with_global_rank, with_zorder
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(t.column("value")), pa.int64())
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"), "vq": v})
+
+    ds = ds.map_batches(quantize, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = with_zorder(ds, ["user_id", "vq"], bits=16)
+    ds = with_global_rank(ds, "zkey", tiebreak_cols=("event_id",),
+                          rank_col="zrank", num_partitions=16)
+    return ds.select_columns(["event_id", "zkey", "zrank"])
+
+
+def _zorder_sql() -> str:
+    from .stages.sort import zorder_sql_expr
+
+    expr = zorder_sql_expr(
+        ["user_id", "CAST(floor(value) AS BIGINT)"], bits=16)
+    return f"""
+WITH z AS (
+  SELECT event_id, {expr} AS zkey FROM events
+)
+SELECT event_id, zkey,
+       ROW_NUMBER() OVER (ORDER BY zkey, event_id) AS zrank
+FROM z
+"""
+
+
+SQL_ZORDER_EVENTS = _zorder_sql()
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -6967,6 +7012,7 @@ QUERIES = {
     "woe_iv_sources": q_woe_iv,
     "assoc_lift_events": q_assoc_lift,
     "incremental_dedup": q_incremental_dedup,
+    "zorder_events": q_zorder_events,
 }
 
 ORACLE_SQL = {
@@ -7126,4 +7172,5 @@ ORACLE_SQL = {
     "woe_iv_sources": SQL_WOE_IV,
     "assoc_lift_events": SQL_ASSOC_LIFT,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "zorder_events": SQL_ZORDER_EVENTS,
 }

@@ -162,3 +162,63 @@ def with_global_rank(
         tag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return bucketed.groupby(_BUCKET).map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def zorder_key(arrays, *, bits: int = 16) -> np.ndarray:
+    """Morton / Z-order key: interleave the low ``bits`` bits of each
+    column round-robin (column 0 owns the least-significant lane) —
+    the space-filling-curve clustering key behind multi-column data
+    layout (Delta OPTIMIZE ZORDER class): sorting by it co-locates rows
+    close in EVERY keyed dimension, so range predicates on any of the
+    columns prune contiguous runs of row groups instead of scattering.
+
+    ``arrays``: list of non-negative integer arrays; values must fit in
+    ``bits`` bits (loud error otherwise — a silently-masked high bit
+    would interleave garbage).  d columns × ``bits`` ≤ 64.  Vectorized:
+    d·bits shift-or passes over the whole array, no per-row Python."""
+    arrays = [np.asarray(a) for a in arrays]
+    d = len(arrays)
+    if d * bits > 64:
+        raise ValueError(f"zorder_key: {d} cols × {bits} bits > 64")
+    z = np.zeros(len(arrays[0]), dtype=np.uint64)
+    for j, a in enumerate(arrays):
+        if a.dtype.kind not in "iu":
+            raise TypeError(f"zorder_key: column {j} is not integer")
+        if len(a) and (a.min() < 0 or a.max() >= (1 << bits)):
+            raise ValueError(
+                f"zorder_key: column {j} outside [0, 2^{bits}) — quantize "
+                "or bucket it first")
+        av = a.astype(np.uint64)
+        for i in range(bits):
+            z |= ((av >> np.uint64(i)) & np.uint64(1)) << np.uint64(i * d + j)
+    return z.view(np.int64)
+
+
+def with_zorder(ds, cols, *, bits: int = 16, out_col: str = "zkey"):
+    """Append the Z-order key of integer columns (see :func:`zorder_key`);
+    feed the result to :func:`range_partition_sort` / the bucket writer
+    to produce Z-clustered output files."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        z = zorder_key(
+            [batch.column(c).to_numpy(zero_copy_only=False) for c in cols],
+            bits=bits)
+        return batch.append_column(out_col, pa.array(z, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zorder_sql_expr(cols, *, bits: int = 16) -> str:
+    """The DuckDB expression computing exactly :func:`zorder_key` of the
+    given integer column expressions — kept next to the numpy
+    implementation so the two cannot drift (the sql_hash_cte pattern,
+    stages/split.py)."""
+    d = len(cols)
+    # CAST everything to BIGINT: DuckDB's << on INTEGER overflows at 31
+    terms = [f"(((CAST({c} AS BIGINT) >> {i}) & CAST(1 AS BIGINT)) "
+             f"<< {i * d + j})"
+             for i in range(bits) for j, c in enumerate(cols)]
+    return "(" + " + ".join(terms) + ")"
+
+
+__all__ += ["zorder_key", "with_zorder", "zorder_sql_expr"]

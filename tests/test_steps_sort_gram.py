@@ -89,3 +89,59 @@ def test_centered_gram_tiles_match_oracle(ray_session, sf_dir):
         got[j0 : j0 + T.shape[1], i0 : i0 + T.shape[0]] = T.T
     assert not np.isnan(got).any()
     np.testing.assert_allclose(got, want, atol=1e-8)
+
+# ---------------------------------------------------------------- zorder
+
+
+def test_zorder_key_properties():
+    import numpy as np
+
+    from featureextraction_jl_ray.stages.sort import zorder_key
+
+    # interleave identity: z(x, 0) spreads x's bits to even positions
+    x = np.array([0b1011], dtype=np.int64)
+    z = zorder_key([x, np.zeros(1, dtype=np.int64)], bits=4)
+    assert z[0] == 0b1000101           # bits 0,1,3 of x at lanes 0,2,6
+    z2 = zorder_key([np.zeros(1, dtype=np.int64), x], bits=4)
+    assert z2[0] == 0b1000101 << 1     # column 1 owns the odd lanes
+    # locality: sorting by z groups a 2x2 quadrant contiguously
+    import itertools
+
+    pts = np.array(list(itertools.product(range(8), range(8))))
+    z = zorder_key([pts[:, 0], pts[:, 1]], bits=3)
+    order = np.argsort(z)
+    first4 = set(map(tuple, pts[order[:4]]))
+    assert first4 == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+
+def test_zorder_key_guards():
+    import numpy as np
+    import pytest
+
+    from featureextraction_jl_ray.stages.sort import zorder_key
+
+    with pytest.raises(ValueError, match="outside"):
+        zorder_key([np.array([70000], dtype=np.int64),
+                    np.array([0], dtype=np.int64)], bits=16)
+    with pytest.raises(ValueError, match="> 64"):
+        zorder_key([np.zeros(1, dtype=np.int64)] * 5, bits=16)
+    with pytest.raises(TypeError, match="not integer"):
+        zorder_key([np.array([0.5]), np.array([1], dtype=np.int64)], bits=4)
+
+
+def test_zorder_sql_mirror_randomized():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from featureextraction_jl_ray.stages.sort import zorder_key, zorder_sql_expr
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"a": rng.integers(0, 2**16, 300),
+                       "b": rng.integers(0, 2**16, 300),
+                       "c": rng.integers(0, 2**16, 300)})
+    for cols in (["a", "b"], ["a", "b", "c"]):
+        z = zorder_key([df[c].to_numpy() for c in cols], bits=16)
+        got = duckdb.sql(
+            f"SELECT {zorder_sql_expr(cols)} AS z FROM df").df()["z"]
+        np.testing.assert_array_equal(z, got.to_numpy())
