@@ -6629,6 +6629,79 @@ FROM z
 SQL_ZORDER_EVENTS = _zorder_sql()
 
 
+def q_scd2_join(sf_dir):
+    """Point-in-time SCD2 dimension join — the feature-store rule that
+    a training row sees the attribute live AT EVENT TIME: a 'tier'
+    dimension is derived from each user's signup events (tier =
+    max event_id per (user, ts) % 5; valid_from = signup ts; valid_to
+    = min(next signup, +30 days) so tiers EXPIRE), and every event
+    picks the tier whose [from, to) contains its ts — gap rows get
+    null.  Engine path: non-overlapping intervals ⇒ backward as-of +
+    vectorized expiry null-out, ONE exchange, no range-join blow-up
+    (stages/asof.py::scd2_join); the oracle states the interval
+    containment directly."""
+    from .stages.asof import scd2_join
+    from .stages.groupagg import grouped_aggregate
+    from .stages.window import with_lag
+
+    events = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+    signups = events.filter(
+        expr="event_type == 'signup'").drop_columns(["event_type"])
+    dedup = grouped_aggregate(signups, ["user_id", "ts"],
+                              {"max_eid": ("event_id", "max")},
+                              num_buckets=16)
+
+    def mk_tier(t: pa.Table) -> pa.Table:
+        e = t.column("max_eid")
+        tier = pc.cast(pc.subtract(e, pc.multiply(pc.divide(e, 5), 5)),
+                       pa.string())
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"), "tier": tier})
+
+    dim = dedup.map_batches(mk_tier, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    dim = with_lag(dim, "user_id", "ts", ["ts"], lead=True, num_buckets=16)
+
+    def mk_valid(t: pa.Table) -> pa.Table:
+        frm = t.column("ts")
+        cap = pc.add(frm, pa.scalar(pd.Timedelta("30d").to_pytimedelta()))
+        nxt = pc.coalesce(t.column("lead1_ts"), cap)
+        vto = pc.min_element_wise(nxt, cap)
+        return pa.table({"user_id": t.column("user_id"), "ts": frm,
+                         "tier": t.column("tier"), "valid_to": vto})
+
+    dim = dim.map_batches(mk_valid, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = scd2_join(events.drop_columns(["event_type"]), dim,
+                    on="ts", by="user_id", valid_from="ts",
+                    valid_to="valid_to", dim_cols="tier", num_buckets=16,
+                    left_tiebreak=("event_id",))
+    return out.select_columns(["event_id", "tier"])
+
+
+SQL_SCD2_JOIN = """
+WITH su AS (
+  SELECT user_id, ts, max(event_id) AS max_eid
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+), dim AS (
+  SELECT user_id, ts AS valid_from,
+         CAST(max_eid % 5 AS VARCHAR) AS tier,
+         LEAST(
+           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    ts + INTERVAL 30 DAY),
+           ts + INTERVAL 30 DAY) AS valid_to
+  FROM su
+)
+SELECT e.event_id, d.tier
+FROM events e
+LEFT JOIN dim d
+  ON d.user_id = e.user_id
+ AND e.ts >= d.valid_from AND e.ts < d.valid_to
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7013,6 +7086,7 @@ QUERIES = {
     "assoc_lift_events": q_assoc_lift,
     "incremental_dedup": q_incremental_dedup,
     "zorder_events": q_zorder_events,
+    "scd2_join_events": q_scd2_join,
 }
 
 ORACLE_SQL = {
@@ -7173,4 +7247,5 @@ ORACLE_SQL = {
     "assoc_lift_events": SQL_ASSOC_LIFT,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "zorder_events": SQL_ZORDER_EVENTS,
+    "scd2_join_events": SQL_SCD2_JOIN,
 }

@@ -342,3 +342,65 @@ def resample_entity_grid(
         return merged
 
     return sorted_scan(ds, entity_col, ts_col, fn, num_buckets=num_buckets)
+
+
+def scd2_join(facts, dim, *, on: str, by: str, valid_from: str,
+              valid_to: str, dim_cols, suffix: str = "_r",
+              num_buckets: int = 64, left_tiebreak: tuple[str, ...] = (),
+              **asof_kw):
+    """Point-in-time join to an SCD2 (effective-dated) dimension: each
+    fact row picks the dimension row of the same ``by`` key whose
+    ``[valid_from, valid_to)`` interval contains the fact's ``on``
+    timestamp; facts in a coverage GAP (expired dimension, or before
+    the first version) get nulls — the feature-store correctness rule
+    that a training row must see the attribute value that was live at
+    event time, never a later one.
+
+    Composition, one exchange: because SCD2 intervals are
+    NON-OVERLAPPING per key, "the interval containing ts" is exactly
+    "the latest valid_from ≤ ts" — a backward as-of join — followed by
+    a vectorized expiry null-out of matches with ts ≥ valid_to.  The
+    dimension rides the as-of's blob exchange; no range-join blow-up.
+    ``dim_cols``: the attribute columns to carry (``valid_to`` is
+    carried internally and dropped).
+    """
+    import pyarrow.compute as pc
+
+    dim_cols = [dim_cols] if isinstance(dim_cols, str) else list(dim_cols)
+    # contract: dim_cols / valid_to must not collide with fact column
+    # names (the as-of suffix-rename would shift them silently); the
+    # expire pass below fails LOUDLY on a missing column if violated
+    out = asof_join(
+        facts,
+        dim,
+        on=on,
+        by=by,
+        right_cols=[*dim_cols, valid_to],
+        direction="backward",
+        suffix=suffix,
+        num_buckets=num_buckets,
+        left_tiebreak=left_tiebreak,
+        **asof_kw,
+    )
+
+    def expire(t: pa.Table) -> pa.Table:
+        vt = t.column(valid_to)
+        live = pc.and_kleene(pc.is_valid(vt),
+                             pc.less(t.column(on), vt))
+        for c in dim_cols:
+            idx = t.schema.get_field_index(c)
+            if idx < 0:
+                raise KeyError(
+                    f"scd2_join: dim column {c!r} missing after the as-of "
+                    "join — dim_cols must not collide with fact columns")
+            t = t.set_column(
+                idx, c,
+                pc.if_else(live, t.column(c),
+                           pa.scalar(None, t.schema.field(c).type)))
+        return t.drop_columns([valid_to])
+
+    return out.map_batches(expire, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+__all__.append("scd2_join")

@@ -1176,3 +1176,73 @@ def test_tte_never_target_entity(ray_session):
     assert (got.observed == 0).all()
     assert (got.tte_s == 86400.0).all()
     assert got.since_s.isna().all()
+
+
+# ---------------------------------------------------------------- scd2
+
+
+def test_scd2_join_planted_versions(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.asof import scd2_join
+
+    # dimension: user 1 has tier A [t0, t10), B [t10, t20); user 2 has
+    # C [t5, t8) then a GAP (expired) until nothing
+    dim = pd.DataFrame({
+        "u": np.array([1, 1, 2], dtype=np.int64),
+        "vts": pd.to_datetime([0, 10, 5], unit="s"),
+        "valid_to": pd.to_datetime([10, 20, 8], unit="s"),
+        "tier": ["A", "B", "C"],
+    })
+    facts = pd.DataFrame({
+        "fid": np.arange(7, dtype=np.int64),
+        "u": np.array([1, 1, 1, 1, 2, 2, 2], dtype=np.int64),
+        "vts": pd.to_datetime([0, 9, 10, 25, 4, 6, 9], unit="s"),
+    })
+    out = scd2_join(rd.from_arrow(pa.Table.from_pandas(facts)),
+                    rd.from_arrow(pa.Table.from_pandas(dim)),
+                    on="vts", by="u", valid_from="vts",
+                    valid_to="valid_to", dim_cols="tier",
+                    num_buckets=4, left_tiebreak=("fid",)
+                    ).to_pandas().sort_values("fid", ignore_index=True)
+    # boundary semantics: from inclusive, to exclusive
+    assert out.tier.tolist() == [
+        "A",    # t0: first version starts (inclusive)
+        "A",    # t9: still A
+        "B",    # t10: B starts exactly (A's to is exclusive)
+        None,   # t25: B expired at t20 → gap
+        None,   # t4: before user 2's first version
+        "C",    # t6: inside C
+        None,   # t9: C expired at t8
+    ]
+
+
+def test_scd2_join_all_facts_survive(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.asof import scd2_join
+
+    rng = np.random.default_rng(4)
+    dim = pd.DataFrame({
+        "u": np.arange(10, dtype=np.int64),
+        "vts": pd.to_datetime(np.zeros(10), unit="s"),
+        "valid_to": pd.to_datetime(np.full(10, 1000), unit="s"),
+        "tier": [str(i % 3) for i in range(10)],
+    })
+    facts = pd.DataFrame({
+        "fid": np.arange(200, dtype=np.int64),
+        "u": rng.integers(0, 12, 200).astype(np.int64),  # 10,11 unmatched
+        "vts": pd.to_datetime(rng.integers(0, 2000, 200), unit="s"),
+    })
+    out = scd2_join(rd.from_arrow(pa.Table.from_pandas(facts)),
+                    rd.from_arrow(pa.Table.from_pandas(dim)),
+                    on="vts", by="u", valid_from="vts",
+                    valid_to="valid_to", dim_cols="tier",
+                    num_buckets=4, left_tiebreak=("fid",)).to_pandas()
+    assert len(out) == 200          # left join: every fact survives
+    want_live = facts.u.lt(10) & facts.vts.lt(pd.Timestamp(1000, unit="s"))
+    got = out.sort_values("fid", ignore_index=True)
+    assert got.tier.notna().tolist() == want_live.tolist()
+    exp = facts.u.astype(str).where(want_live, None)
+    assert (got.tier.fillna("-") ==
+            (facts.u % 3).astype(str).where(want_live, "-")).all()
