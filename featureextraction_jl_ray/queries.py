@@ -6702,6 +6702,66 @@ LEFT JOIN dim d
 """
 
 
+def q_corpus_overlap(sf_dir):
+    """Corpus-overlap sketch (KMV / theta class): jaccard +
+    intersection of the click-user and purchase-user populations from
+    two k·8-byte sketches — the dedup PLANNING operator ("how much of
+    tonight's crawl is already in the corpus?") that answers overlap
+    without any join or exchange of the sets themselves.  k = 65536
+    far exceeds the user cardinality, so the sketches are UNSATURATED
+    and every estimate is exact by construction — the oracle computes
+    the same quantities with the same float associations
+    (i/u then ·u, never i directly) (stages/setsketch.py)."""
+    from .stages.setsketch import kmv_overlap, kmv_sketch
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    K = 65536
+    # slice each side's user population (every user does everything at
+    # test density, so unsliced sides overlap trivially): A = click
+    # users with id%4≠0, B = purchase users with id%3≠0 → partial overlap
+    def slice_side(t, mod):
+        def fn(b: pa.Table) -> pa.Table:
+            u = b.column("user_id")
+            r = pc.subtract(u, pc.multiply(pc.divide(u, mod), mod))
+            keep = pc.and_(pc.equal(b.column("event_type"), t),
+                           pc.not_equal(r, 0))
+            return b.filter(keep)
+        return fn
+
+    sk = {}
+    for t, mod in (("click", 4), ("purchase", 3)):
+        side = ev.map_batches(slice_side(t, mod), batch_format="pyarrow",
+                              zero_copy_batch=True)
+        sk[t] = kmv_sketch(side, "user_id", k=K)
+    o = kmv_overlap(sk["click"], sk["purchase"], k=K)
+    return pd.DataFrame({
+        "distinct_a": [o["distinct_a"]], "distinct_b": [o["distinct_b"]],
+        "jaccard": [o["jaccard"]], "union_est": [o["union"]],
+        "intersection_est": [o["intersection"]],
+    })
+
+
+SQL_CORPUS_OVERLAP = """
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'click' AND user_id % 4 <> 0),
+     b AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND user_id % 3 <> 0),
+     s AS (
+       SELECT CAST((SELECT count(*) FROM a) AS DOUBLE) AS na,
+              CAST((SELECT count(*) FROM b) AS DOUBLE) AS nb,
+              CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT
+                                          SELECT * FROM b)) AS DOUBLE) AS i,
+              CAST((SELECT count(*) FROM (SELECT * FROM a UNION
+                                          SELECT * FROM b)) AS DOUBLE) AS u
+     )
+SELECT na AS distinct_a, nb AS distinct_b,
+       i / u AS jaccard, u AS union_est,
+       (i / u) * u AS intersection_est
+FROM s
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7087,6 +7147,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "zorder_events": q_zorder_events,
     "scd2_join_events": q_scd2_join,
+    "corpus_overlap_sketch": q_corpus_overlap,
 }
 
 ORACLE_SQL = {
@@ -7248,4 +7309,5 @@ ORACLE_SQL = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "zorder_events": SQL_ZORDER_EVENTS,
     "scd2_join_events": SQL_SCD2_JOIN,
+    "corpus_overlap_sketch": SQL_CORPUS_OVERLAP,
 }
