@@ -6762,6 +6762,59 @@ FROM s
 """
 
 
+def q_watermark_events(sf_dir):
+    """Event-time watermark / late-data audit (streaming semantics in
+    batch): with arrival order = event_id, a row is LATE iff its ts is
+    more than 1 hour behind the max event time of all earlier arrivals
+    — the measurement that sizes allowed-lateness before a pipeline
+    goes online.  Engine path: distributed ordered PREFIX-MAX — range
+    partition on sampled event_id boundaries, a column-pruned per-
+    partition max-ts pre-pass seeds each partition with the exclusive
+    prefix, one exchange, vectorized shift+cummax inside
+    (stages/sort.py::with_watermark).  BIT-exact vs the window oracle:
+    both sides subtract exact integer µs."""
+    from .stages.sort import with_watermark
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts"])
+
+    def jitter(t: pa.Table) -> pa.Table:
+        # the synthetic ids arrive in ts order (zero late rows) — add a
+        # MIRRORED deterministic event-time jitter of (event_id % 97)
+        # minutes so real out-of-order arrivals exist
+        k = t.column("event_id")
+        mins = pc.subtract(k, pc.multiply(pc.divide(k, 97), 97))
+        jts = pc.add(t.column("ts"),
+                     pc.multiply(pc.cast(mins, pa.int64()),
+                                 pa.scalar(60_000_000, pa.duration("us"))))
+        return pa.table({"event_id": k, "ts": jts})
+
+    ds = ds.map_batches(jitter, batch_format="pyarrow", zero_copy_batch=True)
+    out = with_watermark(ds, "event_id", "ts", lateness="1h",
+                         num_partitions=16)
+    return out.select_columns(["event_id", "watermark", "is_late"])
+
+
+SQL_WATERMARK_EVENTS = """
+WITH j AS (
+  SELECT event_id,
+         ts + (event_id % 97) * INTERVAL 1 MINUTE AS ts
+  FROM events
+), w AS (
+  SELECT event_id, ts,
+         MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS mx
+  FROM j
+)
+SELECT event_id,
+       mx - INTERVAL 1 HOUR AS watermark,
+       CASE WHEN mx IS NOT NULL AND ts < mx - INTERVAL 1 HOUR
+            THEN 1 ELSE 0 END AS is_late
+FROM w
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7148,6 +7201,7 @@ QUERIES = {
     "zorder_events": q_zorder_events,
     "scd2_join_events": q_scd2_join,
     "corpus_overlap_sketch": q_corpus_overlap,
+    "watermark_events": q_watermark_events,
 }
 
 ORACLE_SQL = {
@@ -7310,4 +7364,5 @@ ORACLE_SQL = {
     "zorder_events": SQL_ZORDER_EVENTS,
     "scd2_join_events": SQL_SCD2_JOIN,
     "corpus_overlap_sketch": SQL_CORPUS_OVERLAP,
+    "watermark_events": SQL_WATERMARK_EVENTS,
 }

@@ -222,3 +222,94 @@ def zorder_sql_expr(cols, *, bits: int = 16) -> str:
 
 
 __all__ += ["zorder_key", "with_zorder", "zorder_sql_expr"]
+
+
+def with_watermark(ds, order_col: str, ts_col: str, *,
+                   lateness: str = "1h", late_col: str = "is_late",
+                   wm_col: str = "watermark", num_partitions: int = 64,
+                   seed: int = 42):
+    """Event-time WATERMARK / late-data detection in batch — the
+    streaming-semantics audit ("which rows arrived after the watermark
+    had passed their event time?") that sizes allowed-lateness before a
+    pipeline goes online: row i is late iff
+
+        ts_i < max(ts over rows STRICTLY BEFORE i in arrival order) − lateness
+
+    with arrival order given by ``order_col`` (an ingest sequence /
+    id).  ``wm_col`` carries the per-row watermark (null before any
+    predecessor exists — the first arrival is never late).
+
+    Scale shape — a distributed ORDERED PREFIX-MAX, two cheap passes +
+    one exchange: range-partition on sampled ``order_col`` boundaries,
+    a column-pruned pre-pass takes each partition's max ts
+    (np.maximum partials → a num_partitions driver array) whose
+    EXCLUSIVE prefix max seeds each partition, then one bucketed
+    exchange where each partition sorts locally and runs a vectorized
+    shift+cummax.  No global sort, no single-node scan.
+    """
+    import pandas as pd
+
+    from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+    from .blobshuffle import _BLOB, pack_by_bucket, unpack_blobs
+    from .partition import _BUCKET
+
+    NEG = np.iinfo(np.int64).min
+    lateness_us = int(pd.Timedelta(lateness).value // 1000)
+
+    ds = ds.materialize()  # 3 reads: boundaries, max pre-pass, shuffle
+    bounds = sample_boundaries(ds, order_col, num_partitions, seed=seed)
+    barr = np.asarray(bounds)
+    nparts = len(barr) + 1
+
+    def part_of(batch: pa.Table) -> np.ndarray:
+        v = batch.column(order_col).to_numpy(zero_copy_only=False)
+        if len(barr):
+            return np.searchsorted(barr, v, side="right").astype(np.int64)
+        return np.zeros(len(v), dtype=np.int64)
+
+    def max_parts(batch: pa.Table) -> pa.Table:
+        p = part_of(batch)
+        t = (batch.column(ts_col).to_numpy()
+             .astype("datetime64[us]").astype(np.int64))
+        out = np.full(nparts, NEG, dtype=np.int64)
+        np.maximum.at(out, p, t)
+        return pa.table({"m": pa.array(out, type=pa.int64())})
+
+    gmax = np.full(nparts, NEG, dtype=np.int64)
+    for b in ds.select_columns([order_col, ts_col]).map_batches(
+        max_parts, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        arr = b.column("m").to_numpy(zero_copy_only=False)
+        gmax = np.maximum(gmax, arr.reshape(-1, nparts).max(axis=0))
+    # exclusive prefix max: what partitions BEFORE pid have seen
+    prefix_excl = np.concatenate(
+        [[NEG], np.maximum.accumulate(gmax)[:-1]])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pack_by_bucket(batch, part_of(batch))
+
+    def wm_bucket(tbl: pa.Table) -> pa.Table:
+        pid = int(tbl.column(_BUCKET)[0].as_py())
+        df = arrow_to_pandas_safe(unpack_blobs(tbl.column(_BLOB)))
+        df = df.sort_values(order_col, kind="mergesort", ignore_index=True)
+        t = (df[ts_col].to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        prev = np.concatenate(
+            [[NEG], np.maximum.accumulate(t)[:-1]]) if len(t) else t
+        combined = np.maximum(prev, prefix_excl[pid])
+        has = combined != NEG
+        wm_us = combined - lateness_us
+        wm = pd.Series(wm_us.view("datetime64[us]"))
+        wm[~has] = pd.NaT
+        df[wm_col] = wm
+        df[late_col] = (has & (t < wm_us)).astype(np.int64)
+        return pandas_to_arrow(df)
+
+    bucketed = ds.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return bucketed.groupby(_BUCKET).map_groups(wm_bucket,
+                                                batch_format="pyarrow")
+
+
+__all__.append("with_watermark")

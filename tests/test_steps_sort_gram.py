@@ -145,3 +145,59 @@ def test_zorder_sql_mirror_randomized():
         got = duckdb.sql(
             f"SELECT {zorder_sql_expr(cols)} AS z FROM df").df()["z"]
         np.testing.assert_array_equal(z, got.to_numpy())
+
+
+# ---------------------------------------------------------------- watermark
+
+
+def test_watermark_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.sort import with_watermark
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    # arrival order = oid; event time loosely increasing with jitter
+    base = np.cumsum(rng.integers(0, 120, n))
+    jit = rng.integers(-900, 900, n)
+    df = pd.DataFrame({
+        "oid": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(base + jit, unit="s"),
+    })
+    got = (with_watermark(
+        rd.from_arrow(pa.Table.from_pandas(df)), "oid", "ts",
+        lateness="5min", num_partitions=8)
+        .to_pandas().sort_values("oid", ignore_index=True))
+    # brute force: prefix max of strictly-earlier arrivals
+    t = df.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+    prev = np.concatenate([[np.iinfo(np.int64).min],
+                           np.maximum.accumulate(t)[:-1]])
+    has = prev != np.iinfo(np.int64).min
+    wm = prev - 300_000_000
+    want_late = (has & (t < wm)).astype(np.int64)
+    np.testing.assert_array_equal(got.is_late.to_numpy(), want_late)
+    assert want_late.sum() > 0          # the fixture must exercise lateness
+    got_wm = got.watermark.to_numpy().astype("datetime64[us]").astype(np.int64)
+    np.testing.assert_array_equal(got_wm[has], wm[has])
+    assert got.watermark.isna().to_numpy()[0]   # first arrival: no watermark
+
+
+def test_watermark_sorted_input_never_late(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.sort import with_watermark
+
+    df = pd.DataFrame({
+        "oid": np.arange(500, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(500) * 60, unit="s"),
+    })
+    got = with_watermark(rd.from_arrow(pa.Table.from_pandas(df)),
+                         "oid", "ts", lateness="1s",
+                         num_partitions=4).to_pandas()
+    assert got.is_late.sum() == 0
