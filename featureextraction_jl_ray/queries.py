@@ -6815,6 +6815,62 @@ FROM w
 """
 
 
+def q_coalesce_lookup(sf_dir):
+    """Hierarchical fallback lookup (dimension-default pattern): each
+    event takes its USER override if one exists (users with id%5==0,
+    value = 2·id+1), else its EVENT-TYPE value (click/view only, value
+    = type length), else the global default −1.  Both lookup levels
+    are driver-bounded tables broadcast once and Acero-probed per
+    batch — N levels, zero exchanges of the fact table
+    (stages/joins.py::coalesce_lookup).  BIT-exact, all-integer."""
+    from .stages.encode import _collect_small
+    from .stages.joins import coalesce_lookup
+
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "event_type"])
+
+    def mk_user_level(t: pa.Table) -> pa.Table:
+        u = t.column("user_id")
+        r = pc.subtract(u, pc.multiply(pc.divide(u, 5), 5))
+        t = t.filter(pc.equal(r, 0))
+        u = t.column("user_id")
+        return pa.table({"user_id": u,
+                         "uval": pc.add(pc.multiply(u, 2), 1)})
+
+    users = _collect_small(
+        ev.select_columns(["user_id"])
+          .map_batches(mk_user_level, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    udf = users.to_pandas().drop_duplicates("user_id")
+    user_level = pa.Table.from_pandas(udf, preserve_index=False)
+    type_level = pa.table({
+        "event_type": pa.array(["click", "view"], type=pa.string()),
+        "tval": pa.array([5, 4], type=pa.int64()),
+    })
+    out = coalesce_lookup(
+        ev,
+        [(user_level, "user_id", "uval"),
+         (type_level, "event_type", "tval")],
+        out_col="rate", default=np.int64(-1))
+    return out.select_columns(["event_id", "rate"])
+
+
+SQL_COALESCE_LOOKUP = """
+WITH u AS (
+  SELECT DISTINCT user_id, user_id * 2 + 1 AS uval
+  FROM events WHERE user_id % 5 = 0
+), t AS (
+  SELECT * FROM (VALUES ('click', 5), ('view', 4)) AS t(event_type, tval)
+)
+SELECT e.event_id,
+       COALESCE(u.uval, CAST(t.tval AS BIGINT), -1) AS rate
+FROM events e
+LEFT JOIN u ON u.user_id = e.user_id
+LEFT JOIN t ON t.event_type = e.event_type
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7202,6 +7258,7 @@ QUERIES = {
     "scd2_join_events": q_scd2_join,
     "corpus_overlap_sketch": q_corpus_overlap,
     "watermark_events": q_watermark_events,
+    "coalesce_lookup_events": q_coalesce_lookup,
 }
 
 ORACLE_SQL = {
@@ -7365,4 +7422,5 @@ ORACLE_SQL = {
     "scd2_join_events": SQL_SCD2_JOIN,
     "corpus_overlap_sketch": SQL_CORPUS_OVERLAP,
     "watermark_events": SQL_WATERMARK_EVENTS,
+    "coalesce_lookup_events": SQL_COALESCE_LOOKUP,
 }

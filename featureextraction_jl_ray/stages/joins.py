@@ -813,3 +813,43 @@ def interval_overlap_join(
 
 
 __all__.append("interval_overlap_join")
+
+
+def coalesce_lookup(ds, levels, *, out_col: str, default=None):
+    """Hierarchical fallback lookup (the dimension-default pattern:
+    per-entity override, else per-category value, else global default):
+    probe each ``(small_table, fact_key_col, value_col)`` level in
+    order — most specific first — and take the FIRST non-null match
+    per row.
+
+    Each level is a driver-bounded table broadcast once (``ray.put``
+    under Ray's closure capture) and hash-probed per batch by Acero —
+    N levels cost N broadcast probes and ZERO exchanges of the fact
+    table.  Levels may key on DIFFERENT fact columns (user_id, then
+    event_type, then nothing) — that is the point of the hierarchy.
+    ``default``: scalar used when every level misses (None → null).
+    """
+    import pyarrow.compute as pc
+
+    tmp_cols = []
+    for i, (tbl, fact_key, value_col) in enumerate(levels):
+        tmp = f"__lv{i}"
+        small = tbl.select([fact_key, value_col]) \
+            if fact_key in tbl.column_names else tbl
+        small = small.rename_columns(
+            [c if c != value_col else tmp for c in small.column_names])
+        ds = broadcast_join(ds, small, on=fact_key, how="left")
+        tmp_cols.append(tmp)
+
+    def finish(t: pa.Table) -> pa.Table:
+        args = [t.column(c) for c in tmp_cols]
+        if default is not None:
+            args.append(pa.scalar(default))
+        out = pc.coalesce(*args)
+        return t.drop_columns(tmp_cols).append_column(out_col, out)
+
+    return ds.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+__all__.append("coalesce_lookup")

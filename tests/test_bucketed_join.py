@@ -106,3 +106,45 @@ def test_matches_native_join_on_real_tables(ray_session):
         left_on="o_custkey", right_on="c_custkey", how="inner",
     ).drop(columns=["c_custkey"])
     pd.testing.assert_frame_equal(_sorted(got), _sorted(exp), check_like=True)
+
+
+# ---------------------------------------------------------------- coalesce
+
+
+def test_coalesce_lookup_levels(ray_session):
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.joins import coalesce_lookup
+
+    facts = pd.DataFrame({
+        "fid": np.arange(6, dtype=np.int64),
+        "ent": np.array([1, 2, 3, 1, 9, 9], dtype=np.int64),
+        "cat": ["a", "b", "c", "c", "b", "z"],
+    })
+    lv_ent = pa.table({"ent": pa.array([1, 2], type=pa.int64()),
+                       "v": pa.array([10, 20], type=pa.int64())})
+    lv_cat = pa.table({"cat": pa.array(["b", "c"], type=pa.string()),
+                       "v": pa.array([100, 200], type=pa.int64())})
+    out = coalesce_lookup(
+        rd.from_arrow(pa.Table.from_pandas(facts)),
+        [(lv_ent, "ent", "v"), (lv_cat, "cat", "v")],
+        out_col="rate", default=np.int64(-1),
+    ).to_pandas().sort_values("fid", ignore_index=True)
+    # ent override wins over cat; cat catches the rest; default at the end
+    assert out.rate.tolist() == [10, 20, 200, 10, 100, -1]
+
+
+def test_coalesce_lookup_null_without_default(ray_session):
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.stages.joins import coalesce_lookup
+
+    facts = pd.DataFrame({"fid": np.arange(3, dtype=np.int64),
+                          "ent": np.array([7, 8, 1], dtype=np.int64)})
+    lv = pa.table({"ent": pa.array([1], type=pa.int64()),
+                   "v": pa.array([5], type=pa.int64())})
+    out = coalesce_lookup(rd.from_arrow(pa.Table.from_pandas(facts)),
+                          [(lv, "ent", "v")], out_col="rate"
+                          ).to_pandas().sort_values("fid", ignore_index=True)
+    assert out.rate.isna().tolist() == [True, True, False]
+    assert out.rate.iloc[2] == 5
