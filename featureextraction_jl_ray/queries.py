@@ -6871,6 +6871,117 @@ LEFT JOIN t ON t.event_type = e.event_type
 """
 
 
+def q_incremental_refresh(sf_dir):
+    """Composed INCREMENTAL corpus refresh (the nightly 100 TB loop:
+    never re-process the corpus, only the delta): snapshot-diff the new
+    documents version against the old, keep additions+changes, then
+    drop any whose NEW text the historical fingerprint store already
+    contains.  Mirrored construction: base plants 'dup-k' texts in
+    history (doc_id%50==3); v_new removes %13==5, rewrites %9==2 to a
+    planted dup (→ diff 'changed' but store-dropped), rewrites other
+    %7==0 to 'edited-<id>' (→ survives), and appends additions
+    (%17==3; odd ids get dup texts → store-dropped, even survive).
+    One chained oracle locks the stage ORDER — diff first (delta-sized
+    downstream), store probe second
+    (pipelines/incremental.py::run_incremental_refresh)."""
+    import tempfile
+
+    from .pipelines.incremental import run_incremental_refresh
+    from .stages.fpstore import fingerprint_store_update
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def _mod(k, m):
+        return pc.subtract(k, pc.multiply(pc.divide(k, m), m))
+
+    def mk_base(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id")
+        dup = pc.binary_join_element_wise(
+            "dup-", pc.cast(_mod(k, 7), pa.string()), "")
+        text = pc.if_else(pc.equal(_mod(k, 50), 3), dup, t.column("text"))
+        return pa.table({"doc_id": k, "text": text})
+
+    base = docs.map_batches(mk_base, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id")
+        keep = pc.not_equal(_mod(k, 13), 5)
+        t = t.filter(keep)
+        k = t.column("doc_id")
+        dup = pc.binary_join_element_wise(
+            "dup-", pc.cast(_mod(k, 7), pa.string()), "")
+        edited = pc.binary_join_element_wise(
+            "edited-", pc.cast(k, pa.string()), "")
+        text = pc.if_else(
+            pc.equal(_mod(k, 9), 2), dup,
+            pc.if_else(pc.equal(_mod(k, 7), 0), edited, t.column("text")))
+        return pa.table({"doc_id": k, "text": text})
+
+    def mk_added(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id")
+        t = t.filter(pc.equal(_mod(k, 17), 3))
+        k = t.column("doc_id")
+        dup = pc.binary_join_element_wise(
+            "dup-", pc.cast(_mod(k, 7), pa.string()), "")
+        added = pc.binary_join_element_wise(
+            "added-", pc.cast(k, pa.string()), "")
+        text = pc.if_else(pc.equal(_mod(k, 2), 0), added, dup)
+        return pa.table({"doc_id": pc.add(k, 1000000), "text": text})
+
+    v_new = base.map_batches(mk_new, batch_format="pyarrow",
+                             zero_copy_batch=True).union(
+        base.map_batches(mk_added, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+    store_dir = tempfile.mkdtemp(prefix="fx_refresh_")
+    fingerprint_store_update(base, store_dir, "doc_id", "text",
+                             num_buckets=16)
+    out = run_incremental_refresh(base, v_new, store_dir,
+                                  key_col="doc_id", content_col="text",
+                                  num_buckets=16)
+    return out.select_columns(["doc_id", "change", "text"])
+
+
+SQL_INCREMENTAL_REFRESH = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 3
+              THEN 'dup-' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+), v_new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 2
+                THEN 'dup-' || CAST(doc_id % 7 AS VARCHAR)
+              WHEN doc_id % 7 = 0
+                THEN 'edited-' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM base WHERE doc_id % 13 <> 5
+  UNION ALL
+  SELECT doc_id + 1000000,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'added-' || CAST(doc_id AS VARCHAR)
+              ELSE 'dup-' || CAST(doc_id % 7 AS VARCHAR) END
+  FROM base WHERE doc_id % 17 = 3
+), delta AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              ELSE 'changed' END AS change,
+         n.text AS text
+  FROM base o FULL OUTER JOIN v_new n ON o.doc_id = n.doc_id
+  WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+     OR o.text IS DISTINCT FROM n.text
+)
+SELECT doc_id, change, text
+FROM delta d
+WHERE d.change <> 'removed'
+  AND NOT EXISTS (SELECT 1 FROM base s WHERE s.text = d.text)
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7259,6 +7370,7 @@ QUERIES = {
     "corpus_overlap_sketch": q_corpus_overlap,
     "watermark_events": q_watermark_events,
     "coalesce_lookup_events": q_coalesce_lookup,
+    "incremental_refresh": q_incremental_refresh,
 }
 
 ORACLE_SQL = {
@@ -7423,4 +7535,5 @@ ORACLE_SQL = {
     "corpus_overlap_sketch": SQL_CORPUS_OVERLAP,
     "watermark_events": SQL_WATERMARK_EVENTS,
     "coalesce_lookup_events": SQL_COALESCE_LOOKUP,
+    "incremental_refresh": SQL_INCREMENTAL_REFRESH,
 }

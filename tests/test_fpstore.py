@@ -91,3 +91,46 @@ def test_store_layout_is_hive_partitioned(ray_session, tmp_path):
     assert 1 < len(parts) <= 8
     stats = fingerprint_store_stats(store)
     assert stats["fingerprints"] == 200 and stats["bytes"] > 0
+
+
+# ------------------------------------------------------- incremental refresh
+
+
+def test_incremental_refresh_composition(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from featureextraction_jl_ray.pipelines.incremental import (
+        run_incremental_refresh,
+    )
+    from featureextraction_jl_ray.stages.fpstore import (
+        fingerprint_store_update,
+    )
+
+    store = str(tmp_path / "store")
+    old = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [f"t{i}" for i in range(10)],
+    })
+    # new: doc 0 removed; doc 1 changed to fresh text; doc 2 changed to a
+    # text history already has (t5); doc 100 added fresh; doc 101 added
+    # as a copy of history (t7); rest unchanged
+    new = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 101],
+                           dtype=np.int64),
+        "text": ["fresh1", "t5", "t3", "t4", "t5", "t6", "t7", "t8", "t9",
+                 "fresh100", "t7"],
+    })
+    def ds(df):
+        return rd.from_arrow(pa.Table.from_pandas(df))
+
+    fingerprint_store_update(ds(old), store, "doc_id", "text",
+                             num_buckets=4)
+    out = (run_incremental_refresh(ds(old), ds(new), store,
+                                   key_col="doc_id", content_col="text",
+                                   num_buckets=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    # survivors: doc 1 (changed, fresh) and doc 100 (added, fresh);
+    # doc 2 and 101 hit the store; doc 0's removal is not work
+    assert out.doc_id.tolist() == [1, 100]
+    assert out.change.tolist() == ["changed", "added"]
+    assert out.text.tolist() == ["fresh1", "fresh100"]
