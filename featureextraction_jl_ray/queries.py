@@ -6982,6 +6982,69 @@ WHERE d.change <> 'removed'
 """
 
 
+def q_phash_store_probe(sf_dir):
+    """Incremental image NEAR-dup against a persisted banded pHash
+    store (the image sibling of incremental_dedup): history images
+    (iid%3==0) index under band=<i>/bb=<bucket> partitions, and the
+    new batch (iid%3!=0) probes only the partitions its own band
+    values hash to — pigeonhole over 4 bands makes Hamming-≤2
+    candidates exhaustive, popcount verifies.  Returns (iid, min_dist)
+    per hit.  The oracle is the full quadratic Hamming join — the
+    banded store must reproduce it exactly (stages/fpstore.py::
+    phash_store_hits)."""
+    import tempfile
+
+    from .stages.fpstore import phash_store_hits, phash_store_update
+
+    _, paths = _synth_for(sf_dir)
+    images = _rd().read_parquet(paths["images"],
+                                columns=["image_id", "phash"])
+
+    def to_iid(t: pa.Table) -> pa.Table:
+        col = t.column("image_id")
+        ent = pc.cast(pc.utf8_slice_codeunits(col, 4, 9), pa.int64())
+        seq = pc.cast(pc.utf8_slice_codeunits(col, 10, 14), pa.int64())
+        iid = pc.add(pc.multiply(ent, pa.scalar(10_000, pa.int64())), seq)
+        return pa.table({"iid": iid, "phash": t.column("phash")})
+
+    ds = images.map_batches(to_iid, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def side(rem_keep):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column("iid")
+            r = pc.subtract(k, pc.multiply(pc.divide(k, 3), 3))
+            return t.filter(pc.equal(r, 0) if rem_keep == 0
+                            else pc.not_equal(r, 0))
+        return fn
+
+    store_dir = tempfile.mkdtemp(prefix="fx_phstore_")
+    hist = ds.map_batches(side(0), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    phash_store_update(hist, store_dir, "iid", "phash", num_bands=4,
+                       num_buckets=16)
+    new = ds.map_batches(side(1), batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return phash_store_hits(new, store_dir, "iid", "phash",
+                            max_distance=2, num_bands=4, num_buckets=16)
+
+
+SQL_PHASH_STORE_PROBE = f"""
+WITH src AS (
+  SELECT CAST(substr(image_id, 5, 5) AS BIGINT) * 10000
+         + CAST(substr(image_id, 11, 4) AS BIGINT) AS iid,
+         phash
+  FROM '{_SYNTH_IMG_001}'
+), hist AS (SELECT * FROM src WHERE iid % 3 = 0),
+   new AS (SELECT * FROM src WHERE iid % 3 <> 0)
+SELECT n.iid,
+       CAST(MIN(bit_count(xor(n.phash, h.phash))) AS BIGINT) AS min_dist
+FROM new n JOIN hist h
+  ON bit_count(xor(n.phash, h.phash)) <= 2
+GROUP BY n.iid
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7371,6 +7434,7 @@ QUERIES = {
     "watermark_events": q_watermark_events,
     "coalesce_lookup_events": q_coalesce_lookup,
     "incremental_refresh": q_incremental_refresh,
+    "phash_store_probe": q_phash_store_probe,
 }
 
 ORACLE_SQL = {
@@ -7536,4 +7600,5 @@ ORACLE_SQL = {
     "watermark_events": SQL_WATERMARK_EVENTS,
     "coalesce_lookup_events": SQL_COALESCE_LOOKUP,
     "incremental_refresh": SQL_INCREMENTAL_REFRESH,
+    "phash_store_probe": SQL_PHASH_STORE_PROBE,
 }

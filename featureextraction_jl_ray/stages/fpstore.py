@@ -146,3 +146,156 @@ def fingerprint_store_stats(store_dir: str) -> dict:
     rows = sum(pq.read_metadata(f).num_rows for f in files)
     return {"partitions": len(files), "fingerprints": rows,
             "bytes": sum(os.path.getsize(f) for f in files)}
+
+
+# ---------------------------------------------------------------- phash store
+
+
+def _phash_bucket_file(store_dir: str, band: int, bucket: int) -> str:
+    return os.path.join(store_dir, f"band={band}", f"bb={bucket}",
+                        "part.parquet")
+
+
+def _explode_bands(key_col: str, phash_col: str, num_bands: int,
+                   num_buckets: int, seed: int):
+    """(band, band-value, store-bucket, phash, key) rows — num_bands per
+    input row, 32 B each; ``__sb`` is the SAME bucket the store files
+    are laid out by, so the exchange key equals the partition id."""
+    from .dedup import _bands
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ph = batch.column(phash_col).to_numpy(zero_copy_only=False)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        bv = _bands(ph, num_bands).T.reshape(-1)          # band-major
+        n = len(ph)
+        return pa.table({
+            "__band": pa.array(
+                np.repeat(np.arange(num_bands, dtype=np.int64), n),
+                type=pa.int64()),
+            "__bv": pa.array(bv, type=pa.int64()),
+            "__sb": pa.array(bucket_of(bv, num_buckets, seed=seed),
+                             type=pa.int64()),
+            "__ph": pa.array(np.tile(ph, num_bands), type=pa.int64()),
+            key_col: pa.array(np.tile(keys, num_bands)),
+        })
+
+    return explode
+
+
+def phash_store_update(ds, store_dir: str, key_col: str, phash_col: str, *,
+                       num_bands: int = 4, num_buckets: int = 32,
+                       seed: int = 11) -> int:
+    """Banded NEAR-duplicate fingerprint store — the incremental sibling
+    of :func:`fingerprint_store_update` for perceptual hashes: history
+    images index under ``band=<i>/bb=<bucket of band value>`` so a new
+    batch probes only the partitions its own band values hash to
+    (pigeonhole: Hamming ≤ d with num_bands ≥ d+1 guarantees ≥1
+    IDENTICAL band, so band-equality candidates are exhaustive).
+
+    Each history row lands in num_bands partitions (~32 B each); the
+    exchange and the store are both O(num_bands · rows), never pixel
+    data.  Same idempotent first-entry-wins merge and atomic
+    tmp+rename writes as the exact store.  Returns new (band, value,
+    phash) entries added."""
+    from .partition import bucketed_map_groups
+
+    os.makedirs(store_dir, exist_ok=True)
+    rows = ds.select_columns([key_col, phash_col]).map_batches(
+        _explode_bands(key_col, phash_col, num_bands, num_buckets, seed),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # one task = one hash bucket of (band, sb) keys; a key never
+        # splits, so each (band, sb) subgroup here owns its file
+        df = t.select(["__band", "__bv", "__sb", "__ph", key_col]).to_pandas()
+        total = 0
+        for (band, b), grp in df.groupby(["__band", "__sb"], sort=False):
+            path = _phash_bucket_file(store_dir, int(band), int(b))
+            new = grp[["__bv", "__ph", key_col]]
+            if os.path.exists(path):
+                old = pq.read_table(path).to_pandas()
+                merged = pd.concat([old, new], ignore_index=True)
+                old_rows = len(old)
+            else:
+                merged, old_rows = new, 0
+            out = merged.drop_duplicates(["__bv", "__ph"], keep="first")
+            added = len(out) - old_rows
+            if added > 0:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+                pq.write_table(
+                    pa.Table.from_pandas(out, preserve_index=False), tmp)
+                os.replace(tmp, path)
+            total += added
+        return pa.table({"added": pa.array([total], type=pa.int64())})
+
+    report = bucketed_map_groups(rows, ["__band", "__sb"], merge_bucket,
+                                 num_buckets=num_buckets, seed=seed)
+    return int(sum(r["added"] for r in report.take_all()))
+
+
+def phash_store_hits(ds, store_dir: str, key_col: str, phash_col: str, *,
+                     max_distance: int = 2, num_bands: int = 4,
+                     num_buckets: int = 32, seed: int = 11):
+    """Probe the banded store: one row per input image whose phash is
+    within ``max_distance`` of ANY stored phash — ``(key, min_dist)``.
+    The probe exchange carries (band, value, bucket, phash, key) rows
+    for the NEW batch only; each (band, bucket) subgroup reads ITS
+    store partition, joins on band value (candidates), verifies with a
+    vectorized popcount, and emits hits.  Keys hit in several bands
+    dedupe to their min distance in a tiny second aggregation.
+    ``num_bands`` must exceed ``max_distance`` (pigeonhole) and match
+    the store's — loud error otherwise."""
+    from .dedup import popcount64
+    from .groupagg import grouped_aggregate
+    from .partition import bucketed_map_groups
+
+    if num_bands <= max_distance:
+        raise ValueError(
+            f"phash_store_hits: num_bands={num_bands} must exceed "
+            f"max_distance={max_distance} for exhaustive candidates")
+
+    rows = ds.select_columns([key_col, phash_col]).map_batches(
+        _explode_bands(key_col, phash_col, num_bands, num_buckets, seed),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def probe_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(["__band", "__bv", "__sb", "__ph", key_col]).to_pandas()
+        outs = []
+        for (band, b), grp in df.groupby(["__band", "__sb"], sort=False):
+            path = _phash_bucket_file(store_dir, int(band), int(b))
+            if not os.path.exists(path):
+                continue
+            store = pq.read_table(path, columns=["__bv", "__ph"]).to_pandas()
+            cand = grp[["__bv", "__ph", key_col]].merge(
+                store, on="__bv", suffixes=("", "_s"))
+            if cand.empty:
+                continue
+            d = popcount64(np.bitwise_xor(
+                cand["__ph"].to_numpy().astype(np.uint64),
+                cand["__ph_s"].to_numpy().astype(np.uint64)))
+            hit = d <= max_distance
+            if not hit.any():
+                continue
+            h = cand.loc[hit, [key_col]].copy()
+            h["__d"] = d[hit]
+            outs.append(h)
+        if not outs:
+            return pa.table({key_col: pa.array(
+                [], t.schema.field(key_col).type),
+                "__d": pa.array([], type=pa.int64())})
+        hits = (pd.concat(outs, ignore_index=True)
+                .groupby(key_col, sort=False)["__d"].min().reset_index())
+        return pa.Table.from_pandas(hits, preserve_index=False)
+
+    hits = bucketed_map_groups(rows, ["__band", "__sb"], probe_bucket,
+                               num_buckets=num_buckets, seed=seed)
+    return grouped_aggregate(hits, key_col, {"min_dist": ("__d", "min")},
+                             num_buckets=8)
+
+
+__all__ += ["phash_store_update", "phash_store_hits"]

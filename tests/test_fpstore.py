@@ -134,3 +134,80 @@ def test_incremental_refresh_composition(ray_session, tmp_path):
     assert out.doc_id.tolist() == [1, 100]
     assert out.change.tolist() == ["changed", "added"]
     assert out.text.tolist() == ["fresh1", "fresh100"]
+
+
+# ------------------------------------------------------------- phash store
+
+
+def _phash_df(hashes, start_id=0):
+    import pyarrow as pa
+
+    return rd.from_arrow(pa.Table.from_pandas(pd.DataFrame({
+        "iid": np.arange(start_id, start_id + len(hashes), dtype=np.int64),
+        "phash": np.asarray(hashes, dtype=np.int64),
+    })))
+
+
+def test_phash_store_probe_matches_bruteforce(ray_session, tmp_path):
+    from featureextraction_jl_ray.stages.dedup import popcount64
+    from featureextraction_jl_ray.stages.fpstore import (
+        phash_store_hits,
+        phash_store_update,
+    )
+
+    rng = np.random.default_rng(0)
+    hist = rng.integers(-2**63, 2**63, 300).astype(np.int64)
+    # new: 50 random + perturbations of history at distance 1, 2 and 3
+    new = list(rng.integers(-2**63, 2**63, 50).astype(np.int64))
+    new.append(hist[0] ^ (1 << 5))                     # d=1 → hit
+    new.append(hist[1] ^ (1 << 3) ^ (1 << 40))         # d=2 → hit
+    new.append(hist[2] ^ np.int64((1 << 1) ^ (1 << 2)) ^ np.int64(-2**63))  # d=3 → miss
+    new.append(hist[3])                                # d=0 → hit
+    new = np.asarray(new, dtype=np.int64)
+
+    store = str(tmp_path / "ph")
+    phash_store_update(_phash_df(hist), store, "iid", "phash",
+                       num_bands=4, num_buckets=8)
+    got = (phash_store_hits(_phash_df(new, start_id=1000), store,
+                            "iid", "phash", max_distance=2,
+                            num_bands=4, num_buckets=8)
+           .to_pandas().sort_values("iid", ignore_index=True))
+    # brute force over the full cross product
+    x = np.bitwise_xor(new[:, None].astype(np.uint64),
+                       hist[None, :].astype(np.uint64))
+    d = popcount64(x.reshape(-1)).reshape(len(new), len(hist))
+    want_hit = (d <= 2).any(axis=1)
+    want_min = d.min(axis=1)
+    assert got.iid.tolist() == (1000 + np.flatnonzero(want_hit)).tolist()
+    np.testing.assert_array_equal(got.min_dist.to_numpy(),
+                                  want_min[want_hit])
+
+
+def test_phash_store_update_idempotent(ray_session, tmp_path):
+    from featureextraction_jl_ray.stages.fpstore import (
+        phash_store_hits,
+        phash_store_update,
+    )
+
+    hist = np.arange(100, dtype=np.int64) * 1_000_003
+    store = str(tmp_path / "ph")
+    a1 = phash_store_update(_phash_df(hist), store, "iid", "phash",
+                            num_bands=4, num_buckets=8)
+    a2 = phash_store_update(_phash_df(hist), store, "iid", "phash",
+                            num_bands=4, num_buckets=8)
+    assert a1 > 0 and a2 == 0
+    # exact copies are found at distance 0
+    got = phash_store_hits(_phash_df(hist[:5], start_id=500), store,
+                           "iid", "phash", num_bands=4,
+                           num_buckets=8).to_pandas()
+    assert len(got) == 5 and (got.min_dist == 0).all()
+
+
+def test_phash_store_band_guard(ray_session, tmp_path):
+    import pytest
+
+    from featureextraction_jl_ray.stages.fpstore import phash_store_hits
+
+    with pytest.raises(ValueError, match="must exceed"):
+        phash_store_hits(_phash_df(np.array([1])), str(tmp_path), "iid",
+                         "phash", max_distance=4, num_bands=4)
