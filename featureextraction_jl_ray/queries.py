@@ -7045,6 +7045,64 @@ GROUP BY n.iid
 """
 
 
+def q_expectations(sf_dir):
+    """Declarative data-quality expectations suite over events — the
+    contract gate a table passes before training consumes it: not-null,
+    range, set-membership, regex and global-uniqueness rules evaluated
+    in ONE streaming pass of mergeable (violations, evaluated) partials
+    (uniqueness adds one bounded grouped-count exchange).  Rules are
+    chosen so some PASS and some FIRE: values above 100 violate the
+    range rule, 'error' events violate the set and regex rules
+    (stages/expect.py).  Exact integer counts; pass_rate = 1 − v/e in
+    identical float association both sides."""
+    from .stages.expect import expect
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    out = expect(ds, [
+        ("not_null", "value"),
+        ("in_range", "value", 0.0, 100.0),
+        ("in_set", "event_type", ["click", "view", "purchase", "signup"]),
+        ("matches", "event_type", "click|view|purchase|signup"),
+        ("unique", "event_id"),
+    ])
+    return out
+
+
+SQL_EXPECTATIONS = """
+WITH s AS (
+  SELECT count(*) AS n,
+         count(*) - count(value) AS nn_v,
+         sum(CASE WHEN value >= 0.0 AND value <= 100.0
+                  THEN 0 ELSE 1 END) AS rng_v,
+         sum(CASE WHEN event_type IN ('click','view','purchase','signup')
+                  THEN 0 ELSE 1 END) AS set_v,
+         sum(CASE WHEN regexp_full_match(
+                    event_type, 'click|view|purchase|signup')
+                  THEN 0 ELSE 1 END) AS re_v
+  FROM events
+), u AS (
+  SELECT CAST(sum(c) AS BIGINT) AS ev,
+         CAST(sum(c - 1) AS BIGINT) AS v
+  FROM (SELECT count(*) AS c FROM events GROUP BY event_id)
+)
+SELECT 'not_null' AS rule, 'value' AS "column",
+       CAST(n AS BIGINT) AS evaluated, CAST(nn_v AS BIGINT) AS violations,
+       1.0 - CAST(nn_v AS DOUBLE) / n AS pass_rate FROM s
+UNION ALL
+SELECT 'in_range', 'value', CAST(n AS BIGINT), CAST(rng_v AS BIGINT),
+       1.0 - CAST(rng_v AS DOUBLE) / n FROM s
+UNION ALL
+SELECT 'in_set', 'event_type', CAST(n AS BIGINT), CAST(set_v AS BIGINT),
+       1.0 - CAST(set_v AS DOUBLE) / n FROM s
+UNION ALL
+SELECT 'matches', 'event_type', CAST(n AS BIGINT), CAST(re_v AS BIGINT),
+       1.0 - CAST(re_v AS DOUBLE) / n FROM s
+UNION ALL
+SELECT 'unique', 'event_id', ev, v, 1.0 - CAST(v AS DOUBLE) / ev FROM u
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7435,6 +7493,7 @@ QUERIES = {
     "coalesce_lookup_events": q_coalesce_lookup,
     "incremental_refresh": q_incremental_refresh,
     "phash_store_probe": q_phash_store_probe,
+    "expectations_events": q_expectations,
 }
 
 ORACLE_SQL = {
@@ -7601,4 +7660,5 @@ ORACLE_SQL = {
     "coalesce_lookup_events": SQL_COALESCE_LOOKUP,
     "incremental_refresh": SQL_INCREMENTAL_REFRESH,
     "phash_store_probe": SQL_PHASH_STORE_PROBE,
+    "expectations_events": SQL_EXPECTATIONS,
 }
