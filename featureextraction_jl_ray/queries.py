@@ -7103,6 +7103,50 @@ SELECT 'unique', 'event_id', ev, v, 1.0 - CAST(v AS DOUBLE) / ev FROM u
 """
 
 
+def q_run_length(sf_dir):
+    """Gaps-and-islands streak detection per user: lengths of maximal
+    runs of CONSECUTIVE value>100 events in (ts, event_id) order — the
+    consecutive-anomaly operator ("N failures in a row").  One bucketed
+    exchange; island decomposition is one vectorized cumsum + bincount
+    per bucket (stages/window.py::run_length_stats).  The oracle is
+    the classic rn − rn_by_flag islands trick; all-integer, bit-exact;
+    users with no qualifying run are absent on both sides."""
+    from .stages.window import run_length_stats
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column("hot", pc.greater(t.column("value"), 100.0))
+
+    ds = ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    out = run_length_stats(ds, "user_id", "ts", "hot", min_run=3,
+                           num_buckets=32, tiebreak_cols=("event_id",))
+    return out.select_columns(["user_id", "n_runs", "max_run", "long_runs"])
+
+
+SQL_RUN_LENGTH = """
+WITH f AS (
+  SELECT user_id, ts, event_id, (value > 100.0) AS fl FROM events
+), w AS (
+  SELECT user_id, fl,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, fl
+                            ORDER BY ts, event_id) AS rnf
+  FROM f
+), runs AS (
+  SELECT user_id, count(*) AS len
+  FROM w WHERE fl GROUP BY user_id, rn - rnf
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS max_run,
+       CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS long_runs
+FROM runs GROUP BY user_id
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7494,6 +7538,7 @@ QUERIES = {
     "incremental_refresh": q_incremental_refresh,
     "phash_store_probe": q_phash_store_probe,
     "expectations_events": q_expectations,
+    "run_length_events": q_run_length,
 }
 
 ORACLE_SQL = {
@@ -7661,4 +7706,5 @@ ORACLE_SQL = {
     "incremental_refresh": SQL_INCREMENTAL_REFRESH,
     "phash_store_probe": SQL_PHASH_STORE_PROBE,
     "expectations_events": SQL_EXPECTATIONS,
+    "run_length_events": SQL_RUN_LENGTH,
 }

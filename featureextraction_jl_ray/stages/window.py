@@ -847,3 +847,63 @@ def funnel(ds, entity_col: str, ts_col: str, type_col: str, steps,
 
 
 __all__.append("funnel")
+
+
+def run_length_stats(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    flag_col: str,
+    *,
+    min_run: int = 3,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Gaps-and-islands run statistics per entity: lengths of maximal
+    runs of CONSECUTIVE flag=True events in time order — the
+    consecutive-anomaly / streak detector ("N failures in a row", "k
+    consecutive days active").  Emits one row per entity that has at
+    least one True run: (entity, n_runs, max_run, long_runs) where
+    ``long_runs`` counts runs of length ≥ ``min_run``.
+
+    One bucketed exchange (entities never split); inside a bucket the
+    island decomposition is fully vectorized: a run STARTS where the
+    flag is True and (previous row's flag is False, or the row opens a
+    new entity segment) — cumsum of starts numbers the islands, one
+    bincount measures them.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({entity_col: df[entity_col],
+                                 "n_runs": pd.Series(dtype=np.int64),
+                                 "max_run": pd.Series(dtype=np.int64),
+                                 "long_runs": pd.Series(dtype=np.int64)})
+        fl = df[flag_col].fillna(False).to_numpy(dtype=bool)
+        ent = df[entity_col].to_numpy()
+        new_ent = np.ones(len(df), dtype=bool)
+        new_ent[1:] = ent[1:] != ent[:-1]
+        prev_false = np.ones(len(df), dtype=bool)
+        prev_false[1:] = ~fl[:-1]
+        start = fl & (prev_false | new_ent)
+        island = np.cumsum(start) - 1          # id per True row; -1 pad ok
+        lens = np.bincount(island[fl]) if fl.any() else np.empty(0, np.int64)
+        if not fl.any():
+            return pd.DataFrame({entity_col: ent[:0], "n_runs": [],
+                                 "max_run": [], "long_runs": []})
+        run_ent = ent[start]                   # entity of each run, in order
+        out = (pd.DataFrame({entity_col: run_ent, "__len": lens})
+               .groupby(entity_col, sort=False)["__len"]
+               .agg(n_runs="size", max_run="max",
+                    long_runs=lambda s: int((s >= min_run).sum()))
+               .reset_index())
+        out["n_runs"] = out["n_runs"].astype(np.int64)
+        out["max_run"] = out["max_run"].astype(np.int64)
+        out["long_runs"] = out["long_runs"].astype(np.int64)
+        return out
+
+    return sorted_scan(ds, entity_col, ts_col, fn, num_buckets=num_buckets,
+                       tiebreak_cols=tiebreak_cols)
+
+
+__all__.append("run_length_stats")

@@ -1246,3 +1246,61 @@ def test_scd2_join_all_facts_survive(ray_session):
     exp = facts.u.astype(str).where(want_live, None)
     assert (got.tier.fillna("-") ==
             (facts.u % 3).astype(str).where(want_live, "-")).all()
+
+
+# ---------------------------------------------------------------- runs
+
+
+def test_run_length_stats_bruteforce(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import run_length_stats
+
+    rng = np.random.default_rng(5)
+    n = 600
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype=np.int64),
+        "u": rng.integers(0, 20, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.permutation(n) * 60, unit="s"),
+        "hot": rng.random(n) < 0.45,
+    })
+    got = (run_length_stats(
+        rd.from_arrow(pa.Table.from_pandas(df)), "u", "ts", "hot",
+        min_run=3, num_buckets=4, tiebreak_cols=("eid",))
+        .to_pandas().sort_values("u", ignore_index=True))
+    # brute force
+    rows = []
+    for u, g in df.sort_values(["u", "ts", "eid"]).groupby("u"):
+        runs, cur = [], 0
+        for v in g.hot:
+            if v:
+                cur += 1
+            elif cur:
+                runs.append(cur); cur = 0
+        if cur:
+            runs.append(cur)
+        if runs:
+            rows.append({"u": u, "n_runs": len(runs), "max_run": max(runs),
+                         "long_runs": sum(r >= 3 for r in runs)})
+    want = pd.DataFrame(rows).sort_values("u", ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_run_length_stats_edges(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import run_length_stats
+
+    # entity with zero true rows is absent; all-true entity = one run
+    df = pd.DataFrame({
+        "eid": np.arange(6, dtype=np.int64),
+        "u": np.array([1, 1, 1, 2, 2, 2], dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(6), unit="s"),
+        "hot": [False, False, False, True, True, True],
+    })
+    got = run_length_stats(rd.from_arrow(pa.Table.from_pandas(df)),
+                           "u", "ts", "hot", min_run=3,
+                           num_buckets=2, tiebreak_cols=("eid",)
+                           ).to_pandas()
+    assert got.u.tolist() == [2]
+    assert got.iloc[0][["n_runs", "max_run", "long_runs"]].tolist() == [1, 3, 1]
