@@ -109,8 +109,11 @@ def expect(ds, rules, *, num_buckets: int = 16) -> pd.DataFrame:
         cnt = grouped_aggregate(
             ds.select_columns([col]), col, {"__n": (col, "count")},
             num_buckets=num_buckets).to_pandas()
-        ev = int(cnt["__n"].sum())
-        viol = int((cnt["__n"] - 1).clip(lower=0).sum())
+        if cnt.empty:  # empty input loses its schema through block elision
+            ev, viol = 0, 0
+        else:
+            ev = int(cnt["__n"].sum())
+            viol = int((cnt["__n"] - 1).clip(lower=0).sum())
         rows.append({"rule": "unique", "column": col, "evaluated": ev,
                      "violations": viol,
                      "pass_rate": 1.0 - viol / ev if ev else 1.0})
