@@ -26,7 +26,29 @@ def stable_hash_array(values, seed: int = 0) -> np.ndarray:
     if arr.dtype.kind in "iuf":
         h = pd.util.hash_array(arr)
     else:
-        h = pd.util.hash_array(arr.astype(object))
+        obj = arr.astype(object)
+        # pandas' string hash table truncates at embedded NUL bytes
+        # ("a\x00b" hashes like "a" — pandas 2.2 khash uses C-string
+        # semantics), which would equate distinct contents in every
+        # fingerprint / dedup identity.  Escape affected values
+        # injectively before hashing: \x01 → \x01\x01, \x00 → \x01\x02
+        # (no output contains NUL; distinct inputs stay distinct).
+        # The scan is one vectorized pass; the rewrite touches only
+        # rows that actually contain NUL/SOH (approximately none).
+        s = pd.Series(obj)
+        try:
+            has = s.str.contains("[\x00\x01]", regex=True)
+            mask = has.fillna(False).to_numpy(dtype=bool)
+        except (AttributeError, TypeError):
+            # non-string object array (dates, tuples, …): nothing to
+            # escape — the C-string truncation only bites str values
+            mask = np.zeros(len(s), dtype=bool)
+        if mask.any():
+            fixed = (s[mask].str.replace("\x01", "\x01\x01", regex=False)
+                     .str.replace("\x00", "\x01\x02", regex=False))
+            obj = obj.copy()
+            obj[mask] = fixed.to_numpy(dtype=object)
+        h = pd.util.hash_array(obj)
     if seed:
         h = (h ^ np.uint64(seed)) * _MIX
         h ^= h >> np.uint64(33)

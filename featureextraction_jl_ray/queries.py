@@ -7147,6 +7147,112 @@ FROM runs GROUP BY user_id
 """
 
 
+def q_psi_timeline(sf_dir):
+    """Temporal drift monitor: PSI of event value between each calendar
+    day and the previous observed day (fixed 25-wide bins ×20, add-0.5
+    smoothing so empty bins never ±inf) — "did yesterday's ingest shift
+    the distribution?".  One bounded (day, bin)-count exchange; the
+    driver sees days×20 cells (stages/profile.py::psi_timeline).
+    1e-6 grid (numpy pairwise sum vs SQL sum ulps)."""
+    from .stages.profile import psi_timeline
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+    out = psi_timeline(ds, "ts", "value", bin_width=25.0, n_bins=20)
+    out["day"] = out["day"].map(lambda d: d.isoformat())
+    out["psi"] = np.round(out["psi"], 6) + 0.0
+    return out
+
+
+SQL_PSI_TIMELINE = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         GREATEST(LEAST(CAST(floor(value / 25.0) AS BIGINT), 19), 0) AS bin
+  FROM events
+), c AS (SELECT d, bin, count(*) AS n FROM b GROUP BY 1, 2),
+tot AS (SELECT d, sum(n) AS tn FROM c GROUP BY 1),
+dl AS (SELECT d, lag(d) OVER (ORDER BY d) AS pd
+       FROM (SELECT DISTINCT d FROM c)),
+grid AS (SELECT t.d, g.bin
+         FROM (SELECT DISTINCT d FROM c) t
+         CROSS JOIN (SELECT unnest(range(20)) AS bin) g),
+p AS (SELECT grid.d, grid.bin,
+             (coalesce(c.n, 0) + 0.5) / (tot.tn + 10.0) AS pr
+      FROM grid JOIN tot ON tot.d = grid.d
+      LEFT JOIN c ON c.d = grid.d AND c.bin = grid.bin),
+pairs AS (SELECT dl.d, cur.pr AS pc_, prv.pr AS pp
+          FROM dl
+          JOIN p cur ON cur.d = dl.d
+          JOIN p prv ON prv.d = dl.pd AND prv.bin = cur.bin
+          WHERE dl.pd IS NOT NULL)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       ROUND(sum((pc_ - pp) * ln(pc_ / pp)), 6) + 0.0 AS psi
+FROM pairs GROUP BY d
+"""
+
+
+def q_markov_features(sf_dir):
+    """Per-event Markov transition-probability feature: for every event
+    with a predecessor, p_trans = P(cur_type | prev_type) from the
+    GLOBAL first-order transition matrix — the sequence-plausibility
+    signal ("how expected was this step?").  Two passes sharing the
+    lag exchange: the 25-cell matrix fits the driver and broadcasts
+    into a vectorized index_in lookup per batch.  BIT-exact (both
+    sides divide the same exact integer counts)."""
+    from .stages.groupagg import grouped_aggregate
+    from .stages.window import with_lag
+
+    ds = _events(sf_dir).select_columns(
+        ["event_id", "user_id", "ts", "event_type"])
+    lagged = with_lag(ds, "user_id", "ts", ["event_type"], k=1,
+                      num_buckets=32, tiebreak_cols=("event_id",))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("lag1_event_type")))
+        # '|' separator: event types are alphabetic, and pandas groupby
+        # (inside grouped_aggregate) merges NUL-containing keys
+        key = pc.binary_join_element_wise(
+            t.column("lag1_event_type"), t.column("event_type"), "|")
+        return pa.table({"event_id": t.column("event_id"), "__k": key})
+
+    pairs = lagged.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    m = grouped_aggregate(pairs, "__k", {"n": ("__k", "count")},
+                          num_buckets=8).to_pandas()
+    prev = m["__k"].str.split("|").str[0]
+    tn = m.groupby(prev)["n"].transform("sum")
+    probs = (m["n"].to_numpy(dtype=np.float64)
+             / tn.to_numpy(dtype=np.float64))
+    keys = pa.array(m["__k"].tolist(), type=pa.string())
+    parr = pa.array(probs, type=pa.float64())
+
+    def attach(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("__k"), value_set=keys)
+        return pa.table({"event_id": t.column("event_id"),
+                         "p_trans": pc.take(parr, idx)})
+
+    return pairs.map_batches(attach, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+SQL_MARKOV_FEATURES = """
+WITH lagd AS (
+  SELECT event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), m AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM lagd WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), rt AS (SELECT prev_type, sum(n) AS tn FROM m GROUP BY 1)
+SELECT l.event_id, CAST(m.n AS DOUBLE) / rt.tn AS p_trans
+FROM lagd l
+JOIN m ON m.prev_type = l.prev_type AND m.event_type = l.event_type
+JOIN rt ON rt.prev_type = l.prev_type
+WHERE l.prev_type IS NOT NULL
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7539,6 +7645,8 @@ QUERIES = {
     "phash_store_probe": q_phash_store_probe,
     "expectations_events": q_expectations,
     "run_length_events": q_run_length,
+    "psi_timeline_events": q_psi_timeline,
+    "markov_features": q_markov_features,
 }
 
 ORACLE_SQL = {
@@ -7707,4 +7815,6 @@ ORACLE_SQL = {
     "phash_store_probe": SQL_PHASH_STORE_PROBE,
     "expectations_events": SQL_EXPECTATIONS,
     "run_length_events": SQL_RUN_LENGTH,
+    "psi_timeline_events": SQL_PSI_TIMELINE,
+    "markov_features": SQL_MARKOV_FEATURES,
 }

@@ -99,6 +99,23 @@ def grouped_aggregate(ds, key_cols, aggs: dict[str, tuple[str, str]], *, num_buc
         out[name] = fo[vcol]
 
     def partial(batch: pa.Table) -> pa.Table:
+        # pandas' string hash table truncates at embedded NUL (2.2 khash
+        # C-string semantics): groupby would silently MERGE distinct
+        # keys like "a\x00b" and "a\x00c".  Keys are short — one C scan;
+        # a loud error beats a silently wrong aggregate.
+        for kc in key_cols:
+            col = batch.column(kc)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(
+                    col.type):
+                import pyarrow.compute as _pc
+
+                bad = _pc.any(_pc.match_substring(col, "\x00")).as_py()
+                if bad:
+                    raise ValueError(
+                        f"grouped_aggregate: key column {kc!r} contains an "
+                        "embedded NUL byte — pandas groupby merges such "
+                        "keys (C-string hash table); strip or escape NULs "
+                        "upstream")
         df = arrow_to_pandas_safe(batch)
         g = df.groupby(key_cols, sort=False, dropna=False)
         out = pd.DataFrame(index=g.size().index)

@@ -342,3 +342,59 @@ def anova_f(ds, group_col: str, value_col: str, *,
 
 
 __all__.append("anova_f")
+
+
+def psi_timeline(ds, ts_col: str, value_col: str, *,
+                 bin_width: float = 25.0, n_bins: int = 20,
+                 eps: float = 0.5, num_buckets: int = 16) -> pd.DataFrame:
+    """Temporal drift monitor: population-stability index of a numeric
+    column between each calendar day and the PREVIOUS observed day —
+    the ops dashboard behind "did yesterday's ingest shift the
+    distribution?" (the timeline extension of
+    :func:`population_stability`).
+
+    Fixed equal-width bins (``bin_width`` × ``n_bins``, last bin
+    clamps overflow); one bounded (day, bin)-count exchange via
+    map-side partials; the driver sees days × n_bins cells.  PSI uses
+    add-``eps`` smoothing per cell (denominator + eps·n_bins) so
+    empty bins never produce ±inf.  Returns (day, psi) for every day
+    with a predecessor, day-ascending."""
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_aggregate
+
+    def widen(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t.column(ts_col), unit="day"),
+                      pa.date32())
+        v = pc.cast(t.column(value_col), pa.float64())
+        bin_ = pc.min_element_wise(
+            pc.cast(pc.floor(pc.divide(v, bin_width)), pa.int64()),
+            pa.scalar(n_bins - 1, pa.int64()))
+        bin_ = pc.max_element_wise(bin_, pa.scalar(0, pa.int64()))
+        return pa.table({"__day": day, "__bin": bin_})
+
+    cnt = grouped_aggregate(
+        ds.select_columns([ts_col, value_col])
+          .map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        ["__day", "__bin"], {"__n": ("__bin", "count")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if cnt.empty:
+        return pd.DataFrame({"day": pd.Series(dtype="object"),
+                             "psi": pd.Series(dtype="float64")})
+    days = np.sort(cnt["__day"].unique())
+    # dense (day, bin) grid so empty bins participate via smoothing
+    grid = (cnt.set_index(["__day", "__bin"])["__n"]
+            .reindex(pd.MultiIndex.from_product(
+                [days, range(n_bins)], names=["__day", "__bin"]),
+                fill_value=0)
+            .unstack())                       # days × n_bins
+    n = grid.to_numpy(dtype=np.float64)
+    tot = n.sum(axis=1, keepdims=True)
+    p = (n + eps) / (tot + eps * n_bins)
+    cur, prv = p[1:], p[:-1]
+    psi = ((cur - prv) * np.log(cur / prv)).sum(axis=1)
+    return pd.DataFrame({"day": days[1:], "psi": psi})
+
+
+__all__.append("psi_timeline")

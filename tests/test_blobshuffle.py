@@ -113,3 +113,51 @@ def test_bucketed_map_groups_colocates_keys(ray_session):
     import pandas as pd
     exp = tbl.to_pandas().groupby("k")["v"].sum()
     assert np.allclose(got.sort_values("k").s.to_numpy(), exp.to_numpy())
+
+
+# ---------------------------------------------------------------- NUL keys
+
+
+def test_stable_hash_nul_injective():
+    import numpy as np
+
+    from featureextraction_jl_ray.functions.hashing import stable_hash_array
+
+    # pandas' khash truncates C-strings at NUL; the escape must keep
+    # distinct values distinct and non-NUL values unchanged
+    vals = np.array(["a", "a\x00b", "a\x00c", "a\x01b", "a\x01\x02b"],
+                    dtype=object)
+    h = stable_hash_array(vals)
+    assert len(set(h.tolist())) == len(vals)
+    plain = np.array(["a", "xyz"], dtype=object)
+    # stability: same values hash identically across calls
+    np.testing.assert_array_equal(stable_hash_array(plain),
+                                  stable_hash_array(plain))
+
+
+def test_stable_hash_non_string_objects_still_work():
+    import datetime
+
+    import numpy as np
+
+    from featureextraction_jl_ray.functions.hashing import stable_hash_array
+
+    dates = np.array([datetime.date(2024, 1, 1),
+                      datetime.date(2024, 1, 2)], dtype=object)
+    h = stable_hash_array(dates)
+    assert h[0] != h[1]
+
+
+def test_grouped_aggregate_nul_key_is_loud(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.groupagg import grouped_aggregate
+
+    df = pd.DataFrame({"k": ["a\x00b", "a\x00c", "a"], "v": [1, 1, 1]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    with pytest.raises(Exception, match="NUL"):
+        grouped_aggregate(ds, "k", {"n": ("v", "count")},
+                          num_buckets=4).to_pandas()
