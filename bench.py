@@ -190,6 +190,13 @@ def run_bench() -> dict:
         # round-5 addition: the task-based join plan next to the native
         # one (hash_join_agg) — same logical query, no actor spawn
         "bucketed_join_agg",
+        # round-5 continuation: CDC diff, survival labels, ordered
+        # prefix-max, and the incremental store probe — the new
+        # exchange shapes, timed per round like everything else
+        "snapshot_diff",
+        "survival_labels",
+        "watermark_events",
+        "incremental_dedup",
     ]
     if not os.environ.get("FX_SKIP_QUERIES"):
         # min-of-2 per query (VERDICT r4 #7): the driver samples whatever
