@@ -7253,6 +7253,46 @@ WHERE l.prev_type IS NOT NULL
 """
 
 
+def q_pmi_collocations(sf_dir):
+    """Top-20 collocations by pointwise mutual information over adjacent
+    token bigrams of the documents corpus (min bigram count 5) — the
+    phrase detector feeding tokenizer merges.  Bigram/unigram counts
+    combine map-side; min_count prunes the bigram table DISTRIBUTED;
+    selection orders on the 1e-6-ROUNDED pmi with (w1, w2) tiebreak so
+    the top-k boundary is ulp-stable on both sides
+    (stages/vectorize.py::pmi_collocations)."""
+    from .stages.vectorize import pmi_collocations
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return pmi_collocations(ds, "text", min_count=5, top_k=20)
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+         unnest(generate_series(
+           1, len(string_split_regex(trim(lower(text)), '\s+')))) AS ord
+  FROM documents WHERE trim(text) <> ''
+), bi AS (
+  SELECT a.tok AS w1, b.tok AS w2, count(*) AS n_ab
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  GROUP BY 1, 2
+), tot AS (SELECT sum(n_ab) AS nb FROM bi),
+uni AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+SELECT bi.w1, bi.w2, CAST(bi.n_ab AS BIGINT) AS n_ab,
+       ROUND(ln(CAST(tot.nb AS DOUBLE) * bi.n_ab / (u1.n * u2.n)), 6)
+         + 0.0 AS pmi
+FROM bi CROSS JOIN tot
+JOIN uni u1 ON u1.tok = bi.w1
+JOIN uni u2 ON u2.tok = bi.w2
+WHERE bi.n_ab >= 5
+ORDER BY pmi DESC, bi.w1, bi.w2
+LIMIT 20
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7647,6 +7687,7 @@ QUERIES = {
     "run_length_events": q_run_length,
     "psi_timeline_events": q_psi_timeline,
     "markov_features": q_markov_features,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 ORACLE_SQL = {
@@ -7817,4 +7858,5 @@ ORACLE_SQL = {
     "run_length_events": SQL_RUN_LENGTH,
     "psi_timeline_events": SQL_PSI_TIMELINE,
     "markov_features": SQL_MARKOV_FEATURES,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
 }

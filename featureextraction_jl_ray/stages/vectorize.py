@@ -333,3 +333,86 @@ def rrf_fuse(channels, *, id_col: str = "doc_id", score_col: str = "score",
 
 
 __all__.append("rrf_fuse")
+
+
+def pmi_collocations(ds, text_col: str = "text", *, min_count: int = 5,
+                     top_k: int = 20, num_buckets: int = 16,
+                     max_vocab: int = 5_000_000, ndigits: int = 6):
+    """Top-k collocations by pointwise mutual information over adjacent
+    token bigrams — the corpus-level phrase detector ("new york",
+    "machine learning") feeding tokenizer merges and phrase features:
+
+        pmi(a, b) = ln( N · n_ab / (n_a · n_b) )
+
+    with the `\\S+` lowercase tokenization every SQL-mirrored text op
+    here uses.  Exchange plan: per-block bigram/unigram counts combine
+    map-side (grouped_aggregate partials), `min_count` prunes the
+    bigram table DISTRIBUTED before anything is pulled, unigram counts
+    broadcast under a loud ``max_vocab`` guard, and the pruned scored
+    table sorts on (rounded pmi, w1, w2) so the top-k selection is
+    deterministic under float ulps (both sides order on the same grid).
+    Returns a pandas DataFrame (w1, w2, n_ab, pmi) of ≤ top_k rows.
+    """
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_aggregate
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas()
+        toks = texts.str.lower().str.findall(r"\S+")
+        w1, w2 = [], []
+        for t in toks:
+            if t and len(t) > 1:
+                w1.extend(t[:-1])
+                w2.extend(t[1:])
+        return pa.table({"w1": pa.array(w1, type=pa.string()),
+                         "w2": pa.array(w2, type=pa.string())})
+
+    def unigrams(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas()
+        flat = texts.str.lower().str.findall(r"\S+").explode().dropna()
+        return pa.table({"tok": pa.array(flat.tolist(), type=pa.string())})
+
+    src = ds.select_columns([text_col])
+    bi = grouped_aggregate(
+        src.map_batches(bigrams, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["w1", "w2"], {"n_ab": ("w1", "count")},
+        num_buckets=num_buckets).materialize()
+    # pinned once: N (the exact total) and the pruned candidates both
+    # read it, and the table is bounded by DISTINCT bigrams, not rows
+    uni = grouped_aggregate(
+        src.map_batches(unigrams, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        "tok", {"n": ("tok", "count")}, num_buckets=num_buckets).to_pandas()
+    if len(uni) > max_vocab:
+        raise ValueError(
+            f"pmi_collocations: vocab {len(uni)} exceeds max_vocab="
+            f"{max_vocab} — the unigram broadcast would not be small; "
+            "raise the cap deliberately or pre-filter tokens")
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_ab"), min_count))
+
+    cand = bi.map_batches(prune, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if len(cand) > 2_000_000:
+        raise ValueError(
+            f"pmi_collocations: {len(cand)} bigrams survive min_count="
+            f"{min_count} — the driver pull is not small; raise min_count")
+    n_total = int(bi.sum("n_ab"))  # distributed exact total
+    lut = dict(zip(uni["tok"], uni["n"].astype(np.int64)))
+    na = cand["w1"].map(lut).to_numpy(dtype=np.int64)
+    nb = cand["w2"].map(lut).to_numpy(dtype=np.int64)
+    nab = cand["n_ab"].to_numpy(dtype=np.int64)
+    pmi = np.log(np.float64(n_total) * nab / (na * nb))
+    out = cand[["w1", "w2"]].copy()
+    out["n_ab"] = nab
+    out["pmi"] = np.round(pmi, ndigits) + 0.0
+    out = out.sort_values(["pmi", "w1", "w2"],
+                          ascending=[False, True, True],
+                          ignore_index=True)
+    return out.head(top_k).reset_index(drop=True)
+
+
+__all__.append("pmi_collocations")

@@ -325,3 +325,55 @@ def test_rrf_fuse_ranks_ties_and_missing_channels(ray_session):
         7: round(1 / 63, 6),
     }
     assert 9 not in got
+
+
+# ---------------------------------------------------------------- pmi
+
+
+def test_pmi_collocations_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.vectorize import pmi_collocations
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(200):
+        words = list(rng.choice(vocab, 12))
+        if i % 2 == 0:
+            # plant the collocation: "alpha beta" always adjacent
+            words[3:3] = ["alpha", "beta"]
+        docs.append(" ".join(words))
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+    out = pmi_collocations(ds, "text", min_count=5, top_k=5, num_buckets=4)
+    assert (out.iloc[0][["w1", "w2"]].tolist() == ["alpha", "beta"])
+    assert out.iloc[0]["n_ab"] == 100
+    # pmi of the planted pair ~ ln(N / n_alpha) since beta follows alpha
+    # always; it must dominate the random pairs
+    assert out.iloc[0]["pmi"] > out.iloc[1]["pmi"] + 1.0
+
+
+def test_pmi_matches_bruteforce(ray_session):
+    import collections
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.vectorize import pmi_collocations
+
+    docs = ["a b c a b", "b c a b", "c c a b a"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+    out = pmi_collocations(ds, "text", min_count=1, top_k=100,
+                           num_buckets=2)
+    uni = collections.Counter(t for d in docs for t in d.split())
+    bi = collections.Counter(
+        (a, b) for d in docs
+        for a, b in zip(d.split()[:-1], d.split()[1:]))
+    n = sum(bi.values())
+    for _, r in out.iterrows():
+        want = math.log(float(n) * bi[(r.w1, r.w2)]
+                        / (uni[r.w1] * uni[r.w2]))
+        assert abs(r.pmi - round(want, 6)) < 1e-9, (r.w1, r.w2)
+    assert len(out) == len(bi)
