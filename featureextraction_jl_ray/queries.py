@@ -6739,6 +6739,7 @@ def q_corpus_overlap(sf_dir):
         "distinct_a": [o["distinct_a"]], "distinct_b": [o["distinct_b"]],
         "jaccard": [o["jaccard"]], "union_est": [o["union"]],
         "intersection_est": [o["intersection"]],
+        "a_not_b": [o["a_not_b"]], "b_not_a": [o["b_not_a"]],
     })
 
 
@@ -6757,7 +6758,9 @@ WITH a AS (SELECT DISTINCT user_id FROM events
      )
 SELECT na AS distinct_a, nb AS distinct_b,
        i / u AS jaccard, u AS union_est,
-       (i / u) * u AS intersection_est
+       (i / u) * u AS intersection_est,
+       na - (i / u) * u AS a_not_b,
+       nb - (i / u) * u AS b_not_a
 FROM s
 """
 
@@ -7293,6 +7296,57 @@ LIMIT 20
 """
 
 
+def q_chi2_terms(sf_dir):
+    """Per-term χ² feature selection: top-20 terms whose DOCUMENT
+    presence is most associated with English-ness (lang = 'en') —
+    the sklearn-chi2 classic, distributed: per-term (df_pos, df_neg)
+    partials combine map-side, min_df=10 prunes before the driver
+    pull, all intermediates exact int64 (BIGINT-mirrored), selection
+    on the 1e-6-rounded χ² with term tiebreak
+    (stages/vectorize.py::chi2_terms)."""
+    from .stages.vectorize import chi2_terms
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text", "lang"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({"text": t.column("text"),
+                         "is_en": pc.equal(t.column("lang"), "en")})
+
+    ds = ds.map_batches(lab, batch_format="pyarrow", zero_copy_batch=True)
+    return chi2_terms(ds, "text", "is_en", min_df=10, top_k=20)
+
+
+SQL_CHI2_TERMS = r"""
+WITH toks0 AS (
+  SELECT doc_id, (lang = 'en') AS pos,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), toks AS (SELECT DISTINCT doc_id, pos, tok FROM toks0),
+t AS (
+  SELECT tok,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS b
+  FROM toks GROUP BY tok HAVING count(*) >= 10
+), nn AS (
+  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nneg
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT t.tok AS term,
+       CAST(t.a AS BIGINT) AS df_pos, CAST(t.b AS BIGINT) AS df_neg,
+       ROUND(
+         CAST(nn.np + nn.nneg AS DOUBLE)
+         * ((t.a * (nn.nneg - t.b) - t.b * (nn.np - t.a))
+            * (t.a * (nn.nneg - t.b) - t.b * (nn.np - t.a)))
+         / ((t.a + t.b) * ((nn.np - t.a) + (nn.nneg - t.b))
+            * nn.np * nn.nneg), 6) + 0.0 AS chi2
+FROM t CROSS JOIN nn
+ORDER BY chi2 DESC, term
+LIMIT 20
+"""
+
+
 def q_url_normalize(sf_dir):
     """URL canonicalization — the url-dedup-key preprocessing of every
     crawl pipeline: lowercase scheme/host, strip fragments, default
@@ -7688,6 +7742,7 @@ QUERIES = {
     "psi_timeline_events": q_psi_timeline,
     "markov_features": q_markov_features,
     "pmi_collocations": q_pmi_collocations,
+    "chi2_terms": q_chi2_terms,
 }
 
 ORACLE_SQL = {
@@ -7859,4 +7914,5 @@ ORACLE_SQL = {
     "psi_timeline_events": SQL_PSI_TIMELINE,
     "markov_features": SQL_MARKOV_FEATURES,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "chi2_terms": SQL_CHI2_TERMS,
 }

@@ -80,10 +80,15 @@ def kmv_overlap(sk_a: np.ndarray, sk_b: np.ndarray, *,
     union_est = kmv_distinct(union_sk, k=k)
     both = np.isin(union_sk, sk_a) & np.isin(union_sk, sk_b)
     j = float(both.sum()) / len(union_sk) if len(union_sk) else 0.0
+    da, db = kmv_distinct(sk_a, k=k), kmv_distinct(sk_b, k=k)
+    inter = j * union_est
     return {
         "jaccard": j,
         "union": union_est,
-        "intersection": j * union_est,
-        "distinct_a": kmv_distinct(sk_a, k=k),
-        "distinct_b": kmv_distinct(sk_b, k=k),
+        "intersection": inter,
+        "distinct_a": da,
+        "distinct_b": db,
+        # set differences (|A\B|, |B\A|) — "how much is genuinely new"
+        "a_not_b": da - inter,
+        "b_not_a": db - inter,
     }

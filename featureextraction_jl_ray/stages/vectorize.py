@@ -416,3 +416,90 @@ def pmi_collocations(ds, text_col: str = "text", *, min_count: int = 5,
 
 
 __all__.append("pmi_collocations")
+
+
+def chi2_terms(ds, text_col: str, label_col: str, *, min_df: int = 10,
+               top_k: int = 20, num_buckets: int = 16,
+               ndigits: int = 6):
+    """Per-term χ² feature selection (the sklearn-chi2 classic over
+    text): rank terms by the 2×2 independence statistic between
+    DOCUMENT presence and a binary label,
+
+        χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+
+    with a/b = positive/negative docs CONTAINING the term and c/d the
+    complements.  `\\S+` lowercase tokenization, presence not
+    occurrences (distinct (doc, term)).  Per-term (df_pos, df_neg)
+    counts combine map-side; ``min_df`` prunes DISTRIBUTED before the
+    driver pull; selection orders on the 1e-6-rounded χ² with a term
+    tiebreak (ulp-stable cut).  All intermediates stay exact int64 —
+    the same association a BIGINT SQL mirror computes — before the one
+    final double division.  Returns (term, df_pos, df_neg, chi2)."""
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_aggregate
+
+    def widen(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas()
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False)
+        toks = texts.str.lower().str.findall(r"\S+")
+        terms, pos = [], []
+        for t, la in zip(toks, lab):
+            if t:
+                uniq = set(t)
+                terms.extend(uniq)
+                pos.extend([bool(la)] * len(uniq))
+        p = np.asarray(pos, dtype=np.int64)
+        return pa.table({"term": pa.array(terms, type=pa.string()),
+                         "__p": pa.array(p, type=pa.int64()),
+                         "__n": pa.array(1 - p, type=pa.int64())})
+
+    src = ds.select_columns([text_col, label_col])
+    per_term = grouped_aggregate(
+        src.map_batches(widen, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        "term", {"df_pos": ("__p", "sum"), "df_neg": ("__n", "sum")},
+        num_buckets=num_buckets)
+
+    def prune(t: pa.Table) -> pa.Table:
+        tot = pc.add(t.column("df_pos"), t.column("df_neg"))
+        return t.filter(pc.greater_equal(tot, min_df))
+
+    cand = per_term.map_batches(prune, batch_format="pyarrow",
+                                zero_copy_batch=True).to_pandas()
+
+    def doc_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas()
+        nonempty = texts.str.strip().str.len() > 0
+        lab = pd.Series(batch.column(label_col)
+                        .to_numpy(zero_copy_only=False)).astype(bool)
+        return pa.table({
+            "np": pa.array([int((nonempty & lab).sum())], pa.int64()),
+            "nn": pa.array([int((nonempty & ~lab).sum())], pa.int64()),
+        })
+
+    tot = src.map_batches(doc_counts, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          batch_size=None).to_pandas().sum()
+    n_pos, n_neg = int(tot["np"]), int(tot["nn"])
+    n = n_pos + n_neg
+
+    a = cand["df_pos"].to_numpy(dtype=np.int64)
+    b = cand["df_neg"].to_numpy(dtype=np.int64)
+    c = n_pos - a
+    d = n_neg - b
+    diff = a * d - b * c                      # exact int64 (BIGINT mirror)
+    num = np.float64(n) * (diff * diff)
+    den = (a + b) * (c + d) * np.int64(n_pos) * np.int64(n_neg)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi2 = np.where(den > 0, num / den, np.nan)
+    out = cand[["term"]].copy()
+    out["df_pos"] = a
+    out["df_neg"] = b
+    out["chi2"] = np.round(chi2, ndigits) + 0.0
+    out = out.sort_values(["chi2", "term"], ascending=[False, True],
+                          ignore_index=True)
+    return out.head(top_k).reset_index(drop=True)
+
+
+__all__.append("chi2_terms")

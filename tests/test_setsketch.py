@@ -57,6 +57,8 @@ def test_overlap_planted(ray_session):
     assert o["union"] == 5000.0
     assert abs(o["jaccard"] - 0.4) < 1e-12
     assert abs(o["intersection"] - 2000.0) < 1e-9
+    assert abs(o["a_not_b"] - 2000.0) < 1e-9   # |A\B| = 4000 − 2000
+    assert abs(o["b_not_a"] - 1000.0) < 1e-9
     # saturated overlap stays within tolerance
     K2 = 512
     o2 = kmv_overlap(kmv_sketch(_ds(a_vals), "v", k=K2),
@@ -70,5 +72,7 @@ def test_disjoint_and_identical(ray_session):
     b = kmv_sketch(_ds(np.arange(100, 200, dtype=np.int64)), "v", k=256)
     o = kmv_overlap(a, b, k=256)
     assert o["jaccard"] == 0.0 and o["intersection"] == 0.0
+    assert o["a_not_b"] == 100.0 and o["b_not_a"] == 100.0
     o_same = kmv_overlap(a, a, k=256)
     assert o_same["jaccard"] == 1.0 and o_same["union"] == 100.0
+    assert o_same["a_not_b"] == 0.0 and o_same["b_not_a"] == 0.0

@@ -377,3 +377,49 @@ def test_pmi_matches_bruteforce(ray_session):
                         / (uni[r.w1] * uni[r.w2]))
         assert abs(r.pmi - round(want, 6)) < 1e-9, (r.w1, r.w2)
     assert len(out) == len(bi)
+
+
+# ---------------------------------------------------------------- chi2
+
+
+def test_chi2_terms_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.vectorize import chi2_terms
+
+    rng = np.random.default_rng(1)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for i in range(400):
+        pos = i % 2 == 0
+        words = list(rng.choice(vocab, 10))
+        if pos:
+            words.append("signalword")   # only in positive docs
+        rows.append({"text": " ".join(words), "y": pos})
+    df = pd.DataFrame(rows)
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    out = chi2_terms(ds, "text", "y", min_df=5, top_k=5, num_buckets=4)
+    assert out.iloc[0]["term"] == "signalword"
+    assert out.iloc[0]["df_pos"] == 200 and out.iloc[0]["df_neg"] == 0
+    # perfectly separating term: chi2 = N
+    assert out.iloc[0]["chi2"] == 400.0
+    # background vocab is independent of the label → far smaller chi2
+    assert out.iloc[1]["chi2"] < 30.0
+
+
+def test_chi2_terms_presence_not_occurrence(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.vectorize import chi2_terms
+
+    # the same term repeated 50× in one doc counts once
+    df = pd.DataFrame({
+        "text": ["spam " * 50] * 3 + ["ham"] * 3,
+        "y": [True] * 3 + [False] * 3,
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    out = chi2_terms(ds, "text", "y", min_df=1, top_k=10, num_buckets=2)
+    spam = out[out.term == "spam"].iloc[0]
+    assert spam.df_pos == 3 and spam.df_neg == 0
