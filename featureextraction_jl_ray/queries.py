@@ -7536,6 +7536,122 @@ FROM sc
 """
 
 
+def q_pagerank_custsupp(sf_dir):
+    """Graph centrality for entity weighting: fixed-3-iteration weighted
+    PageRank over the customer↔supplier interaction graph (edges =
+    distinct (cust, supp) pairs from orders⋈lineitem, weight = pair
+    frequency, symmetrized so no node dangles) — the corpus-curation
+    pattern of ranking sources by interaction centrality (Common Crawl
+    domain ranking class).  Engine: ``stages.graph.pagerank`` — rank
+    vector stays a Dataset; each of the K=3 synchronous iterations is
+    one bucketed join + one keyed partial-agg; per-edge contribution
+    factors d·w/outdeg precomputed once.  Oracle: the SAME K iterations
+    unrolled as SQL CTEs.  1e-9 grid (ranks are O(1/N); summation-order
+    ulp drift ~1e-16).
+
+    This gate query takes the reduce-then-fit path
+    (``stages.graph.pagerank_table``): the row-scale interactions
+    reduce to one weighted edge per distinct (cust, supp) pair in ONE
+    partial-aggregated exchange — bounded by entity-pair cardinality —
+    and the K iterations run vectorized on that model-sized table, the
+    same fit shape as PCA moments / k-means centroids.  The
+    unbounded-node-set sibling (``stages.graph.pagerank``, rank vector
+    stays a Dataset) is pytest-verified against a dense oracle in
+    ``tests/test_graph.py``."""
+    from .stages.graph import pagerank_table
+    from .stages.groupagg import grouped_aggregate
+    from .stages.joins import bucketed_hash_join
+
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    j = bucketed_hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_types={"l_orderkey": pa.int64(), "l_suppkey": pa.int64()},
+        right_types={"o_orderkey": pa.int64(), "o_custkey": pa.int64()},
+    )
+
+    def mk_edge(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.binary_join_element_wise(
+            "c", pc.cast(b.column("o_custkey"), pa.string()), "")
+        s = pc.binary_join_element_wise(
+            "s", pc.cast(b.column("l_suppkey"), pa.string()), "")
+        return pa.table({"src": c, "dst": s})
+
+    pairs = grouped_aggregate(
+        j.map_batches(mk_edge, batch_format="pyarrow", zero_copy_batch=True),
+        ["src", "dst"], {"w": ("src", "count")}, num_buckets=32,
+    )
+
+    tbl = pa.concat_tables(
+        list(pairs.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    sym = pa.concat_tables([
+        tbl,
+        pa.table({"src": tbl.column("dst"), "dst": tbl.column("src"),
+                  "w": tbl.column("w")}),
+    ])
+    ranks = pagerank_table(sym, src_col="src", dst_col="dst",
+                           weight_col="w", damping=0.85, iters=3,
+                           out_col="rank")
+    r = np.round(ranks.column("rank").to_numpy(zero_copy_only=False), 9)
+    return pa.table({"node": ranks.column("node"), "rank": pa.array(r)})
+
+
+SQL_PAGERANK_CUSTSUPP = """
+WITH pairs AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         COUNT(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT src, dst, CAST(w AS DOUBLE) AS w FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst, CAST(w AS DOUBLE) AS w FROM pairs
+),
+outdeg AS (SELECT src, SUM(w) AS od FROM sym GROUP BY src),
+e AS (SELECT s.src, s.dst, 0.85 * s.w / o.od AS c
+      FROM sym s JOIN outdeg o ON s.src = o.src),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+i1 AS (
+  SELECT nd.node,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+           + COALESCE(SUM(e.c * r.r), 0.0) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.node
+  LEFT JOIN r0 r ON r.node = e.src
+  GROUP BY nd.node
+),
+i2 AS (
+  SELECT nd.node,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+           + COALESCE(SUM(e.c * r.r), 0.0) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.node
+  LEFT JOIN i1 r ON r.node = e.src
+  GROUP BY nd.node
+),
+i3 AS (
+  SELECT nd.node,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+           + COALESCE(SUM(e.c * r.r), 0.0) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.dst = nd.node
+  LEFT JOIN i2 r ON r.node = e.src
+  GROUP BY nd.node
+)
+SELECT node, ROUND(r, 9) AS rank FROM i3
+"""
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-5 rotation retires every oracled query
@@ -7743,6 +7859,7 @@ QUERIES = {
     "markov_features": q_markov_features,
     "pmi_collocations": q_pmi_collocations,
     "chi2_terms": q_chi2_terms,
+    "pagerank_custsupp": q_pagerank_custsupp,
 }
 
 ORACLE_SQL = {
@@ -7915,4 +8032,5 @@ ORACLE_SQL = {
     "markov_features": SQL_MARKOV_FEATURES,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "chi2_terms": SQL_CHI2_TERMS,
+    "pagerank_custsupp": SQL_PAGERANK_CUSTSUPP,
 }
