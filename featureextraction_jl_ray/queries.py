@@ -7602,6 +7602,106 @@ def q_pagerank_custsupp(sf_dir):
     return pa.table({"node": ranks.column("node"), "rank": pa.array(r)})
 
 
+def q_loo_encode_events(sf_dir):
+    """Leave-one-out target encoding — the leakage-safe training-row
+    encoder: te_i = (Σ_cat − y_i)/(n_cat − 1), global-mean fallback for
+    singleton categories.  Category = (event_type, user, floor(value)%50)
+    composite, chosen so BOTH paths provably fire at gate scale
+    (sf0.01: 7478 singleton cats / 1197 multi).  One bounded fit
+    exchange + broadcast probe (stages/encode.py loo_target_encode);
+    1e-6 grid with the +0.0 signed-zero canonicalization both sides."""
+    from .stages.encode import loo_target_encode
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "user_id",
+                                     "value"])
+
+    def key(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        vb = pa.array(np.floor(v).astype(np.int64) % 50)
+        k = pc.binary_join_element_wise(
+            b.column("event_type"), pc.cast(b.column("user_id"), pa.string()),
+            pc.cast(vb, pa.string()), "#")
+        return pa.table({"event_id": b.column("event_id"), "ckey": k,
+                         "value": b.column("value")})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    out = loo_target_encode(keyed, "ckey", "value", out_col="loo_te")
+
+    def fin(b: pa.Table) -> pa.Table:
+        te = np.round(b.column("loo_te").to_numpy(zero_copy_only=False),
+                      6) + 0.0
+        return pa.table({"event_id": b.column("event_id"),
+                         "ckey": b.column("ckey"),
+                         "loo_te": pa.array(te)})
+
+    return out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_LOO_ENCODE_EVENTS = """
+WITH b AS (
+  SELECT event_id,
+         event_type || '#' || CAST(user_id AS VARCHAR) || '#'
+           || CAST(CAST(FLOOR(value) AS BIGINT) % 50 AS VARCHAR) AS ckey,
+         value
+  FROM events
+),
+w AS (
+  SELECT event_id, ckey, value,
+         SUM(value) OVER (PARTITION BY ckey) AS s,
+         COUNT(*)  OVER (PARTITION BY ckey) AS n
+  FROM b
+)
+SELECT event_id, ckey,
+       ROUND(CASE WHEN n > 1 THEN (s - value) / (n - 1.0)
+                  ELSE (SELECT SUM(value) / CAST(COUNT(*) AS DOUBLE)
+                        FROM events) END, 6) + 0.0 AS loo_te
+FROM w
+"""
+
+
+def q_rare_collapse_events(sf_dir):
+    """Long-tail cardinality guard: collapse (event_type, user)
+    categories seen < 13 times into '__other__', then count rows per
+    surviving level — the vocabulary-pruning pass before one-hot /
+    embedding layers.  Threshold 13 splits the gate tables ~40/60
+    (sf0.01: 312 of 750 cats below), so keep AND collapse paths both
+    fire.  FIT = one bounded count exchange; APPLY = broadcast keep-set
+    probed with Arrow is_in — fact rows never shuffle.  All-integer
+    output, no rounding grid."""
+    from .stages.encode import collapse_rare
+    from .stages.groupagg import grouped_aggregate
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id"])
+
+    def key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            b.column("event_type"), pc.cast(b.column("user_id"), pa.string()),
+            "#")
+        return pa.table({"ckey": k})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    collapsed = collapse_rare(keyed, "ckey", min_count=13)
+    return grouped_aggregate(collapsed, "ckey", {"n": ("ckey", "count")},
+                             num_buckets=16)
+
+
+SQL_RARE_COLLAPSE_EVENTS = """
+WITH b AS (
+  SELECT event_type || '#' || CAST(user_id AS VARCHAR) AS ckey FROM events
+),
+c AS (SELECT ckey, COUNT(*) AS n FROM b GROUP BY ckey),
+keep AS (SELECT ckey FROM c WHERE n >= 13),
+lab AS (
+  SELECT CASE WHEN b.ckey IN (SELECT ckey FROM keep) THEN b.ckey
+              ELSE '__other__' END AS ckey
+  FROM b
+)
+SELECT ckey, COUNT(*) AS n FROM lab GROUP BY ckey
+"""
+
+
 SQL_PAGERANK_CUSTSUPP = """
 WITH pairs AS (
   SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
@@ -7860,6 +7960,8 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "chi2_terms": q_chi2_terms,
     "pagerank_custsupp": q_pagerank_custsupp,
+    "loo_encode_events": q_loo_encode_events,
+    "rare_collapse_events": q_rare_collapse_events,
 }
 
 ORACLE_SQL = {
@@ -8033,4 +8135,6 @@ ORACLE_SQL = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "chi2_terms": SQL_CHI2_TERMS,
     "pagerank_custsupp": SQL_PAGERANK_CUSTSUPP,
+    "loo_encode_events": SQL_LOO_ENCODE_EVENTS,
+    "rare_collapse_events": SQL_RARE_COLLAPSE_EVENTS,
 }

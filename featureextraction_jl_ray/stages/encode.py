@@ -271,3 +271,88 @@ def fit_woe(ds, key_col: str, label_col: str, *,
 
 
 __all__.append("fit_woe")
+
+
+def loo_target_encode(ds, key_col: str, target_col: str, *,
+                      out_col: str | None = None, num_buckets: int = 64):
+    """LEAVE-ONE-OUT target encoding — the leakage-safe sibling of
+    :func:`target_encode` for training rows:
+
+        te_i = (Σ_{j∈cat(i)} y_j − y_i) / (n_cat(i) − 1)
+
+    i.e. the category mean computed WITHOUT row i's own target, so the
+    feature carries no direct copy of the label (the classic
+    target-leak).  Singleton categories (n = 1) have no "others" — they
+    fall back to the GLOBAL target mean (computed exactly from the same
+    per-category partials, no extra pass).
+
+    Shape: identical to :func:`target_encode` — one bounded
+    partial-aggregated exchange fits (Σ, n) per category, broadcast
+    once, probed per batch; the per-row subtraction is vectorized
+    NumPy.  An SQL oracle mirrors it with window sums:
+    ``(SUM(y) OVER w − y) / (COUNT(*) OVER w − 1)`` and a global-AVG
+    CASE fallback."""
+    out_col = out_col or f"{key_col}_loo"
+    stats = _collect_small(
+        grouped_aggregate(
+            ds, key_col,
+            {"__s": (target_col, "sum"), "__n": (target_col, "count")},
+            num_buckets=num_buckets,
+        )
+    )
+    s_all = stats.column("__s").to_numpy(zero_copy_only=False).astype(np.float64)
+    n_all = stats.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+    gmean = s_all.sum() / n_all.sum()
+    joined = broadcast_join(ds, stats, on=key_col, how="left")
+
+    def fn(b: pa.Table) -> pa.Table:
+        y = b.column(target_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b.column("__s").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b.column("__n").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            loo = (s - y) / (n - 1.0)
+        loo = np.where(n > 1.0, loo, gmean)
+        return b.drop_columns(["__s", "__n"]).append_column(
+            out_col, pa.array(loo, type=pa.float64()))
+
+    return joined.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def collapse_rare(ds, col: str, *, min_count: int, other: str = "__other__",
+                  out_col: str | None = None, num_buckets: int = 64):
+    """Collapse long-tail categories below ``min_count`` occurrences
+    into a single ``other`` token — the standard cardinality guard
+    before one-hot / embedding layers (rare levels carry no signal and
+    explode the vocabulary; at corpus scale the tail IS the bulk of
+    distinct values).
+
+    FIT = one partial-aggregated count exchange (one row per distinct
+    category); the KEEP set (categories at/above the threshold —
+    typically small) broadcasts in the closure and is probed with
+    Arrow ``is_in`` per batch — the fact rows never shuffle.  Returns
+    the dataset with ``out_col`` (default: replaces ``col``)."""
+    import pyarrow.compute as pc
+
+    out_col = out_col or col
+    counts = _collect_small(
+        grouped_aggregate(
+            ds, col, {"__n": (col, "count")}, num_buckets=num_buckets
+        )
+    )
+    n = counts.column("__n").to_numpy(zero_copy_only=False)
+    keep = counts.column(col).filter(pa.array(n >= min_count))
+    keep_set = pa.array(keep.to_pylist(), type=keep.type)
+
+    def fn(b: pa.Table) -> pa.Table:
+        c = b.column(col)
+        kept = pc.is_in(c, value_set=keep_set)
+        out = pc.if_else(kept, c, pa.scalar(other, type=pa.string()))
+        if out_col in b.column_names:
+            return b.set_column(b.schema.get_field_index(out_col), out_col,
+                                out)
+        return b.append_column(out_col, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+__all__ += ["loo_target_encode", "collapse_rare"]
