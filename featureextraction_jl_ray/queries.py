@@ -7752,6 +7752,55 @@ SELECT node, ROUND(r, 9) AS rank FROM i3
 """
 
 
+def q_benford_events(sf_dir):
+    """Benford leading-digit QA (stages/profile.py::benford_deviation):
+    per event_type, chi-square of the observed first-significant-digit
+    histogram of `value` against Benford's log10(1+1/d).  Digit comes
+    from the exact integer floor(|v|·1e6) via its decimal string on
+    BOTH sides (never floor(log10) — libm-dependent at powers of ten);
+    zeros/sub-resolution rows excluded by the same iv>0 predicate.
+    1e-6 ROUND grid + signed-zero canonicalization (+0.0)."""
+    from .stages.profile import benford_deviation
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    t = benford_deviation(ds, "value", ["event_type"],
+                          scale=1_000_000.0, num_buckets=8)
+    df = t.to_pandas()
+    df["benford_chi2"] = np.round(df["benford_chi2"], 6) + 0.0
+    return df
+
+
+SQL_BENFORD_EVENTS = """
+WITH iv AS (
+  SELECT event_type,
+         CAST(floor(abs(value) * 1000000.0) AS BIGINT) AS iv
+  FROM events
+), d AS (
+  SELECT event_type,
+         CAST(substring(CAST(iv AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM iv WHERE iv > 0
+), c AS (
+  SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2
+), tot AS (SELECT event_type, sum(n) AS tn FROM c GROUP BY 1),
+grid AS (
+  SELECT t.event_type, g.digit
+  FROM (SELECT DISTINCT event_type FROM c) t
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) g
+), x AS (
+  SELECT grid.event_type,
+         CAST(coalesce(c.n, 0) AS DOUBLE) AS obs,
+         tot.tn * log10(1.0 + 1.0 / grid.digit) AS expd
+  FROM grid JOIN tot ON tot.event_type = grid.event_type
+  LEFT JOIN c ON c.event_type = grid.event_type AND c.digit = grid.digit
+)
+SELECT event_type, CAST(sum(CAST(obs AS BIGINT)) AS BIGINT) AS n,
+       ROUND(sum((obs - expd) * (obs - expd) / expd), 6) + 0.0
+         AS benford_chi2
+FROM x GROUP BY event_type
+"""
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-5 rotation retires every oracled query
@@ -7962,6 +8011,7 @@ QUERIES = {
     "pagerank_custsupp": q_pagerank_custsupp,
     "loo_encode_events": q_loo_encode_events,
     "rare_collapse_events": q_rare_collapse_events,
+    "benford_events": q_benford_events,
 }
 
 ORACLE_SQL = {
@@ -8137,4 +8187,5 @@ ORACLE_SQL = {
     "pagerank_custsupp": SQL_PAGERANK_CUSTSUPP,
     "loo_encode_events": SQL_LOO_ENCODE_EVENTS,
     "rare_collapse_events": SQL_RARE_COLLAPSE_EVENTS,
+    "benford_events": SQL_BENFORD_EVENTS,
 }

@@ -398,3 +398,82 @@ def psi_timeline(ds, ts_col: str, value_col: str, *,
 
 
 __all__.append("psi_timeline")
+
+
+def benford_deviation(ds, value_col: str, group_cols=None, *,
+                      scale: float = 1_000_000.0, num_buckets: int = 16):
+    """Benford first-significant-digit QA — the forensic drift check
+    for value columns that SHOULD follow Benford's law (naturally-grown
+    monetary/measurement data spanning orders of magnitude): per group,
+    the chi-square statistic of the observed leading-digit distribution
+    against expected p_d = log10(1 + 1/d), d ∈ 1..9.  A fabricated,
+    truncated, or unit-swapped feed shows up as a chi2 spike long
+    before summary moments move.
+
+    Determinism contract (SQL-mirrorable bit-for-bit): the leading
+    digit comes from the INTEGER floor(|v|·scale) via its decimal
+    string — never from floor(log10(v)), whose IEEE result at exact
+    powers of ten is libm-dependent.  Rows with floor(|v|·scale) = 0
+    (zeros / sub-resolution values) are excluded, like the oracle's
+    WHERE.
+
+    Scale shape: one partial-aggregated exchange of (group, digit)
+    count rows — 9 rows per group per batch, combiner pattern — then
+    the chi-square over the bounded (groups × 9) table.  Returns a
+    pyarrow Table ``(group_cols…, n, benford_chi2)``.
+    """
+    from .groupagg import grouped_aggregate
+
+    group_cols = ([group_cols] if isinstance(group_cols, str)
+                  else list(group_cols or []))
+
+    def digits(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        iv = np.floor(np.abs(v.astype(np.float64)) * scale)
+        ok = iv > 0
+        iv = iv[ok].astype(np.int64)
+        # leading decimal digit via the exact integer string — identical
+        # to SUBSTRING(CAST(iv AS VARCHAR), 1, 1) in the oracle
+        d = np.char.ljust(iv.astype("U19"), 1).astype(np.int64)
+        cols = {c: b.column(c).filter(pa.array(ok)) for c in group_cols}
+        cols["__digit"] = pa.array(d)
+        return pa.table(cols)
+
+    counts = grouped_aggregate(
+        ds.map_batches(digits, batch_format="pyarrow", zero_copy_batch=True),
+        group_cols + ["__digit"], {"__cnt": ("__digit", "count")},
+        num_buckets=num_buckets,
+    )
+    t = pa.concat_tables(
+        list(counts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    df = t.to_pandas()
+    if group_cols:
+        gkey = list(group_cols)
+    else:
+        df["__g"] = 0
+        gkey = ["__g"]
+    exp_p = np.log10(1.0 + 1.0 / np.arange(1, 10))
+
+    out_rows = {c: [] for c in gkey}
+    ns, chis = [], []
+    for key, g in df.groupby(gkey, sort=True):
+        key = key if isinstance(key, tuple) else (key,)
+        cnt = np.zeros(9)
+        cnt[g["__digit"].to_numpy() - 1] = g["__cnt"].to_numpy()
+        n = cnt.sum()
+        exp = n * exp_p
+        chi2 = (((cnt - exp) * (cnt - exp)) / exp).sum()
+        for c, v in zip(gkey, key):
+            out_rows[c].append(v)
+        ns.append(int(n))
+        chis.append(chi2)
+    cols = {}
+    for c in group_cols:
+        cols[c] = pa.array(out_rows[c])
+    cols["n"] = pa.array(ns, type=pa.int64())
+    cols["benford_chi2"] = pa.array(chis, type=pa.float64())
+    return pa.table(cols)
+
+
+__all__.append("benford_deviation")

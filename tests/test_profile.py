@@ -123,3 +123,48 @@ def test_categorical_drift_planted(ray_session):
     # shares normalize per side
     assert abs(out_new.p_ref.sum() - 1) < 1e-4
     assert abs(out_new.p_cur.sum() - 1) < 1e-4
+
+
+def test_benford_deviation_vs_numpy_oracle(ray_session):
+    """benford_deviation vs a direct pandas/numpy computation, with the
+    edge rows the operator must drop (zeros, negatives kept via abs,
+    sub-resolution values below 1/scale) and a planted Benford-ish vs
+    uniform-digit contrast between the two groups."""
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.profile import benford_deviation
+
+    rng = np.random.default_rng(11)
+    # group "nat": log-uniform magnitudes (close to Benford)
+    nat = np.exp(rng.uniform(np.log(1e-3), np.log(1e3), 4000))
+    # group "uni": uniform on [100, 1000) — leading digits 1..9 uniform-ish
+    uni = rng.uniform(100.0, 1000.0, 4000)
+    vals = np.concatenate([
+        nat, uni,
+        [0.0, -0.0, 1e-9, -1e-9, -123.45, 5e-7],  # edge rows
+    ])
+    grp = np.array(["nat"] * 4000 + ["uni"] * 4000 + ["nat"] * 6)
+    t = pa.table({"g": grp, "v": vals})
+    out = benford_deviation(
+        rd.from_arrow(t), "v", "g", scale=1_000_000.0, num_buckets=4
+    ).to_pandas().set_index("g")
+
+    # oracle: same integer-string digit rule
+    exp_p = np.log10(1.0 + 1.0 / np.arange(1, 10))
+    for g in ("nat", "uni"):
+        v = vals[grp == g]
+        iv = np.floor(np.abs(v) * 1e6)
+        iv = iv[iv > 0].astype(np.int64)
+        d = np.array([int(str(x)[0]) for x in iv])
+        cnt = np.bincount(d, minlength=10)[1:10].astype(float)
+        n = cnt.sum()
+        chi2 = (((cnt - n * exp_p) ** 2) / (n * exp_p)).sum()
+        assert out.loc[g, "n"] == int(n)
+        np.testing.assert_allclose(out.loc[g, "benford_chi2"], chi2,
+                                   rtol=1e-12)
+    # edge rows: 0.0/-0.0 and the two sub-resolution values drop;
+    # -123.45 and 5e-7 (iv=0?) — 5e-7*1e6 = 0.5 → floor 0 → dropped
+    assert out.loc["nat", "n"] == 4000 - (nat == 0).sum() + 1 \
+        - int((np.floor(np.abs(nat) * 1e6) == 0).sum())
+    # natural data hugs Benford far tighter than uniform-on-a-decade
+    assert out.loc["nat", "benford_chi2"] < out.loc["uni", "benford_chi2"]
