@@ -7801,6 +7801,232 @@ FROM x GROUP BY event_type
 """
 
 
+def q_auc_events(sf_dir):
+    """Exact per-group ROC-AUC (stages/metrics.py::group_auc): does the
+    event value separate even- from odd-user events within each type?
+    Score = floor(value) — INTEGER, so tie blocks are dense and the
+    rank-sum tie-averaging path provably fires (a continuous score never
+    exercises it); label = user_id % 2.  The partition-prefix numerator
+    is exact halves, bit-identical to the oracle's avg-rank formulation
+    at any summation order; ROUND(9)+0.0 pins the final division."""
+    from .stages.metrics import group_auc
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "score": pa.array(np.floor(v)),
+            "y": pa.array((u % 2 == 0).astype(np.int64)),
+        })
+
+    out = group_auc(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "score", "y", num_partitions=32,
+    )
+    out["auc"] = np.round(out["auc"], 9) + 0.0
+    return out
+
+
+SQL_AUC_EVENTS = """
+WITH s AS (
+  SELECT event_type, floor(value) AS score,
+         CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+), r AS (
+  SELECT event_type, y,
+         CAST(RANK() OVER (PARTITION BY event_type ORDER BY score)
+              AS DOUBLE)
+         + (CAST(COUNT(*) OVER (PARTITION BY event_type, score)
+                 AS DOUBLE) - 1.0) / 2.0 AS ar
+  FROM s
+), a AS (
+  SELECT event_type,
+         sum(CASE WHEN y = 1.0 THEN ar ELSE 0.0 END) AS rpos,
+         sum(y) AS npos, sum(1.0 - y) AS nneg
+  FROM r GROUP BY event_type
+)
+SELECT event_type, CAST(npos AS BIGINT) AS n_pos,
+       CAST(nneg AS BIGINT) AS n_neg,
+       ROUND((rpos - npos * (npos + 1.0) / 2.0) / (npos * nneg), 9)
+         + 0.0 AS auc
+FROM a
+"""
+
+
+def q_autocorr_users(sf_dir):
+    """Lag-1 serial correlation of each user's value series
+    (stages/metrics.py::group_autocorr): momentum/burstiness screen.
+    One bucketed lag exchange + constant-size sufficient statistics per
+    user; users with <5 pairs or zero variance dropped on BOTH sides
+    (the oracle's HAVING).  1e-6 grid (streaming-vs-batch sum ulps)."""
+    from .stages.metrics import group_autocorr
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    out = group_autocorr(ds, "user_id", "ts", "value", k=1, min_pairs=5,
+                         num_buckets=32, tiebreak_cols=("event_id",))
+    out["autocorr"] = np.round(out["autocorr"], 6) + 0.0
+    return out
+
+
+SQL_AUTOCORR_USERS = """
+WITH l AS (
+  SELECT user_id, value AS y,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS x
+  FROM events
+), a AS (
+  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM l WHERE x IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       ROUND((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+         + 0.0 AS autocorr
+FROM a
+WHERE n >= 5 AND (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+"""
+
+
+def q_rolling_median_events(sf_dir):
+    """Trailing 1h rolling MEDIAN per user (order statistic — the
+    robust sibling of rolling mean; pandas' skiplist rolling-median
+    kernel under the same single-pass entity-offset axis).  ties="peers"
+    = the oracle's RANGE-frame semantics.  Median of an even window is
+    the midpoint average on both sides (quantile_cont 0.5); cent-grid
+    values ⇒ 1e-6 round is belt-and-braces."""
+    from .stages.window import with_rolling
+
+    ds = with_rolling(_events(sf_dir), "user_id", "ts", "value",
+                      window="1h", aggs=("count", "median"),
+                      num_buckets=32, tiebreak_cols=("event_id",),
+                      ties="peers")
+    ds = ds.select_columns(
+        ["event_id", "user_id", "ts", "roll_value_count",
+         "roll_value_median"])
+    return _round_cols(ds, {"roll_value_median": 6})
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT event_id, user_id, ts,
+       count(value) OVER w AS roll_value_count,
+       ROUND(median(value) OVER w, 6) + 0.0 AS roll_value_median
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+"""
+
+
+def q_mutual_info_docs(sf_dir):
+    """Mutual information lang × source over documents
+    (stages/profile.py::mutual_information) — the information-theoretic
+    dependence screen beside χ²/Cramér's V (lang_source_chi2).  One
+    combiner-collapsed (lang, source) count exchange; closed form over
+    the bounded contingency table.  1e-9 grid (ln/summation ulps over
+    ~dozens of cells)."""
+    from .stages.profile import mutual_information
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "source"])
+    out = mutual_information(ds, "lang", "source", num_buckets=8)
+    for c in ("mi", "h_x", "h_y", "nmi"):
+        out[c] = np.round(out[c], 9) + 0.0
+    return out
+
+
+SQL_MUTUAL_INFO = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS nxy
+  FROM documents GROUP BY lang, source
+), t AS (SELECT sum(nxy) AS n FROM c),
+cx AS (SELECT lang, sum(nxy) AS nx FROM c GROUP BY lang),
+cy AS (SELECT source, sum(nxy) AS ny FROM c GROUP BY source),
+m AS (
+  SELECT sum((c.nxy / t.n) * ln(c.nxy * t.n / (cx.nx * cy.ny))) AS mi
+  FROM c, t
+  JOIN cx ON cx.lang = c.lang
+  JOIN cy ON cy.source = c.source
+),
+hx AS (SELECT -sum((nx / t.n) * ln(nx / t.n)) AS h FROM cx, t),
+hy AS (SELECT -sum((ny / t.n) * ln(ny / t.n)) AS h FROM cy, t)
+SELECT CAST(t.n AS BIGINT) AS n,
+       ROUND(m.mi, 9) + 0.0 AS mi,
+       ROUND(hx.h, 9) + 0.0 AS h_x,
+       ROUND(hy.h, 9) + 0.0 AS h_y,
+       ROUND(m.mi / sqrt(hx.h * hy.h), 9) + 0.0 AS nmi
+FROM t, m, hx, hy
+"""
+
+
+def q_hopping_windows(sf_dir):
+    """Hopping 1h/15m window count + value sum over all events
+    (stages/window.py::hopping_window_agg): each event lands in exactly
+    4 overlapping epoch-aligned windows via a bounded vectorized repeat
+    — no range join — then the standard partial-aggregated groupby.
+    Integer-µs window starts are bit-identical to the oracle's
+    floor(epoch_us/hop) construction; cent-grid sums."""
+    from .stages.window import hopping_window_agg
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "value"])
+    out = hopping_window_agg(ds, "ts", "value", window="1h", hop="15m",
+                             num_buckets=16)
+    return _round_cols(out, {"sum_value": 2})
+
+
+SQL_HOPPING_WINDOWS = """
+WITH e AS (
+  SELECT CAST(floor(epoch_us(ts) / 900000000.0) AS BIGINT) AS slot,
+         value
+  FROM events
+), x AS (
+  SELECT make_timestamp((e.slot - k.k) * 900000000) AS window_start,
+         e.value
+  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k
+)
+SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 2) AS sum_value
+FROM x GROUP BY window_start
+"""
+
+
+def q_skew_join_agg(sf_dir):
+    """Same logical join+agg as ``hash_join_agg`` through the SKEW-AWARE
+    physical plan (stages/joins.py::skew_join): top sampled probe keys
+    replicate their build rows via the broadcast path (zero shuffle for
+    the hot slice), the remainder rides the task-based bucketed
+    exchange, union of the two is row-identical to a plain join — the
+    oracle is shared with hash_join_agg.  max_hot=64 with hot_share=0
+    forces BOTH branches to carry rows on the gate data, so the split /
+    replicate / union machinery provably fires."""
+    from .stages.groupagg import grouped_aggregate
+    from .stages.joins import skew_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = skew_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="inner",
+        max_hot=64, hot_share=0.0, num_buckets=16,
+        left_types={"o_custkey": pa.int64(), "o_totalprice": pa.float64()},
+        right_types={"c_custkey": pa.int64(), "c_mktsegment": pa.string()},
+    )
+    out = grouped_aggregate(
+        joined, "c_mktsegment",
+        {"n_orders": ("o_totalprice", "count"),
+         "sum_price": ("o_totalprice", "sum")},
+        num_buckets=4,
+    )
+    return _round_cols(out, {"sum_price": 2})
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-5 rotation retires every oracled query
@@ -8012,6 +8238,12 @@ QUERIES = {
     "loo_encode_events": q_loo_encode_events,
     "rare_collapse_events": q_rare_collapse_events,
     "benford_events": q_benford_events,
+    "auc_events": q_auc_events,
+    "autocorr_users": q_autocorr_users,
+    "rolling_median_events": q_rolling_median_events,
+    "mutual_info_docs": q_mutual_info_docs,
+    "hopping_windows": q_hopping_windows,
+    "skew_join_agg": q_skew_join_agg,
 }
 
 ORACLE_SQL = {
@@ -8188,4 +8420,12 @@ ORACLE_SQL = {
     "loo_encode_events": SQL_LOO_ENCODE_EVENTS,
     "rare_collapse_events": SQL_RARE_COLLAPSE_EVENTS,
     "benford_events": SQL_BENFORD_EVENTS,
+    "auc_events": SQL_AUC_EVENTS,
+    "autocorr_users": SQL_AUTOCORR_USERS,
+    "rolling_median_events": SQL_ROLLING_MEDIAN,
+    "mutual_info_docs": SQL_MUTUAL_INFO,
+    "hopping_windows": SQL_HOPPING_WINDOWS,
+    # skew_join_agg: same logical query as hash_join_agg — shared oracle;
+    # only the physical plan (hot-key broadcast ∪ bucketed exchange) differs
+    "skew_join_agg": SQL_JOIN_AGG,
 }

@@ -853,3 +853,106 @@ def coalesce_lookup(ds, levels, *, out_col: str, default=None):
 
 
 __all__.append("coalesce_lookup")
+
+
+def skew_join(
+    left,
+    right,
+    *,
+    on,
+    right_on=None,
+    how: str = "inner",
+    max_hot: int = 64,
+    hot_share: float = 0.0,
+    sample_frac: float = 0.02,
+    max_sample: int = 100_000,
+    seed: int = 42,
+    num_buckets: int | None = None,
+    suffix: str = "_r",
+    left_types: dict | None = None,
+    right_types: dict | None = None,
+):
+    """Skew-aware big-big equi-join: HOT probe keys bypass the shuffle.
+
+    The failure mode this exists for: a hash-partitioned join sends
+    every row of a key to one reducer, so one viral entity (a hot user,
+    a boilerplate phash, a default value) turns an even exchange into a
+    single straggler task that holds the whole job — the classic 100 TB
+    skew killer.  Fix: detect hot keys from a seeded SAMPLE of the
+    probe side, REPLICATE their (small) build rows to every probe task
+    via the broadcast path, and send only the evenly-spread remainder
+    through the bucketed exchange:
+
+        hot  = top ``max_hot`` sampled keys with share ≥ ``hot_share``
+        left_hot  ⋈ broadcast(right[key ∈ hot])   (no shuffle at all)
+        left_cold ⋈ right[key ∉ hot]              (bucketed exchange)
+        result = union — exact same rows as a plain join, any key mix.
+
+    Assumes the build side is dimension-like per hot key (its hot-key
+    rows must fit the object store — guarded by ``_HOT_BUILD_BUDGET``).
+    ``left`` is scanned twice (hot + cold branch off the same read);
+    with column-pruned parquet scans that is cheaper at scale than a
+    ``materialize()`` pin of the fact table.  Single-column keys only
+    (the is_in prefilter is per-column).  ``how`` ∈ {"inner", "left"}.
+    """
+    import pyarrow.compute as pc
+
+    if how not in ("inner", "left"):
+        raise ValueError("skew_join supports how='inner'|'left'")
+    if not isinstance(on, str):
+        raise ValueError("skew_join takes a single key column")
+    right_key = right_on if isinstance(right_on, str) else (right_on or on)
+
+    # --- hot-key detection: seeded sample of the probe side ------------
+    sdf = (left.select_columns([on]).random_sample(sample_frac, seed=seed)
+               .to_pandas())
+    # an empty sample loses the schema entirely (no columns)
+    s = sdf[on].dropna() if on in sdf.columns else pd.Series([], dtype=object)
+    if len(s) > max_sample:
+        s = s.iloc[:max_sample]
+    freq = s.value_counts()
+    if len(s):
+        freq = freq[freq / len(s) >= hot_share]
+    hot = freq.head(max_hot).index.to_numpy()
+    if len(hot) == 0:
+        return bucketed_hash_join(
+            left, right, on=on, right_on=right_key, how=how,
+            num_buckets=num_buckets, suffix=suffix,
+            left_types=left_types, right_types=right_types,
+        )
+    hot_arr = pa.array(hot)
+
+    def _split(ds, col, keep_hot: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column(col), value_set=hot_arr)
+            m = pc.fill_null(m, False)
+            return batch.filter(m if keep_hot else pc.invert(m))
+
+        return ds.map_batches(f, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    _HOT_BUILD_BUDGET = 1 << 28  # 256 MB of replicated build rows
+    right_hot = _split(right, right_key, True)
+    dim = _concat_nonempty(
+        list(right_hot.iter_batches(batch_size=None, batch_format="pyarrow"))
+    )
+    if dim.nbytes > _HOT_BUILD_BUDGET:
+        raise ValueError(
+            f"skew_join: hot-key build rows are {dim.nbytes >> 20} MB "
+            f"(budget {_HOT_BUILD_BUDGET >> 20} MB) — the build side is "
+            "not dimension-like on the hot keys; lower max_hot or use "
+            "bucketed_hash_join with salting"
+        )
+    hot_joined = broadcast_join(
+        _split(left, on, True), dim, on=on, right_on=right_key,
+        how=how, suffix=suffix,
+    )
+    cold_joined = bucketed_hash_join(
+        _split(left, on, False), _split(right, right_key, False),
+        on=on, right_on=right_key, how=how, num_buckets=num_buckets,
+        suffix=suffix, left_types=left_types, right_types=right_types,
+    )
+    return hot_joined.union(cold_joined)
+
+
+__all__.append("skew_join")

@@ -477,3 +477,68 @@ def benford_deviation(ds, value_col: str, group_cols=None, *,
 
 
 __all__.append("benford_deviation")
+
+
+def mutual_information(ds, x_col: str, y_col: str, *,
+                       num_buckets: int = 8) -> pd.DataFrame:
+    """Mutual information between two categorical columns — the
+    model-free dependence screen that catches what chi-square's linear
+    statistic dilutes (χ² and Cramér's V live in
+    :func:`categorical_association`; WoE/IV in encode.py — MI completes
+    the screen family with the information-theoretic view).
+
+        MI  = Σ_xy p(x,y) · ln( p(x,y) / (p(x)·p(y)) )
+        NMI = MI / √(H(x)·H(y))          (0 when either entropy is 0)
+
+    Scale shape: ONE partial-aggregated (x, y) count exchange — the
+    combiner ships at most |X|·|Y| rows per block — then the closed
+    form over the bounded contingency table on the driver.  Null
+    categories count as their own level only if present in BOTH the
+    engine input and the oracle's GROUP BY (DuckDB groups NULLs
+    together, matching pandas dropna=False); rows with a null in
+    either column are EXCLUDED here to keep the SQL mirror simple.
+
+    Returns one row: ``(n, mi, h_x, h_y, nmi)`` in nats.
+    """
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t.column(x_col)),
+                       pc.is_valid(t.column(y_col)))
+        t = t.filter(keep)
+        return pa.table({x_col: t.column(x_col), y_col: t.column(y_col)})
+
+    c = grouped_aggregate(
+        ds.select_columns([x_col, y_col])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        [x_col, y_col], {"__n": (x_col, "count")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if c.empty:
+        return pd.DataFrame({"n": [np.int64(0)], "mi": [np.nan],
+                             "h_x": [np.nan], "h_y": [np.nan],
+                             "nmi": [np.nan]})
+    # deterministic driver-side order (the SQL oracle rounds anyway)
+    c = c.sort_values([x_col, y_col], ignore_index=True)
+    nxy = c["__n"].to_numpy(dtype=np.float64)
+    n = nxy.sum()
+    nx = c.groupby(x_col, sort=False)["__n"].transform("sum") \
+          .to_numpy(dtype=np.float64)
+    ny = c.groupby(y_col, sort=False)["__n"].transform("sum") \
+          .to_numpy(dtype=np.float64)
+    pxy = nxy / n
+    mi = float((pxy * np.log(nxy * n / (nx * ny))).sum())
+    px = c.groupby(x_col, sort=True)["__n"].sum() \
+          .to_numpy(dtype=np.float64) / n
+    py = c.groupby(y_col, sort=True)["__n"].sum() \
+          .to_numpy(dtype=np.float64) / n
+    hx = float(-(px * np.log(px)).sum())
+    hy = float(-(py * np.log(py)).sum())
+    nmi = mi / np.sqrt(hx * hy) if hx > 0 and hy > 0 else np.nan
+    return pd.DataFrame({"n": [np.int64(n)], "mi": [mi], "h_x": [hx],
+                         "h_y": [hy], "nmi": [nmi]})
+
+
+__all__.append("mutual_information")

@@ -31,7 +31,10 @@ def sample_boundaries(
 ) -> list:
     """num_partitions−1 quantile boundaries of ``key`` from a seeded sample."""
     sample = ds.select_columns([key]).random_sample(sample_frac, seed=seed)
-    vals = sample.to_pandas()[key].dropna()
+    df = sample.to_pandas()
+    if key not in df.columns:      # empty sample loses the schema
+        return []
+    vals = df[key].dropna()
     if len(vals) > max_sample:
         vals = vals.iloc[:max_sample]
     if len(vals) == 0:

@@ -38,7 +38,7 @@ __all__ = [
     "with_session_stats",
 ]
 
-_AGG_NAMES = ("count", "sum", "mean", "min", "max", "std", "var")
+_AGG_NAMES = ("count", "sum", "mean", "min", "max", "std", "var", "median")
 
 
 def _sessionize_frame(
@@ -907,3 +907,71 @@ def run_length_stats(
 
 
 __all__.append("run_length_stats")
+
+
+def hopping_window_agg(
+    ds,
+    ts_col: str,
+    value_col: str,
+    *,
+    window: str | pd.Timedelta = "1h",
+    hop: str | pd.Timedelta = "15m",
+    group_cols=None,
+    num_buckets: int = 16,
+):
+    """HOPPING (sliding-grid) window aggregate: count + sum of
+    ``value_col`` per overlapping window of length ``window`` advancing
+    every ``hop`` — the streaming-dashboard window that tumbling grids
+    can't express (an event at :59 must count toward the window that
+    opened at :45).  ``window`` must be a whole multiple of ``hop``.
+
+    Scale shape: each event expands to exactly ``window/hop`` grid rows
+    (a bounded vectorized repeat inside ``map_batches`` — no range join,
+    no per-window scan), and the expansion feeds the standard
+    partial-aggregated groupby, so the exchange carries pre-combined
+    (window, partial) rows, not the expanded events.  Window starts are
+    epoch-aligned (``floor(ts/hop)·hop``), integer-µs arithmetic —
+    bit-identical to the SQL mirror's ``floor(epoch_us(ts)/hop)``
+    construction.
+
+    Returns a Dataset ``(group_cols…, window_start, n, sum_value)``.
+    """
+    import pyarrow as pa
+
+    from .groupagg import grouped_aggregate
+
+    group_cols = ([group_cols] if isinstance(group_cols, str)
+                  else list(group_cols or []))
+    w_us = int(pd.Timedelta(window).value // 1000)
+    h_us = int(pd.Timedelta(hop).value // 1000)
+    if w_us <= 0 or h_us <= 0 or w_us % h_us:
+        raise ValueError("window must be a positive whole multiple of hop")
+    m = w_us // h_us
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = (t.column(ts_col).to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        n = len(ts)
+        slot = ts // h_us          # ts ≥ epoch in this engine's tables
+        ws = (np.repeat(slot, m) - np.tile(np.arange(m, dtype=np.int64), n)) \
+            * h_us
+        cols = {c: t.column(c).take(pa.array(np.repeat(np.arange(n), m)))
+                for c in group_cols}
+        cols["window_start"] = pa.array(ws.astype("datetime64[us]"),
+                                        type=pa.timestamp("us"))
+        cols["__v"] = pa.array(
+            np.repeat(t.column(value_col).to_numpy(zero_copy_only=False)
+                      .astype(np.float64), m))
+        return pa.table(cols)
+
+    expanded = ds.select_columns(
+        [*group_cols, ts_col, value_col]
+    ).map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_aggregate(
+        expanded, [*group_cols, "window_start"],
+        {"n": ("__v", "count"), "sum_value": ("__v", "sum")},
+        num_buckets=num_buckets,
+    )
+
+
+__all__.append("hopping_window_agg")

@@ -1,0 +1,207 @@
+"""group_auc / group_autocorr / skew_join / hopping windows vs direct
+numpy-pandas oracles, with the edge paths planted: tie blocks spanning
+partition boundaries, single-class groups, null scores, hot-key
+replication, and left-join nulls."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _auc_oracle(s, y):
+    """Tie-averaged Mann-Whitney AUC, O(n log n) reference."""
+    s, y = np.asarray(s, dtype=float), np.asarray(y, dtype=float)
+    order = np.argsort(s, kind="mergesort")
+    s, y = s[order], y[order]
+    ranks = np.empty(len(s))
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[i:j] = (i + j + 1) / 2.0  # average of 1-based ranks i+1..j
+        i = j
+    npos, nneg = y.sum(), (1 - y).sum()
+    if npos == 0 or nneg == 0:
+        return np.nan
+    return (ranks[y == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+
+
+def test_group_auc_vs_oracle_with_ties(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import group_auc
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    g = rng.choice(["a", "b", "c"], n)
+    # integer scores → dense ties, including across partition boundaries
+    s = rng.integers(0, 40, n).astype(np.float64)
+    # label correlated with score in group a, anti in b, independent in c
+    p = np.where(g == "a", s / 40.0, np.where(g == "b", 1 - s / 40.0, 0.5))
+    y = (rng.random(n) < p).astype(np.int64)
+    t = pa.table({"g": g, "s": s, "y": y})
+    out = group_auc(rd.from_arrow(t), "g", "s", "y",
+                    num_partitions=16).set_index("g")
+    for lvl in ("a", "b", "c"):
+        m = g == lvl
+        np.testing.assert_allclose(out.loc[lvl, "auc"],
+                                   _auc_oracle(s[m], y[m]), rtol=0,
+                                   atol=0)  # exact halves → bit-equal
+        assert out.loc[lvl, "n_pos"] == y[m].sum()
+        assert out.loc[lvl, "n_neg"] == (1 - y[m]).sum()
+    assert out.loc["a", "auc"] > 0.7 and out.loc["b", "auc"] < 0.3
+
+
+def test_group_auc_degenerate_and_nulls(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import group_auc
+
+    t = pa.table({
+        "g": ["one", "one", "one", "mix", "mix", "mix", "mix", "mix"],
+        "s": pa.array([1.0, 2.0, 3.0, 1.0, 2.0, None, 3.0, 0.5],
+                      type=pa.float64()),
+        "y": pa.array([1, 1, 1, 0, 1, 1, 1, None], type=pa.int64()),
+    })
+    out = group_auc(rd.from_arrow(t), "g", "s", "y",
+                    num_partitions=4).set_index("g")
+    # single-class group → NaN auc, counts still reported
+    assert np.isnan(out.loc["one", "auc"])
+    assert out.loc["one", "n_pos"] == 3 and out.loc["one", "n_neg"] == 0
+    # null score and null label rows dropped: mix keeps (1,0),(2,1),(3,1)
+    assert out.loc["mix", "n_pos"] == 2 and out.loc["mix", "n_neg"] == 1
+    np.testing.assert_allclose(out.loc["mix", "auc"], 1.0)
+
+
+def test_group_autocorr_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import group_autocorr
+
+    rng = np.random.default_rng(3)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    # user 1: AR(1)-ish positive momentum; user 2: alternating (negative);
+    # user 3: too few pairs; user 4: constant (zero variance)
+    v1 = np.cumsum(rng.normal(0, 1, 50)) + 10
+    for i, v in enumerate(v1):
+        rows.append((1, base + pd.Timedelta(minutes=i), float(v), i))
+    v2 = np.array([1.0, 9.0] * 20)
+    for i, v in enumerate(v2):
+        rows.append((2, base + pd.Timedelta(minutes=i), float(v), 100 + i))
+    for i in range(3):
+        rows.append((3, base + pd.Timedelta(minutes=i), float(i), 200 + i))
+    for i in range(10):
+        rows.append((4, base + pd.Timedelta(minutes=i), 5.0, 300 + i))
+    df = pd.DataFrame(rows, columns=["uid", "ts", "v", "eid"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = group_autocorr(ds, "uid", "ts", "v", k=1, min_pairs=5,
+                         num_buckets=4, tiebreak_cols=("eid",))
+    out = out.set_index("uid")
+    assert 3 not in out.index          # min_pairs
+    assert 4 not in out.index          # zero variance
+    for uid, v in ((1, v1), (2, v2)):
+        exp = np.corrcoef(v[:-1], v[1:])[0, 1]
+        np.testing.assert_allclose(out.loc[uid, "autocorr"], exp,
+                                   rtol=1e-9)
+        assert out.loc[uid, "n_pairs"] == len(v) - 1
+    assert out.loc[1, "autocorr"] > 0.5 and out.loc[2, "autocorr"] < -0.9
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.joins import skew_join
+
+    rng = np.random.default_rng(5)
+    # heavy skew: key 0 holds half the fact rows
+    k = np.where(rng.random(4000) < 0.5, 0, rng.integers(1, 200, 4000))
+    fact = pa.table({"k": k.astype(np.int64),
+                     "x": rng.normal(0, 1, 4000)})
+    dim = pa.table({"kk": np.arange(0, 150, dtype=np.int64),
+                    "seg": [f"s{i % 7}" for i in range(150)]})
+    got = skew_join(
+        rd.from_arrow(fact), rd.from_arrow(dim), on="k", right_on="kk",
+        how="inner", max_hot=8, hot_share=0.0, num_buckets=4,
+        left_types={"k": pa.int64(), "x": pa.float64()},
+        right_types={"kk": pa.int64(), "seg": pa.string()},
+    ).to_pandas().sort_values(["k", "x"], ignore_index=True)
+    exp = (fact.to_pandas().merge(
+        dim.to_pandas().rename(columns={"kk": "k"}), on="k", how="inner")
+        .sort_values(["k", "x"], ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "x", "seg"]], exp[["k", "x", "seg"]])
+    # the hot slice is really there (key 0 joined)
+    assert (got["k"] == 0).sum() == (k == 0).sum()
+
+
+def test_skew_join_left_and_fallback(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.joins import skew_join
+
+    fact = pa.table({"k": pa.array([1, 1, 2, 99], type=pa.int64()),
+                     "x": [1.0, 2.0, 3.0, 4.0]})
+    dim = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                    "seg": ["a", "b"]})
+    lt = {"k": pa.int64(), "x": pa.float64()}
+    rt = {"k": pa.int64(), "seg": pa.string()}
+    got = skew_join(rd.from_arrow(fact), rd.from_arrow(dim), on="k",
+                    how="left", max_hot=1, hot_share=0.0, num_buckets=2,
+                    left_types=lt, right_types=rt
+                    ).to_pandas().sort_values("x", ignore_index=True)
+    assert got["seg"].tolist() == ["a", "a", "b", None]
+    # hot_share=1.0 → no key qualifies → pure bucketed fallback
+    got2 = skew_join(rd.from_arrow(fact), rd.from_arrow(dim), on="k",
+                     how="left", hot_share=1.0, num_buckets=2,
+                     sample_frac=1.0, left_types=lt, right_types=rt
+                     ).to_pandas().sort_values("x", ignore_index=True)
+    assert got2["seg"].tolist() == ["a", "a", "b", None]
+
+
+def test_hopping_window_agg_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import hopping_window_agg
+
+    rng = np.random.default_rng(9)
+    base = pd.Timestamp("2024-03-01 00:07:00")
+    ts = base + pd.to_timedelta(rng.integers(0, 7200, 500), unit="s")
+    v = rng.uniform(0, 10, 500)
+    df = pd.DataFrame({"ts": ts, "value": v})
+    out = (hopping_window_agg(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        "ts", "value", window="1h", hop="15m", num_buckets=4)
+        .to_pandas().sort_values("window_start", ignore_index=True))
+    # brute force: every 15-min-aligned window [w, w+1h) containing ≥1 event
+    t_us = ts.astype("datetime64[us]").astype(np.int64).to_numpy()
+    hop = 15 * 60 * 1_000_000
+    w_us = 4 * hop
+    starts = np.unique(np.concatenate(
+        [(t_us // hop - k) * hop for k in range(4)]))
+    for w in starts:
+        m = (t_us >= w) & (t_us < w + w_us)
+        row = out[out["window_start"]
+                  == pd.Timestamp(w, unit="us")]
+        assert len(row) == 1 and int(row["n"].iloc[0]) == m.sum()
+        np.testing.assert_allclose(row["sum_value"].iloc[0], v[m].sum(),
+                                   rtol=1e-12)
+    assert len(out) == len(starts)
+    # every event contributes to exactly 4 windows
+    assert out["n"].sum() == 4 * len(df)
+
+
+def test_hopping_window_rejects_non_multiple(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import hopping_window_agg
+
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array([pd.Timestamp("2024-01-01")], pa.timestamp("us")),
+        "value": [1.0]}))
+    with pytest.raises(ValueError, match="whole multiple"):
+        hopping_window_agg(ds, "ts", "value", window="1h", hop="25m")

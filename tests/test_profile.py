@@ -168,3 +168,31 @@ def test_benford_deviation_vs_numpy_oracle(ray_session):
         - int((np.floor(np.abs(nat) * 1e6) == 0).sum())
     # natural data hugs Benford far tighter than uniform-on-a-decade
     assert out.loc["nat", "benford_chi2"] < out.loc["uni", "benford_chi2"]
+
+
+def test_mutual_information_extremes(ray_session):
+    """MI ≈ 0 under independence; MI = H(x) = H(y) under a bijection."""
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.profile import mutual_information
+
+    rng = np.random.default_rng(21)
+    n = 6000
+    x = rng.choice(["a", "b", "c"], n)
+    indep = pa.table({"x": x, "y": rng.choice(["u", "v"], n)})
+    out = mutual_information(rd.from_arrow(indep), "x", "y").iloc[0]
+    assert out["n"] == n
+    assert 0 <= out["mi"] < 0.005          # sampling noise scale
+    assert abs(out["nmi"]) < 0.01
+    # deterministic copy: MI = H(x) = H(y), NMI = 1
+    bij = pa.table({"x": x, "y": x})
+    o2 = mutual_information(rd.from_arrow(bij), "x", "y").iloc[0]
+    np.testing.assert_allclose(o2["mi"], o2["h_x"], rtol=1e-12)
+    np.testing.assert_allclose(o2["h_x"], o2["h_y"], rtol=1e-12)
+    np.testing.assert_allclose(o2["nmi"], 1.0, rtol=1e-12)
+    # null rows in either column are excluded
+    withnull = pa.table({
+        "x": pa.array(["a", "b", None, "a"]),
+        "y": pa.array(["u", None, "u", "v"])})
+    o3 = mutual_information(rd.from_arrow(withnull), "x", "y").iloc[0]
+    assert o3["n"] == 2
