@@ -8027,6 +8027,148 @@ def q_skew_join_agg(sf_dir):
     return _round_cols(out, {"sum_price": 2})
 
 
+def q_weighted_median_events(sf_dir):
+    """Exact weighted median per event_type
+    (stages/metrics.py::grouped_weighted_median): two-pass distributed
+    order statistic — a no-shuffle (group, partition) weight pre-pass
+    locates each group's cut partition, then only that ~1/64 slice
+    collapses per distinct value.  Integer weights (floor(|v|/10)+1, a
+    mirrored construction) make every cumulative exact in float64, so
+    the cut is bit-deterministic; the median itself is a raw input
+    double — no arithmetic, no rounding needed."""
+    from .stages.metrics import grouped_weighted_median
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "v": t.column("value"),
+            "w": pa.array(np.floor(np.abs(v) / 10.0) + 1.0),
+        })
+
+    out = grouped_weighted_median(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "v", "w", num_partitions=32)
+    out["w_total"] = out["w_total"].astype(np.int64)
+    return out
+
+
+SQL_WEIGHTED_MEDIAN_EVENTS = """
+WITH s AS (
+  SELECT event_type, value AS v,
+         CAST(floor(abs(value) / 10.0) AS BIGINT) + 1 AS w
+  FROM events
+), c AS (
+  SELECT event_type, v, sum(w) AS w FROM s GROUP BY event_type, v
+), o AS (
+  SELECT event_type, v,
+         sum(w) OVER (PARTITION BY event_type ORDER BY v) AS cw,
+         sum(w) OVER (PARTITION BY event_type) AS tw
+  FROM c
+)
+SELECT event_type, CAST(tw AS BIGINT) AS w_total,
+       min(v) AS weighted_median
+FROM o WHERE CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) / 2.0
+GROUP BY event_type, tw
+"""
+
+
+def q_ks_events(sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov per event_type
+    (stages/metrics.py::group_ks): do even- and odd-user events draw
+    value from the same distribution?  The partition-prefix exchange
+    evaluates |F_A − F_B| at every distinct value with pure-integer
+    cumulatives — bit-identical to the oracle's window-cumulative
+    formulation; ROUND(9)+0.0 is belt-and-braces."""
+    from .stages.metrics import group_ks
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+            "side": pa.array((u % 2 == 0).astype(np.int64)),
+        })
+
+    out = group_ks(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "value", "side", num_partitions=32)
+    out["ks"] = np.round(out["ks"], 9) + 0.0
+    return out
+
+
+SQL_KS_EVENTS = """
+WITH s AS (
+  SELECT event_type, value AS v,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM events
+), c AS (
+  SELECT event_type, v, sum(a) AS ca, sum(1 - a) AS cb
+  FROM s GROUP BY event_type, v
+), w AS (
+  SELECT event_type, v,
+         sum(ca) OVER (PARTITION BY event_type ORDER BY v) AS cum_a,
+         sum(cb) OVER (PARTITION BY event_type ORDER BY v) AS cum_b,
+         sum(ca) OVER (PARTITION BY event_type) AS na,
+         sum(cb) OVER (PARTITION BY event_type) AS nb
+  FROM c
+)
+SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(max(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))), 9)
+         + 0.0 AS ks
+FROM w GROUP BY event_type, na, nb
+"""
+
+
+def q_calibration_events(sf_dir):
+    """Reliability bins of value vs the even-user label
+    (stages/metrics.py::calibration_bins): 20 equal-width clamped bins
+    over [0, 500), per-bin count + mean label + mean score from one
+    partial-aggregated exchange.  1e-9 / 1e-6 grids on the means
+    (sum-order ulps)."""
+    from .stages.metrics import calibration_bins
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "score": t.column("value"),
+            "y": pa.array((u % 2 == 0).astype(np.int64)),
+        })
+
+    out = calibration_bins(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "score", "y", n_bins=20, lo=0.0, hi=500.0, num_buckets=8,
+    ).to_pandas()
+    out["mean_label"] = np.round(out["mean_label"], 9) + 0.0
+    out["mean_score"] = np.round(out["mean_score"], 6) + 0.0
+    return out
+
+
+SQL_CALIBRATION_EVENTS = """
+WITH s AS (
+  SELECT LEAST(GREATEST(CAST(floor(value / 25.0) AS BIGINT), 0), 19)
+           AS bin,
+         CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y,
+         value AS v
+  FROM events
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(y) / count(*), 9) + 0.0 AS mean_label,
+       ROUND(sum(v) / count(*), 6) + 0.0 AS mean_score
+FROM s GROUP BY bin
+"""
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-5 rotation retires every oracled query
@@ -8244,6 +8386,9 @@ QUERIES = {
     "mutual_info_docs": q_mutual_info_docs,
     "hopping_windows": q_hopping_windows,
     "skew_join_agg": q_skew_join_agg,
+    "weighted_median_events": q_weighted_median_events,
+    "ks_events": q_ks_events,
+    "calibration_events": q_calibration_events,
 }
 
 ORACLE_SQL = {
@@ -8428,4 +8573,7 @@ ORACLE_SQL = {
     # skew_join_agg: same logical query as hash_join_agg — shared oracle;
     # only the physical plan (hot-key broadcast ∪ bucketed exchange) differs
     "skew_join_agg": SQL_JOIN_AGG,
+    "weighted_median_events": SQL_WEIGHTED_MEDIAN_EVENTS,
+    "ks_events": SQL_KS_EVENTS,
+    "calibration_events": SQL_CALIBRATION_EVENTS,
 }

@@ -218,3 +218,378 @@ def group_autocorr(
     g = g.loc[ok, [entity_col, "n_pairs"]].copy()
     g["autocorr"] = (cov[ok] / np.sqrt(vx[ok] * vy[ok]))
     return g.sort_values(entity_col, ignore_index=True)
+
+
+def grouped_weighted_median(
+    ds,
+    group_col: str,
+    value_col: str,
+    weight_col: str | None = None,
+    *,
+    num_partitions: int = 64,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Exact weighted median per group — smallest v with
+    W(≤ v) ≥ W_total/2 — without sorting any group in one task.
+
+    Two-pass distributed order statistic:
+
+    1. NO-shuffle pass: per (group, value-range-partition) weight sums —
+       a bounded groups×partitions table combined on the driver, which
+       locates each group's CUT partition (where the cumulative crosses
+       half) and the exact weight mass before it.
+    2. Targeted pass: only rows in (group, its cut partition) survive a
+       filter (~1/num_partitions of one group), collapse to per-distinct-
+       value weight sums through the standard combiner exchange, and the
+       driver walks the bounded cut-slice cumulative to the answer.
+
+    Weights must be positive; null values/weights are dropped (mirror
+    with a WHERE).  ``weight_col=None`` = unweighted median (w ≡ 1),
+    which makes this an exact distributed median/quantile.  With
+    integer-valued weights every cumulative is exact in float64, so the
+    cut is bit-deterministic at any summation order.
+
+    Returns ``(group_col, w_total, weighted_median)``.
+    """
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_aggregate
+    from .sort import sample_boundaries
+
+    ds = ds.select_columns(
+        [group_col, value_col] + ([weight_col] if weight_col else []))
+    ds = ds.materialize()   # passes must agree row-for-row
+    bounds = np.asarray(
+        sample_boundaries(ds, value_col, num_partitions, seed=seed),
+        dtype=np.float64)
+    nparts = len(bounds) + 1
+
+    def _clean(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t.column(value_col))
+        if weight_col:
+            keep = pc.and_(keep, pc.is_valid(t.column(weight_col)))
+        return t.filter(keep)
+
+    def _w(t: pa.Table) -> np.ndarray:
+        if weight_col:
+            return t.column(weight_col).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+        return np.ones(t.num_rows, dtype=np.float64)
+
+    def _part(v: np.ndarray) -> np.ndarray:
+        if len(bounds):
+            return np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return np.zeros(len(v), dtype=np.int64)
+
+    # ---- pass 1: (group, partition) weight partials, driver-combined --
+    def partials(t: pa.Table) -> pa.Table:
+        t = _clean(t)
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "p": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.float64())})
+        codes, uniq = pd.factorize(
+            t.column(group_col).to_pandas(), use_na_sentinel=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        cell = codes * nparts + _part(v)
+        wsum = np.bincount(cell, weights=_w(t),
+                           minlength=len(uniq) * nparts)
+        nz = np.flatnonzero(wsum)
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq, dtype=object)[nz // nparts]),
+            "p": pa.array(nz % nparts, type=pa.int64()),
+            "w": pa.array(wsum[nz]),
+        })
+
+    agg = {}
+    for b in ds.map_batches(partials, batch_format="pyarrow",
+                            zero_copy_batch=True
+                            ).iter_batches(batch_size=None,
+                                           batch_format="pyarrow"):
+        gs = b.column(group_col).to_pylist()
+        ps = b.column("p").to_numpy(zero_copy_only=False)
+        ws = b.column("w").to_numpy(zero_copy_only=False)
+        for g, p, w in zip(gs, ps, ws):
+            key = (g, int(p))
+            agg[key] = agg.get(key, 0.0) + float(w)
+    if not agg:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "w_total": pd.Series([], dtype=np.float64),
+                             "weighted_median": pd.Series(
+                                 [], dtype=np.float64)})
+    pg = pd.Series(agg).rename_axis([group_col, "p"]).sort_index()
+    cut, before, totals = {}, {}, {}
+    for g, sub in pg.groupby(level=0, sort=True):
+        w = sub.droplevel(0)
+        tot = w.sum()
+        cum = w.cumsum()
+        half = tot / 2.0
+        p_cut = int(w.index[np.searchsorted(cum.to_numpy(), half,
+                                            side="left")])
+        cut[g] = p_cut
+        before[g] = float(cum.loc[:p_cut].iloc[-2]) if \
+            (cum.index.get_loc(p_cut) > 0) else 0.0
+        totals[g] = float(tot)
+
+    # ---- pass 2: only the cut slices, collapsed per distinct value ----
+    def in_cut(t: pa.Table) -> pa.Table:
+        t = _clean(t)
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "__v": pa.array([], type=pa.float64()),
+                             "__w": pa.array([], type=pa.float64())})
+        g = t.column(group_col).to_pandas()
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        p = _part(v)
+        want = g.map(cut).to_numpy()
+        m = p == want
+        return pa.table({group_col: pa.array(g[m].to_numpy(dtype=object)),
+                         "__v": pa.array(v[m]),
+                         "__w": pa.array(_w(t)[m])})
+
+    sl = grouped_aggregate(
+        ds.map_batches(in_cut, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [group_col, "__v"], {"w": ("__w", "sum")},
+        num_buckets=min(16, nparts),
+    ).to_pandas().sort_values([group_col, "__v"], ignore_index=True)
+    out = []
+    for g, sub in sl.groupby(group_col, sort=True):
+        cum = before[g] + sub["w"].cumsum().to_numpy()
+        half = totals[g] / 2.0
+        idx = int(np.searchsorted(cum, half, side="left"))
+        out.append((g, totals[g], float(sub["__v"].iloc[idx])))
+    return pd.DataFrame(out, columns=[group_col, "w_total",
+                                      "weighted_median"])
+
+
+__all__.append("grouped_weighted_median")
+
+
+def group_ks(
+    ds,
+    group_col: str,
+    value_col: str,
+    side_col: str,
+    *,
+    num_partitions: int = 64,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per group:
+    D = max over values v of |F_A(v) − F_B(v)| between the rows with
+    ``side_col`` = 1 (sample A) and = 0 (sample B) — the
+    distribution-drift test with an exact answer, unlike the binned
+    PSI/JS family (``population_stability``).
+
+    Same partition-prefix exchange as :func:`group_auc`: range-partition
+    on sampled value boundaries (equal values co-locate), one narrow
+    (group, value, side) exchange; each partition computes its local max
+    gap given the per-group cumulative counts of every EARLIER partition
+    (a bounded groups×partitions pre-pass, no shuffle), and the driver
+    takes the max of the bounded per-partition maxima.  All cumulatives
+    are integers, so D is bit-deterministic.
+
+    Returns ``(group_col, n_a, n_b, ks)``; groups missing either sample
+    get NaN.
+    """
+    from ..functions.pdconv import arrow_to_pandas_safe
+    from .blobshuffle import _BLOB, pack_by_bucket, unpack_blobs
+    from .partition import _BUCKET
+    from .sort import sample_boundaries
+
+    import pyarrow.compute as pc
+
+    ds = ds.select_columns([group_col, value_col, side_col])
+    ds = ds.materialize()
+    bounds = np.asarray(
+        sample_boundaries(ds, value_col, num_partitions, seed=seed),
+        dtype=np.float64)
+    nparts = len(bounds) + 1
+
+    def _part(v: np.ndarray) -> np.ndarray:
+        if len(bounds):
+            return np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return np.zeros(len(v), dtype=np.int64)
+
+    # pre-pass: per (group, partition) counts of each side (no shuffle)
+    cnt: dict[tuple, np.ndarray] = {}
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(value_col)),
+                             pc.is_valid(t.column(side_col))))
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "p": pa.array([], type=pa.int64()),
+                             "ca": pa.array([], type=pa.int64()),
+                             "cb": pa.array([], type=pa.int64())})
+        codes, uniq = pd.factorize(
+            t.column(group_col).to_pandas(), use_na_sentinel=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        y = t.column(side_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        cell = codes * nparts + _part(v)
+        size = len(uniq) * nparts
+        ca = np.bincount(cell, weights=y, minlength=size)
+        cb = np.bincount(cell, weights=1.0 - y, minlength=size)
+        nz = np.flatnonzero(ca + cb)
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq, dtype=object)[nz // nparts]),
+            "p": pa.array(nz % nparts, type=pa.int64()),
+            "ca": pa.array(ca[nz].astype(np.int64)),
+            "cb": pa.array(cb[nz].astype(np.int64)),
+        })
+
+    for b in ds.map_batches(counts, batch_format="pyarrow",
+                            zero_copy_batch=True
+                            ).iter_batches(batch_size=None,
+                                           batch_format="pyarrow"):
+        for g, p, ca, cb in zip(b.column(group_col).to_pylist(),
+                                b.column("p").to_pylist(),
+                                b.column("ca").to_pylist(),
+                                b.column("cb").to_pylist()):
+            a = cnt.setdefault(g, np.zeros((nparts, 2), dtype=np.int64))
+            a[p, 0] += ca
+            a[p, 1] += cb
+    if not cnt:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n_a": pd.Series([], dtype=np.int64),
+                             "n_b": pd.Series([], dtype=np.int64),
+                             "ks": pd.Series([], dtype=np.float64)})
+    # per-group prefix counts before each partition + totals
+    pre = {g: np.concatenate([[[0, 0]], np.cumsum(a, axis=0)[:-1]])
+           for g, a in cnt.items()}
+    tot = {g: a.sum(axis=0) for g, a in cnt.items()}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch.column(value_col)),
+                                     pc.is_valid(batch.column(side_col))))
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+                 .astype(np.float64)
+        return pack_by_bucket(batch, _part(v))
+
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      "d": pa.array([], type=pa.float64())})
+
+    def part_max(tbl: pa.Table) -> pa.Table:
+        pid = int(tbl.column(_BUCKET)[0].as_py())
+        df = arrow_to_pandas_safe(unpack_blobs(tbl.column(_BLOB)))
+        if df.empty:
+            return empty
+        codes, uniq = pd.factorize(df[group_col], use_na_sentinel=False)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        y = df[side_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((v, codes))
+        codes, v, y = codes[order], v[order], y[order]
+        new = np.empty(len(v), dtype=bool)
+        new[0] = True
+        new[1:] = (codes[1:] != codes[:-1]) | (v[1:] != v[:-1])
+        blk = np.cumsum(new) - 1
+        ca_b = np.bincount(blk, weights=y)
+        cb_b = np.bincount(blk) - ca_b
+        gcode_b = codes[new]
+        gstart = np.empty(len(gcode_b), dtype=bool)
+        gstart[0] = True
+        gstart[1:] = gcode_b[1:] != gcode_b[:-1]
+        gseg = np.cumsum(gstart) - 1
+        cum_a = np.cumsum(ca_b)
+        cum_b = np.cumsum(cb_b)
+        first = np.flatnonzero(gstart)
+        cum_a = cum_a - np.concatenate([[0], cum_a[first[1:] - 1]])[gseg] \
+            if len(first) > 1 else cum_a
+        cum_b = cum_b - np.concatenate([[0], cum_b[first[1:] - 1]])[gseg] \
+            if len(first) > 1 else cum_b
+        out_g, out_d = [], []
+        for gi, gname in enumerate(np.asarray(uniq, dtype=object)):
+            na, nb = tot[gname]
+            if na == 0 or nb == 0:
+                continue
+            m = gseg == gi
+            fa = (pre[gname][pid, 0] + cum_a[m]) / float(na)
+            fb = (pre[gname][pid, 1] + cum_b[m]) / float(nb)
+            out_g.append(gname)
+            out_d.append(float(np.abs(fa - fb).max()))
+        return pa.table({group_col: pa.array(out_g, type=pa.string()),
+                         "d": pa.array(out_d, type=pa.float64())})
+
+    dmax = (ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+              .groupby(_BUCKET)
+              .map_groups(part_max, batch_format="pyarrow")
+              .to_pandas())
+    rows = []
+    for g in sorted(tot):
+        na, nb = int(tot[g][0]), int(tot[g][1])
+        sub = dmax.loc[dmax[group_col] == g, "d"]
+        ks = float(sub.max()) if len(sub) and na > 0 and nb > 0 else np.nan
+        rows.append((g, na, nb, ks))
+    return pd.DataFrame(rows, columns=[group_col, "n_a", "n_b", "ks"])
+
+
+__all__.append("group_ks")
+
+
+def calibration_bins(
+    ds,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    num_buckets: int = 8,
+):
+    """Reliability-diagram bins: clamp ``score_col`` onto ``n_bins``
+    equal-width bins over [lo, hi) and report per bin the row count,
+    mean label and mean score — is a probability-like score honest?
+    One partial-aggregated exchange of (bin, n, Σy, Σs) rows.
+
+    Returns a Dataset ``(bin, n, mean_label, mean_score)``; the bin id
+    is ``clamp(floor((s − lo)/width), 0, n_bins−1)``, mirroring the
+    GREATEST/LEAST construction the PSI/CCNet oracles use.
+    """
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_aggregate
+
+    width = (hi - lo) / n_bins
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(score_col)),
+                             pc.is_valid(t.column(label_col))))
+        s = t.column(score_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        b = np.clip(np.floor((s - lo) / width), 0, n_bins - 1) \
+              .astype(np.int64)
+        return pa.table({"bin": pa.array(b), "__y": pa.array(y),
+                         "__s": pa.array(s)})
+
+    g = grouped_aggregate(
+        ds.select_columns([score_col, label_col])
+          .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "bin",
+        {"n": ("__y", "count"), "__sy": ("__y", "sum"),
+         "__ss": ("__s", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        return pa.table({
+            "bin": t.column("bin"), "n": t.column("n"),
+            "mean_label": pa.array(
+                t.column("__sy").to_numpy(zero_copy_only=False) / n),
+            "mean_score": pa.array(
+                t.column("__ss").to_numpy(zero_copy_only=False) / n),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+__all__.append("calibration_bins")

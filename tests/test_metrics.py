@@ -205,3 +205,120 @@ def test_hopping_window_rejects_non_multiple(ray_session):
         "value": [1.0]}))
     with pytest.raises(ValueError, match="whole multiple"):
         hopping_window_agg(ds, "ts", "value", window="1h", hop="25m")
+
+
+def _wmedian_oracle(v, w):
+    """Smallest v with W(<=v) >= W/2, per-distinct-value cumulative."""
+    df = pd.DataFrame({"v": v, "w": w}).groupby("v", sort=True)["w"].sum()
+    cum = df.cumsum().to_numpy()
+    return float(df.index[np.searchsorted(cum, df.sum() / 2.0,
+                                          side="left")])
+
+
+def test_grouped_weighted_median_vs_oracle(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import (
+        grouped_weighted_median,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    g = rng.choice(["a", "b"], n)
+    # tie-heavy values (integers) + integer weights: cut boundaries land
+    # exactly on cumulative steps
+    v = rng.integers(0, 50, n).astype(np.float64)
+    w = rng.integers(1, 5, n).astype(np.float64)
+    t = pa.table({"g": g, "v": v, "w": w})
+    out = grouped_weighted_median(
+        rd.from_arrow(t), "g", "v", "w", num_partitions=8
+    ).set_index("g")
+    for lvl in ("a", "b"):
+        m = g == lvl
+        assert out.loc[lvl, "weighted_median"] == _wmedian_oracle(v[m], w[m])
+        assert out.loc[lvl, "w_total"] == w[m].sum()
+    # unweighted = plain exact median (lower median for even n)
+    out2 = grouped_weighted_median(rd.from_arrow(t), "g", "v",
+                                   num_partitions=8).set_index("g")
+    for lvl in ("a", "b"):
+        m = g == lvl
+        assert out2.loc[lvl, "weighted_median"] == _wmedian_oracle(
+            v[m], np.ones(m.sum()))
+    # all weight on one value → that value, regardless of others
+    t3 = pa.table({"g": ["z"] * 5, "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+                   "w": [1.0, 1.0, 100.0, 1.0, 1.0]})
+    o3 = grouped_weighted_median(rd.from_arrow(t3), "g", "v", "w",
+                                 num_partitions=4)
+    assert o3["weighted_median"].iloc[0] == 3.0
+
+
+def _ks_oracle(va, vb):
+    allv = np.unique(np.concatenate([va, vb]))
+    fa = np.searchsorted(np.sort(va), allv, side="right") / len(va)
+    fb = np.searchsorted(np.sort(vb), allv, side="right") / len(vb)
+    return float(np.abs(fa - fb).max())
+
+
+def test_group_ks_vs_oracle(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import group_ks
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    rows = []
+    # group "same": both sides one distribution → small D
+    v = rng.normal(0, 1, n)
+    s = rng.integers(0, 2, n)
+    rows.append(pa.table({"g": ["same"] * n, "v": v,
+                          "side": s.astype(np.int64)}))
+    # group "shift": side 1 shifted by 2 → large D
+    v2 = rng.normal(0, 1, n) + np.where(s == 1, 2.0, 0.0)
+    rows.append(pa.table({"g": ["shift"] * n, "v": v2,
+                          "side": s.astype(np.int64)}))
+    # group "onesided": only side 0 present → NaN
+    rows.append(pa.table({"g": ["onesided"] * 10,
+                          "v": rng.normal(0, 1, 10),
+                          "side": np.zeros(10, dtype=np.int64)}))
+    t = pa.concat_tables(rows)
+    out = group_ks(rd.from_arrow(t), "g", "v", "side",
+                   num_partitions=8).set_index("g")
+    for lvl, vv in (("same", v), ("shift", v2)):
+        mask = {"same": np.ones(n, bool), "shift": np.ones(n, bool)}[lvl]
+        exp = _ks_oracle(vv[mask & (s == 1)], vv[mask & (s == 0)])
+        np.testing.assert_allclose(out.loc[lvl, "ks"], exp, rtol=0, atol=0)
+        assert out.loc[lvl, "n_a"] == (s == 1).sum()
+        assert out.loc[lvl, "n_b"] == (s == 0).sum()
+    assert out.loc["same", "ks"] < 0.08
+    assert out.loc["shift", "ks"] > 0.5
+    assert np.isnan(out.loc["onesided", "ks"])
+    assert out.loc["onesided", "n_a"] == 0
+
+
+def test_calibration_bins_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import calibration_bins
+
+    rng = np.random.default_rng(19)
+    n = 2000
+    # scores outside [0,1) must clamp into the edge bins
+    sc = np.concatenate([rng.random(n), [-0.5, 1.7]])
+    y = (rng.random(n + 2) < sc.clip(0, 1)).astype(np.int64)
+    t = pa.table({"sc": sc, "y": y})
+    out = (calibration_bins(rd.from_arrow(t), "sc", "y", n_bins=10,
+                            lo=0.0, hi=1.0, num_buckets=4)
+           .to_pandas().sort_values("bin", ignore_index=True))
+    b = np.clip(np.floor(sc * 10), 0, 9).astype(int)
+    exp = (pd.DataFrame({"bin": b, "y": y, "sc": sc})
+           .groupby("bin").agg(n=("y", "size"), mean_label=("y", "mean"),
+                               mean_score=("sc", "mean")).reset_index())
+    assert out["bin"].tolist() == exp["bin"].tolist()
+    assert out["n"].tolist() == exp["n"].tolist()
+    np.testing.assert_allclose(out["mean_label"], exp["mean_label"],
+                               rtol=1e-12)
+    np.testing.assert_allclose(out["mean_score"], exp["mean_score"],
+                               rtol=1e-12)
+    # a calibrated score: mean_label tracks mean_score per bin
+    mid = out.iloc[2:8]
+    assert (np.abs(mid["mean_label"] - mid["mean_score"]) < 0.15).all()
