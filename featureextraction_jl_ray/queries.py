@@ -8169,6 +8169,135 @@ FROM s GROUP BY bin
 """
 
 
+def q_inequality_events(sf_dir):
+    """Gini + Theil concentration of value per event_type
+    (stages/metrics.py::inequality_stats): the partition-prefix
+    rank·value decomposition (tie-order invariant) + pure-partial
+    Σx·ln x, one narrow exchange.  x>0 filter mirrored in the oracle's
+    WHERE; 1e-6 grid (rank-sum float order)."""
+    from .stages.metrics import inequality_stats
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    out = inequality_stats(ds, "event_type", "value", num_partitions=32)
+    out["gini"] = np.round(out["gini"], 6) + 0.0
+    out["theil"] = np.round(out["theil"], 6) + 0.0
+    return out
+
+
+SQL_INEQUALITY_EVENTS = """
+WITH s AS (SELECT event_type, value AS x FROM events WHERE value > 0),
+r AS (
+  SELECT event_type, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+              AS DOUBLE) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n,
+         SUM(x) OVER (PARTITION BY event_type) AS sx
+  FROM s
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       ROUND((2.0 * sum(rn * x) - (max(n) + 1.0) * max(sx))
+             / (max(n) * max(sx)), 6) + 0.0 AS gini,
+       ROUND(sum(x * ln(x)) / max(sx) - ln(max(sx) / max(n)), 6)
+         + 0.0 AS theil
+FROM r GROUP BY event_type
+"""
+
+
+def q_ab_test_events(sf_dir):
+    """Welch t + Cohen's d of value between even- and odd-user events
+    per event_type (stages/metrics.py::ab_test_stats): the experiment
+    readout from one (group, side) sufficient-statistics exchange.
+    Effect ≈ 0 on this data — the point is the closed form matches the
+    oracle's identical formula from identical sums.  1e-6 grid."""
+    from .stages.metrics import ab_test_stats
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+            "side": pa.array((u % 2 == 0).astype(np.int64)),
+        })
+
+    out = ab_test_stats(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "value", "side", num_buckets=8)
+    for c in ("mean_diff", "t_welch", "cohen_d"):
+        out[c] = np.round(out[c], 6) + 0.0
+    return out
+
+
+SQL_AB_TEST_EVENTS = """
+WITH s AS (
+  SELECT event_type, value AS v,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS sd
+  FROM events
+), a AS (
+  SELECT event_type, sd, CAST(count(*) AS DOUBLE) AS n,
+         sum(v) AS s, sum(v * v) AS ss
+  FROM s GROUP BY event_type, sd
+), p AS (
+  SELECT t.event_type, t.n AS n1, c.n AS n0, t.s AS s1, c.s AS s0,
+         t.ss AS ss1, c.ss AS ss0,
+         (t.ss - t.s * t.s / t.n) / (t.n - 1) AS v1,
+         (c.ss - c.s * c.s / c.n) / (c.n - 1) AS v0
+  FROM a t JOIN a c ON t.event_type = c.event_type
+  WHERE t.sd = 1 AND c.sd = 0
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n_treat,
+       CAST(n0 AS BIGINT) AS n_ctrl,
+       ROUND(s1 / n1 - s0 / n0, 6) + 0.0 AS mean_diff,
+       ROUND((s1 / n1 - s0 / n0) / sqrt(v1 / n1 + v0 / n0), 6)
+         + 0.0 AS t_welch,
+       ROUND((s1 / n1 - s0 / n0)
+             / sqrt(((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2)), 6)
+         + 0.0 AS cohen_d
+FROM p WHERE n1 >= 2 AND n0 >= 2
+"""
+
+
+def q_cusum_users(sf_dir):
+    """Per-user CUSUM change-point score
+    (stages/window.py::cusum_stats): standardized max cumulative
+    deviation of the (ts, event_id)-ordered value series — regime-shift
+    detection per entity, vectorized per bucket (groupby cumsum, no
+    per-entity loop).  1e-6 grid (mean/std ulps)."""
+    from .stages.window import cusum_stats
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    out = cusum_stats(ds, "user_id", "ts", "value", num_buckets=32,
+                      tiebreak_cols=("event_id",))
+    df = out.to_pandas()
+    df["cusum"] = np.round(df["cusum"], 6) + 0.0
+    return df[["user_id", "n", "cusum"]]
+
+
+SQL_CUSUM_USERS = """
+WITH w AS (
+  SELECT user_id, value,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cs,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS DOUBLE) AS rn,
+         avg(value) OVER (PARTITION BY user_id) AS mu,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+       ROUND(max(abs(cs - rn * mu)) / (max(sd) * sqrt(max(n))), 6)
+         + 0.0 AS cusum
+FROM w WHERE n >= 2 AND sd > 0
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-5 rotation retires every oracled query
@@ -8389,6 +8518,9 @@ QUERIES = {
     "weighted_median_events": q_weighted_median_events,
     "ks_events": q_ks_events,
     "calibration_events": q_calibration_events,
+    "inequality_events": q_inequality_events,
+    "ab_test_events": q_ab_test_events,
+    "cusum_users": q_cusum_users,
 }
 
 ORACLE_SQL = {
@@ -8576,4 +8708,7 @@ ORACLE_SQL = {
     "weighted_median_events": SQL_WEIGHTED_MEDIAN_EVENTS,
     "ks_events": SQL_KS_EVENTS,
     "calibration_events": SQL_CALIBRATION_EVENTS,
+    "inequality_events": SQL_INEQUALITY_EVENTS,
+    "ab_test_events": SQL_AB_TEST_EVENTS,
+    "cusum_users": SQL_CUSUM_USERS,
 }

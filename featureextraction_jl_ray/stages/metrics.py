@@ -593,3 +593,226 @@ def calibration_bins(
 
 
 __all__.append("calibration_bins")
+
+
+def inequality_stats(
+    ds,
+    group_col: str,
+    value_col: str,
+    *,
+    num_partitions: int = 64,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Gini coefficient + Theil index of a non-negative value per group
+    — concentration screens ("is 1% of users 90% of the value?"; for
+    corpus curation: source/domain share concentration).
+
+        Gini  = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·S) / (n·S)    (i = ascending rank)
+        Theil = Σᵢ (xᵢ/S) · ln(xᵢ·n/S)              (x > 0 rows)
+
+    The rank·value sum is tie-order invariant (equal x ⇒ equal
+    contribution under any rank assignment), so the partition-prefix
+    decomposition is exact: a no-shuffle (group, partition) count/sum
+    pre-pass gives each partition its rank offset, one narrow row
+    exchange computes local Σ(local_rank·x) + the Theil partials, and
+    the driver combines the bounded groups×partitions table.  Rows with
+    x ≤ 0 or null are dropped (mirror in the oracle's WHERE).
+
+    Returns ``(group_col, n, gini, theil)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.pdconv import arrow_to_pandas_safe
+    from .blobshuffle import _BLOB, pack_by_bucket, unpack_blobs
+    from .partition import _BUCKET
+    from .sort import sample_boundaries
+
+    ds = ds.select_columns([group_col, value_col])
+    ds = ds.materialize()
+    bounds = np.asarray(
+        sample_boundaries(ds, value_col, num_partitions, seed=seed),
+        dtype=np.float64)
+    nparts = len(bounds) + 1
+
+    def _clean(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        return t.filter(pc.and_(pc.is_valid(v),
+                                pc.greater(pc.cast(v, pa.float64()), 0.0)))
+
+    def _part(v: np.ndarray) -> np.ndarray:
+        if len(bounds):
+            return np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return np.zeros(len(v), dtype=np.int64)
+
+    # pre-pass: per (group, partition) counts (rank offsets), no shuffle
+    cnt: dict[str, np.ndarray] = {}
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = _clean(t)
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "p": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        codes, uniq = pd.factorize(t.column(group_col).to_pandas(),
+                                   use_na_sentinel=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        cell = codes * nparts + _part(v)
+        c = np.bincount(cell, minlength=len(uniq) * nparts)
+        nz = np.flatnonzero(c)
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq, dtype=object)[nz // nparts]),
+            "p": pa.array(nz % nparts, type=pa.int64()),
+            "c": pa.array(c[nz], type=pa.int64()),
+        })
+
+    for b in ds.map_batches(counts, batch_format="pyarrow",
+                            zero_copy_batch=True
+                            ).iter_batches(batch_size=None,
+                                           batch_format="pyarrow"):
+        for g, p, c in zip(b.column(group_col).to_pylist(),
+                           b.column("p").to_pylist(),
+                           b.column("c").to_pylist()):
+            a = cnt.setdefault(g, np.zeros(nparts, dtype=np.int64))
+            a[p] += c
+    if not cnt:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64),
+                             "gini": pd.Series([], dtype=np.float64),
+                             "theil": pd.Series([], dtype=np.float64)})
+    off = {g: np.concatenate([[0], np.cumsum(a)[:-1]])
+           for g, a in cnt.items()}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = _clean(batch)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False) \
+                 .astype(np.float64)
+        return pack_by_bucket(batch, _part(v))
+
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      "rx": pa.array([], type=pa.float64()),
+                      "sx": pa.array([], type=pa.float64()),
+                      "xlx": pa.array([], type=pa.float64())})
+
+    def part_partials(tbl: pa.Table) -> pa.Table:
+        pid = int(tbl.column(_BUCKET)[0].as_py())
+        df = arrow_to_pandas_safe(unpack_blobs(tbl.column(_BLOB)))
+        if df.empty:
+            return empty
+        codes, uniq = pd.factorize(df[group_col], use_na_sentinel=False)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        order = np.lexsort((v, codes))
+        codes, v = codes[order], v[order]
+        gstart = np.empty(len(codes), dtype=bool)
+        gstart[0] = True
+        gstart[1:] = codes[1:] != codes[:-1]
+        # 1-based local rank within (group, this partition)
+        idx = np.arange(len(codes), dtype=np.float64)
+        local = idx - idx[np.flatnonzero(gstart)][np.cumsum(gstart) - 1] + 1
+        glob_rank = local + np.array(
+            [off[g][pid] for g in np.asarray(uniq, dtype=object)])[codes]
+        ng = len(uniq)
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq, dtype=object)),
+            "rx": pa.array(np.bincount(codes, weights=glob_rank * v,
+                                       minlength=ng)),
+            "sx": pa.array(np.bincount(codes, weights=v, minlength=ng)),
+            "xlx": pa.array(np.bincount(codes, weights=v * np.log(v),
+                                        minlength=ng)),
+        })
+
+    partials = (ds.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+                  .groupby(_BUCKET)
+                  .map_groups(part_partials, batch_format="pyarrow")
+                  .to_pandas())
+    rows = []
+    for g in sorted(cnt):
+        n = int(cnt[g].sum())
+        sub = partials[partials[group_col] == g]
+        s = float(sub["sx"].sum())
+        r = float(sub["rx"].sum())
+        xlx = float(sub["xlx"].sum())
+        gini = (2.0 * r - (n + 1.0) * s) / (n * s) if n > 0 and s > 0 \
+            else np.nan
+        theil = xlx / s - np.log(s / n) if n > 0 and s > 0 else np.nan
+        rows.append((g, n, gini, theil))
+    return pd.DataFrame(rows, columns=[group_col, "n", "gini", "theil"])
+
+
+__all__.append("inequality_stats")
+
+
+def ab_test_stats(
+    ds,
+    group_col: str,
+    value_col: str,
+    side_col: str,
+    *,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Welch two-sample test per group: mean difference, Welch t
+    statistic and pooled-variance Cohen's d between the rows with
+    ``side_col`` = 1 (treatment) and = 0 (control) — the experiment
+    readout / planted-label effect-size screen beside the
+    distribution-level :func:`group_ks`.
+
+    One partial-aggregated (group, side) exchange of constant-size
+    sufficient statistics (n, Σv, Σv²); closed form on the driver:
+
+        vᵢ = (Σv² − (Σv)²/n) / (n−1)
+        t  = (m₁ − m₀) / √(v₁/n₁ + v₀/n₀)
+        d  = (m₁ − m₀) / √(((n₁−1)v₁ + (n₀−1)v₀) / (n₁+n₀−2))
+
+    Groups missing a side, with nᵢ < 2, or with zero variance on both
+    sides are dropped (the oracle's HAVING).  Returns
+    ``(group_col, n_treat, n_ctrl, mean_diff, t_welch, cohen_d)``.
+    """
+    import pyarrow.compute as pc
+
+    from .groupagg import grouped_aggregate
+
+    def widen(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(value_col)),
+                             pc.is_valid(t.column(side_col))))
+        v = pc.cast(t.column(value_col), pa.float64())
+        return pa.table({group_col: t.column(group_col),
+                         "__side": pc.cast(t.column(side_col), pa.int64()),
+                         "__v": v, "__vv": pc.multiply(v, v)})
+
+    g = grouped_aggregate(
+        ds.select_columns([group_col, value_col, side_col])
+          .map_batches(widen, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "__side"],
+        {"__n": ("__v", "count"), "__s": ("__v", "sum"),
+         "__ss": ("__vv", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    piv = g.pivot_table(index=group_col, columns="__side",
+                        values=["__n", "__s", "__ss"], aggfunc="sum")
+    rows = []
+    for grp in sorted(piv.index):
+        try:
+            n1 = float(piv.loc[grp, ("__n", 1)])
+            n0 = float(piv.loc[grp, ("__n", 0)])
+        except KeyError:
+            continue
+        if not (n1 >= 2 and n0 >= 2):
+            continue
+        s1, s0 = float(piv.loc[grp, ("__s", 1)]), float(piv.loc[grp, ("__s", 0)])
+        ss1, ss0 = float(piv.loc[grp, ("__ss", 1)]), float(piv.loc[grp, ("__ss", 0)])
+        m1, m0 = s1 / n1, s0 / n0
+        v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+        v0 = (ss0 - s0 * s0 / n0) / (n0 - 1)
+        if v1 <= 0 and v0 <= 0:
+            continue
+        diff = m1 - m0
+        t_w = diff / np.sqrt(v1 / n1 + v0 / n0)
+        pooled = ((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2)
+        d = diff / np.sqrt(pooled) if pooled > 0 else np.nan
+        rows.append((grp, int(n1), int(n0), diff, t_w, d))
+    return pd.DataFrame(rows, columns=[group_col, "n_treat", "n_ctrl",
+                                       "mean_diff", "t_welch", "cohen_d"])
+
+
+__all__.append("ab_test_stats")

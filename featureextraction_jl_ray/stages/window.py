@@ -975,3 +975,55 @@ def hopping_window_agg(
 
 
 __all__.append("hopping_window_agg")
+
+
+def cusum_stats(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Per-entity CUSUM change-point score: the standardized maximum
+    cumulative deviation of the (ts, tiebreak)-ordered value series,
+
+        cusum = max_k |Σ_{i≤k}(xᵢ − x̄)| / (s·√n)        (s = ddof-1 std)
+
+    — large when the series' mean SHIFTS mid-stream (regime change,
+    instrumentation break), near the Brownian-bridge range (~0.3–1.2)
+    when stationary.  Vectorized per bucket: cumdev_k = cumsum_k − k·x̄
+    needs only groupby cumsum/cumcount — no per-entity loop.  Entities
+    with n < 2 or zero variance are dropped (the oracle's HAVING).
+
+    Returns one row per entity: ``(entity_col, n, cusum)``.
+    """
+    from .partition import sorted_scan as _scan
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({entity_col: df[entity_col],
+                                 "n": pd.Series(dtype=np.int64),
+                                 "cusum": pd.Series(dtype=np.float64)})
+        g = df.groupby(entity_col, sort=False)[value_col]
+        mu = g.transform("mean").to_numpy(dtype=np.float64)
+        cs = g.cumsum().to_numpy(dtype=np.float64)
+        k = (g.cumcount() + 1).to_numpy(dtype=np.float64)
+        df = df.assign(__dev=np.abs(cs - k * mu))
+        agg = (df.groupby(entity_col, sort=False)
+                 .agg(n=(value_col, "size"), __mx=("__dev", "max"),
+                      __sd=(value_col, "std"))
+                 .reset_index())
+        agg = agg[(agg["n"] >= 2) & (agg["__sd"] > 0)]
+        out = agg[[entity_col]].copy()
+        out["n"] = agg["n"].to_numpy(dtype=np.int64)
+        out["cusum"] = (agg["__mx"]
+                        / (agg["__sd"] * np.sqrt(agg["n"]))).to_numpy()
+        return out
+
+    return _scan(ds, entity_col, ts_col, fn, num_buckets=num_buckets,
+                 tiebreak_cols=tiebreak_cols)
+
+
+__all__.append("cusum_stats")

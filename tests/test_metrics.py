@@ -322,3 +322,107 @@ def test_calibration_bins_vs_pandas(ray_session):
     # a calibrated score: mean_label tracks mean_score per bin
     mid = out.iloc[2:8]
     assert (np.abs(mid["mean_label"] - mid["mean_score"]) < 0.15).all()
+
+
+def test_inequality_stats_vs_closed_form(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import inequality_stats
+
+    rng = np.random.default_rng(23)
+    # "flat": equal values → gini = 0, theil = 0
+    flat = np.full(500, 7.0)
+    # "conc": lognormal (heavy concentration) with ties planted
+    conc = np.round(rng.lognormal(0, 1.5, 800), 1) + 0.1
+    # non-positive rows must drop
+    g = ["flat"] * 500 + ["conc"] * 800 + ["conc", "flat"]
+    v = np.concatenate([flat, conc, [0.0, -3.0]])
+    t = pa.table({"g": g, "v": v})
+    out = inequality_stats(rd.from_arrow(t), "g", "v",
+                           num_partitions=8).set_index("g")
+    np.testing.assert_allclose(out.loc["flat", "gini"], 0.0, atol=1e-12)
+    np.testing.assert_allclose(out.loc["flat", "theil"], 0.0, atol=1e-12)
+    assert out.loc["flat", "n"] == 500 and out.loc["conc", "n"] == 800
+    # closed-form oracle on the sorted vector
+    x = np.sort(conc)
+    n, s = len(x), x.sum()
+    gini = (2 * np.sum(np.arange(1, n + 1) * x) - (n + 1) * s) / (n * s)
+    theil = np.sum((x / s) * np.log(x * n / s))
+    np.testing.assert_allclose(out.loc["conc", "gini"], gini, rtol=1e-10)
+    np.testing.assert_allclose(out.loc["conc", "theil"], theil, rtol=1e-10)
+    assert out.loc["conc", "gini"] > 0.4
+
+
+def test_ab_test_stats_vs_scipy_formula(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import ab_test_stats
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    side = rng.integers(0, 2, n)
+    # group "lift": treatment shifted by +0.5σ; "null": no effect;
+    # "tiny": too few treatment rows → dropped
+    v_lift = rng.normal(0, 1, n) + 0.5 * side
+    v_null = rng.normal(0, 1, n)
+    t = pa.concat_tables([
+        pa.table({"g": ["lift"] * n, "v": v_lift,
+                  "side": side.astype(np.int64)}),
+        pa.table({"g": ["null"] * n, "v": v_null,
+                  "side": side.astype(np.int64)}),
+        pa.table({"g": ["tiny", "tiny"], "v": [1.0, 2.0],
+                  "side": pa.array([1, 0], type=pa.int64())}),
+    ])
+    out = ab_test_stats(rd.from_arrow(t), "g", "v", "side",
+                        num_buckets=4).set_index("g")
+    assert "tiny" not in out.index
+    for gname, v in (("lift", v_lift), ("null", v_null)):
+        a, b = v[side == 1], v[side == 0]
+        diff = a.mean() - b.mean()
+        tw = diff / np.sqrt(a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        pooled = ((len(a) - 1) * a.var(ddof=1)
+                  + (len(b) - 1) * b.var(ddof=1)) / (len(a) + len(b) - 2)
+        np.testing.assert_allclose(out.loc[gname, "mean_diff"], diff,
+                                   rtol=1e-9)
+        np.testing.assert_allclose(out.loc[gname, "t_welch"], tw,
+                                   rtol=1e-9)
+        np.testing.assert_allclose(out.loc[gname, "cohen_d"],
+                                   diff / np.sqrt(pooled), rtol=1e-9)
+        assert out.loc[gname, "n_treat"] == (side == 1).sum()
+    assert out.loc["lift", "t_welch"] > 8
+    assert abs(out.loc["null", "t_welch"]) < 3
+
+
+def test_cusum_stats_detects_shift(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import cusum_stats
+
+    rng = np.random.default_rng(31)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: mean shift mid-series (0 → 5); user 2: stationary;
+    # user 3: constant (dropped); user 4: single row (dropped)
+    v1 = np.concatenate([rng.normal(0, 1, 40), rng.normal(5, 1, 40)])
+    v2 = rng.normal(0, 1, 80)
+    for i, v in enumerate(v1):
+        rows.append((1, base + pd.Timedelta(minutes=i), float(v), i))
+    for i, v in enumerate(v2):
+        rows.append((2, base + pd.Timedelta(minutes=i), float(v), 100 + i))
+    for i in range(5):
+        rows.append((3, base + pd.Timedelta(minutes=i), 2.0, 200 + i))
+    rows.append((4, base, 1.0, 300))
+    df = pd.DataFrame(rows, columns=["uid", "ts", "v", "eid"])
+    out = cusum_stats(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        "uid", "ts", "v", num_buckets=4, tiebreak_cols=("eid",)
+    ).to_pandas().set_index("uid")
+    assert 3 not in out.index and 4 not in out.index
+    # direct oracle
+    for uid, v in ((1, v1), (2, v2)):
+        dev = np.abs(np.cumsum(v - v.mean()))
+        exp = dev.max() / (np.std(v, ddof=1) * np.sqrt(len(v)))
+        np.testing.assert_allclose(out.loc[uid, "cusum"], exp, rtol=1e-10)
+        assert out.loc[uid, "n"] == len(v)
+    # the shifted series scores far above the stationary one
+    assert out.loc[1, "cusum"] > 2 * out.loc[2, "cusum"]
