@@ -197,6 +197,13 @@ def run_bench() -> dict:
         "survival_labels",
         "watermark_events",
         "incremental_dedup",
+        # round-5 continuation-3: the metrics layer's two exchange shapes
+        # (partition-prefix order statistic, two-pass cut search) and the
+        # skew-aware join plan next to the native/bucketed ones
+        "auc_events",
+        "weighted_median_events",
+        "skew_join_agg",
+        "hopping_windows",
     ]
     if not os.environ.get("FX_SKIP_QUERIES"):
         # min-of-2 per query (VERDICT r4 #7): the driver samples whatever

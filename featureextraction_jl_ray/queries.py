@@ -8298,6 +8298,84 @@ GROUP BY user_id
 """
 
 
+def q_avg_precision_events(sf_dir):
+    """Exact average precision per event_type
+    (stages/metrics.py::group_avg_precision): AP over the (floor(value)
+    DESC, event_id ASC) ranking of even-user relevance — the explicit
+    id tiebreak makes the ranking a TOTAL order, so both sides evaluate
+    identical P@k integers; floor scores plant dense ties so the
+    tiebreak path provably matters.  1e-9 grid (partial-sum order)."""
+    from .stages.metrics import group_avg_precision
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "event_id": t.column("event_id"),
+            "score": pa.array(np.floor(v)),
+            "y": pa.array((u % 2 == 0).astype(np.int64)),
+        })
+
+    out = group_avg_precision(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "score", "y", "event_id", num_partitions=32)
+    out["avg_precision"] = np.round(out["avg_precision"], 9) + 0.0
+    return out
+
+
+SQL_AVG_PRECISION_EVENTS = """
+WITH s AS (
+  SELECT event_type, floor(value) AS score, event_id,
+         CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+), r AS (
+  SELECT event_type, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY score DESC, event_id)
+              AS DOUBLE) AS rn,
+         SUM(y) OVER (PARTITION BY event_type
+                      ORDER BY score DESC, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cp
+  FROM s
+)
+SELECT event_type, CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(sum(CASE WHEN y = 1.0 THEN cp / rn ELSE 0.0 END) / sum(y),
+             9) + 0.0 AS avg_precision
+FROM r GROUP BY event_type
+"""
+
+
+def q_pct_rank_events(sf_dir):
+    """PERCENT_RANK of value within event_type, per row
+    (stages/sort.py::with_group_percent_rank): the rank-based
+    normalization transform — min-tie-rank without any tiebreak column
+    (RANK() semantics), offsets from a no-shuffle count pre-pass.
+    Division of exact integers ⇒ bit-identical; round is
+    belt-and-braces."""
+    from .stages.sort import with_group_percent_rank
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    out = with_group_percent_rank(ds, "event_type", "value",
+                                  num_partitions=32)
+    out = out.select_columns(["event_id", "event_type", "pct_rank"])
+    return _round_cols(out, {"pct_rank": 9})
+
+
+SQL_PCT_RANK_EVENTS = """
+SELECT event_id, event_type,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                                  ORDER BY value), 9) + 0.0 AS pct_rank
+FROM events
+"""
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-5 rotation retires every oracled query
@@ -8521,6 +8599,8 @@ QUERIES = {
     "inequality_events": q_inequality_events,
     "ab_test_events": q_ab_test_events,
     "cusum_users": q_cusum_users,
+    "avg_precision_events": q_avg_precision_events,
+    "pct_rank_events": q_pct_rank_events,
 }
 
 ORACLE_SQL = {
@@ -8711,4 +8791,6 @@ ORACLE_SQL = {
     "inequality_events": SQL_INEQUALITY_EVENTS,
     "ab_test_events": SQL_AB_TEST_EVENTS,
     "cusum_users": SQL_CUSUM_USERS,
+    "avg_precision_events": SQL_AVG_PRECISION_EVENTS,
+    "pct_rank_events": SQL_PCT_RANK_EVENTS,
 }

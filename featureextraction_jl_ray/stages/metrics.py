@@ -226,11 +226,12 @@ def grouped_weighted_median(
     value_col: str,
     weight_col: str | None = None,
     *,
+    q: float = 0.5,
     num_partitions: int = 64,
     seed: int = 42,
 ) -> pd.DataFrame:
-    """Exact weighted median per group — smallest v with
-    W(≤ v) ≥ W_total/2 — without sorting any group in one task.
+    """Exact weighted q-quantile per group (default median) — smallest v
+    with W(≤ v) ≥ q·W_total — without sorting any group in one task.
 
     Two-pass distributed order statistic:
 
@@ -256,6 +257,8 @@ def grouped_weighted_median(
     from .groupagg import grouped_aggregate
     from .sort import sample_boundaries
 
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q must be in (0, 1], got {q}")
     ds = ds.select_columns(
         [group_col, value_col] + ([weight_col] if weight_col else []))
     ds = ds.materialize()   # passes must agree row-for-row
@@ -324,7 +327,7 @@ def grouped_weighted_median(
         w = sub.droplevel(0)
         tot = w.sum()
         cum = w.cumsum()
-        half = tot / 2.0
+        half = tot * q
         p_cut = int(w.index[np.searchsorted(cum.to_numpy(), half,
                                             side="left")])
         cut[g] = p_cut
@@ -358,7 +361,7 @@ def grouped_weighted_median(
     out = []
     for g, sub in sl.groupby(group_col, sort=True):
         cum = before[g] + sub["w"].cumsum().to_numpy()
-        half = totals[g] / 2.0
+        half = totals[g] * q
         idx = int(np.searchsorted(cum, half, side="left"))
         out.append((g, totals[g], float(sub["__v"].iloc[idx])))
     return pd.DataFrame(out, columns=[group_col, "w_total",
@@ -816,3 +819,166 @@ def ab_test_stats(
 
 
 __all__.append("ab_test_stats")
+
+
+def group_avg_precision(
+    ds,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    *,
+    num_partitions: int = 64,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Exact average precision (PR-AUC under the step interpolation) per
+    group: AP = (1/n⁺) · Σ_{k: rel_k=1} P@k over the ranking by
+    (score DESC, id ASC) — the retrieval-quality twin of
+    :func:`group_auc`.  The explicit ``id_col`` tiebreak makes the
+    ranking a TOTAL order, so (unlike AUC) no tie-averaging convention
+    is needed and both sides evaluate the identical k / cum⁺(k)
+    integers.
+
+    Same partition-prefix shape as :func:`group_ks`: a no-shuffle
+    (group, partition) rows/positives pre-pass gives every partition the
+    DESC-order offsets (counts in higher-score partitions), one narrow
+    row exchange computes the local Σ cum⁺(k)/k terms, the driver sums
+    the bounded partials.  Rows with null score/label drop.
+
+    Returns ``(group_col, n_pos, n_rows, avg_precision)``; NaN when a
+    group has no positives.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.pdconv import arrow_to_pandas_safe
+    from .blobshuffle import _BLOB, pack_by_bucket, unpack_blobs
+    from .partition import _BUCKET
+    from .sort import sample_boundaries
+
+    ds = ds.select_columns([group_col, score_col, label_col, id_col])
+    ds = ds.materialize()
+    bounds = np.asarray(
+        sample_boundaries(ds, score_col, num_partitions, seed=seed),
+        dtype=np.float64)
+    nparts = len(bounds) + 1
+
+    def _clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t.column(score_col)),
+                                pc.is_valid(t.column(label_col))))
+
+    def _part(v: np.ndarray) -> np.ndarray:
+        if len(bounds):
+            return np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return np.zeros(len(v), dtype=np.int64)
+
+    # pre-pass: per (group, partition) rows + positives, driver-combined
+    cnt: dict[str, np.ndarray] = {}
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = _clean(t)
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "p": pa.array([], type=pa.int64()),
+                             "r": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64())})
+        codes, uniq = pd.factorize(t.column(group_col).to_pandas(),
+                                   use_na_sentinel=False)
+        v = t.column(score_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        cell = codes * nparts + _part(v)
+        size = len(uniq) * nparts
+        r = np.bincount(cell, minlength=size)
+        p_ = np.bincount(cell, weights=y, minlength=size)
+        nz = np.flatnonzero(r)
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq, dtype=object)[nz // nparts]),
+            "p": pa.array(nz % nparts, type=pa.int64()),
+            "r": pa.array(r[nz], type=pa.int64()),
+            "pos": pa.array(p_[nz].astype(np.int64)),
+        })
+
+    for b in ds.map_batches(counts, batch_format="pyarrow",
+                            zero_copy_batch=True
+                            ).iter_batches(batch_size=None,
+                                           batch_format="pyarrow"):
+        for g, p, r, po in zip(b.column(group_col).to_pylist(),
+                               b.column("p").to_pylist(),
+                               b.column("r").to_pylist(),
+                               b.column("pos").to_pylist()):
+            a = cnt.setdefault(g, np.zeros((nparts, 2), dtype=np.int64))
+            a[p, 0] += r
+            a[p, 1] += po
+    if not cnt:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n_pos": pd.Series([], dtype=np.int64),
+                             "n_rows": pd.Series([], dtype=np.int64),
+                             "avg_precision": pd.Series(
+                                 [], dtype=np.float64)})
+    # DESC-order offsets: rows/positives in HIGHER-score partitions
+    suf = {}
+    for g, a in cnt.items():
+        rev = np.cumsum(a[::-1], axis=0)[::-1]
+        s = np.zeros_like(a)
+        s[:-1] = rev[1:]
+        suf[g] = s
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = _clean(batch)
+        v = batch.column(score_col).to_numpy(zero_copy_only=False) \
+                 .astype(np.float64)
+        return pack_by_bucket(batch, _part(v))
+
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      "s": pa.array([], type=pa.float64())})
+
+    def part_sum(tbl: pa.Table) -> pa.Table:
+        pid = int(tbl.column(_BUCKET)[0].as_py())
+        df = arrow_to_pandas_safe(unpack_blobs(tbl.column(_BLOB)))
+        if df.empty:
+            return empty
+        codes, uniq = pd.factorize(df[group_col], use_na_sentinel=False)
+        v = df[score_col].to_numpy(dtype=np.float64)
+        y = df[label_col].to_numpy(dtype=np.float64)
+        i = df[id_col].to_numpy()
+        # group-major, score DESC, id ASC
+        order = np.lexsort((i, -v, codes))
+        codes, y = codes[order], y[order]
+        gstart = np.empty(len(codes), dtype=bool)
+        gstart[0] = True
+        gstart[1:] = codes[1:] != codes[:-1]
+        idx = np.arange(len(codes), dtype=np.int64)
+        local = idx - idx[np.flatnonzero(gstart)][np.cumsum(gstart) - 1] + 1
+        cumy = np.cumsum(y)
+        base = np.concatenate(
+            [[0.0], cumy[np.flatnonzero(gstart)[1:] - 1]])
+        local_pos = cumy - base[np.cumsum(gstart) - 1]
+        offs = np.array([suf[g][pid] for g in
+                         np.asarray(uniq, dtype=object)])
+        k = local.astype(np.float64) + offs[codes, 0]
+        cp = local_pos + offs[codes, 1]
+        term = np.where(y == 1.0, cp / k, 0.0)
+        ng = len(uniq)
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq, dtype=object)),
+            "s": pa.array(np.bincount(codes, weights=term, minlength=ng)),
+        })
+
+    partials = (ds.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+                  .groupby(_BUCKET)
+                  .map_groups(part_sum, batch_format="pyarrow")
+                  .to_pandas())
+    rows = []
+    for g in sorted(cnt):
+        n_rows = int(cnt[g][:, 0].sum())
+        n_pos = int(cnt[g][:, 1].sum())
+        s = float(partials.loc[partials[group_col] == g, "s"].sum())
+        ap = s / n_pos if n_pos > 0 else np.nan
+        rows.append((g, n_pos, n_rows, ap))
+    return pd.DataFrame(rows, columns=[group_col, "n_pos", "n_rows",
+                                       "avg_precision"])
+
+
+__all__.append("group_avg_precision")

@@ -316,3 +316,123 @@ def with_watermark(ds, order_col: str, ts_col: str, *,
 
 
 __all__.append("with_watermark")
+
+
+def with_group_percent_rank(
+    ds,
+    group_col: str,
+    value_col: str,
+    *,
+    rank_col: str = "pct_rank",
+    num_partitions: int = 64,
+    seed: int = 42,
+):
+    """Per-row PERCENT_RANK within each group — the rank-based
+    normalization transform ((min-tie-rank − 1)/(n − 1), SQL
+    ``PERCENT_RANK()`` semantics): maps any value distribution onto
+    [0, 1] per group, robust to outliers where z-scoring is not, and
+    the first half of a rank-gauss transform.
+
+    Same partition-prefix shape as :func:`with_global_rank` but GROUPED
+    and tie-aware without a tiebreak column: a no-shuffle
+    (group, partition) count pre-pass gives each partition its rank
+    offset, one exchange sorts locally and assigns every tie block its
+    MIN rank (RANK(), not ROW_NUMBER, so no tiebreak order leaks into
+    the output).  Division of exact integers ⇒ bit-identical to the SQL
+    window at any layout.  Single-row groups get 0.0 (DuckDB's
+    convention).  Null values rank last.
+    """
+    import pandas as pd
+
+    from ..functions.pdconv import arrow_to_pandas_safe, pandas_to_arrow
+    from .blobshuffle import _BLOB, pack_by_bucket, unpack_blobs
+    from .partition import _BUCKET
+
+    ds = ds.materialize()
+    bounds = sample_boundaries(ds, value_col, num_partitions, seed=seed)
+    barr = np.asarray(bounds, dtype=np.float64)
+    nparts = len(barr) + 1
+
+    def _part(batch: pa.Table) -> np.ndarray:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        if len(barr):
+            p = np.searchsorted(barr, v, side="right")
+        else:
+            p = np.zeros(len(v), dtype=np.int64)
+        null = pd.isna(v)
+        if null.any():
+            p = np.where(null, len(barr), p)
+        return p.astype(np.int64)
+
+    # pre-pass: (group, partition) counts → rank offsets + group totals
+    cnt: dict = {}
+
+    def counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "p": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        codes, uniq = pd.factorize(t.column(group_col).to_pandas(),
+                                   use_na_sentinel=False)
+        cell = codes * nparts + _part(t)
+        c = np.bincount(cell, minlength=len(uniq) * nparts)
+        nz = np.flatnonzero(c)
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq, dtype=object)[nz // nparts]),
+            "p": pa.array(nz % nparts, type=pa.int64()),
+            "c": pa.array(c[nz], type=pa.int64()),
+        })
+
+    for b in ds.select_columns([group_col, value_col]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        for g, p, c in zip(b.column(group_col).to_pylist(),
+                           b.column("p").to_pylist(),
+                           b.column("c").to_pylist()):
+            a = cnt.setdefault(g, np.zeros(nparts, dtype=np.int64))
+            a[p] += c
+    off = {g: np.concatenate([[0], np.cumsum(a)[:-1]])
+           for g, a in cnt.items()}
+    tot = {g: int(a.sum()) for g, a in cnt.items()}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pack_by_bucket(batch, _part(batch))
+
+    def rank_bucket(tbl: pa.Table) -> pa.Table:
+        pid = int(tbl.column(_BUCKET)[0].as_py())
+        df = arrow_to_pandas_safe(unpack_blobs(tbl.column(_BLOB)))
+        if df.empty:
+            return pandas_to_arrow(df)
+        codes, uniq = pd.factorize(df[group_col], use_na_sentinel=False)
+        v = df[value_col].to_numpy()
+        order = np.lexsort((v, codes))   # NaN sorts last within group
+        codes_s, v_s = codes[order], v[order]
+        new = np.empty(len(v_s), dtype=bool)
+        new[0] = True
+        vne = (v_s[1:] != v_s[:-1]) & ~(pd.isna(v_s[1:]) & pd.isna(v_s[:-1]))
+        new[1:] = (codes_s[1:] != codes_s[:-1]) | vne
+        gstart = np.empty(len(v_s), dtype=bool)
+        gstart[0] = True
+        gstart[1:] = codes_s[1:] != codes_s[:-1]
+        idx = np.arange(len(v_s), dtype=np.int64)
+        gfirst = idx[gstart][np.cumsum(gstart) - 1]
+        local = idx - gfirst                      # 0-based within group
+        # min tie rank: the local index at each tie-block start
+        blk_start_local = local[new][np.cumsum(new) - 1]
+        offs = np.array([off[g][pid] for g in
+                         np.asarray(uniq, dtype=object)], dtype=np.int64)
+        rank = offs[codes_s] + blk_start_local + 1   # 1-based RANK()
+        n = np.array([tot[g] for g in np.asarray(uniq, dtype=object)],
+                     dtype=np.int64)[codes_s]
+        pct = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        out = df.iloc[order].reset_index(drop=True)
+        out[rank_col] = pct
+        return pandas_to_arrow(out)
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+              .groupby(_BUCKET)
+              .map_groups(rank_bucket, batch_format="pyarrow"))
+
+
+__all__.append("with_group_percent_rank")

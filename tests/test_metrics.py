@@ -426,3 +426,100 @@ def test_cusum_stats_detects_shift(ray_session):
         assert out.loc[uid, "n"] == len(v)
     # the shifted series scores far above the stationary one
     assert out.loc[1, "cusum"] > 2 * out.loc[2, "cusum"]
+
+
+def _ap_oracle(score, y, ids):
+    order = np.lexsort((ids, -score))
+    y = np.asarray(y, dtype=float)[order]
+    k = np.arange(1, len(y) + 1)
+    cp = np.cumsum(y)
+    if y.sum() == 0:
+        return np.nan
+    return float((cp[y == 1] / k[y == 1]).sum() / y.sum())
+
+
+def test_group_avg_precision_vs_oracle(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import group_avg_precision
+
+    rng = np.random.default_rng(37)
+    n = 4000
+    g = rng.choice(["a", "b"], n)
+    s = rng.integers(0, 30, n).astype(np.float64)   # dense ties
+    p = np.where(g == "a", s / 30.0, 0.3)
+    y = (rng.random(n) < p).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)       # unordered ids
+    t = pa.table({"g": g, "s": s, "y": y, "id": ids})
+    out = group_avg_precision(rd.from_arrow(t), "g", "s", "y", "id",
+                              num_partitions=8).set_index("g")
+    for lvl in ("a", "b"):
+        m = g == lvl
+        np.testing.assert_allclose(out.loc[lvl, "avg_precision"],
+                                   _ap_oracle(s[m], y[m], ids[m]),
+                                   rtol=1e-12)
+        assert out.loc[lvl, "n_pos"] == y[m].sum()
+        assert out.loc[lvl, "n_rows"] == m.sum()
+    # ranking-quality separation: informative score beats constant prior
+    base_a = y[g == "a"].mean()
+    assert out.loc["a", "avg_precision"] > base_a + 0.1
+    # no-positive group → NaN
+    t2 = pa.table({"g": ["z"] * 4, "s": [1.0, 2.0, 3.0, 4.0],
+                   "y": pa.array([0, 0, 0, 0], type=pa.int64()),
+                   "id": pa.array([1, 2, 3, 4], type=pa.int64())})
+    o2 = group_avg_precision(rd.from_arrow(t2), "g", "s", "y", "id",
+                             num_partitions=2)
+    assert np.isnan(o2["avg_precision"].iloc[0])
+
+
+def test_grouped_weighted_quantile_q(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import (
+        grouped_weighted_median,
+    )
+
+    rng = np.random.default_rng(41)
+    v = rng.integers(0, 1000, 3000).astype(np.float64)
+    t = pa.table({"g": ["x"] * 3000, "v": v})
+    for q in (0.1, 0.5, 0.9, 0.99):
+        out = grouped_weighted_median(rd.from_arrow(t), "g", "v", q=q,
+                                      num_partitions=8)
+        # oracle: smallest v with count(<=v) >= q*n
+        sv = np.sort(v)
+        cum = np.arange(1, len(sv) + 1)
+        exp = sv[np.searchsorted(cum, q * len(sv), side="left")]
+        assert out["weighted_median"].iloc[0] == exp, q
+    with pytest.raises(ValueError, match="q must be"):
+        grouped_weighted_median(rd.from_arrow(t), "g", "v", q=0.0)
+
+
+def test_with_group_percent_rank_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.sort import with_group_percent_rank
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    g = rng.choice(["a", "b", "c"], n)
+    v = rng.integers(0, 100, n).astype(np.float64)   # heavy ties
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"g": g, "v": v, "id": ids})
+    out = (with_group_percent_rank(rd.from_arrow(t), "g", "v",
+                                   num_partitions=8)
+           .to_pandas().sort_values("id", ignore_index=True))
+    df = pd.DataFrame({"g": g, "v": v, "id": ids})
+    # pandas: min-tie rank = rank(method="min"); pct = (r-1)/(n-1)
+    r = df.groupby("g")["v"].rank(method="min")
+    nn = df.groupby("g")["v"].transform("size")
+    exp = (r - 1) / (nn - 1)
+    np.testing.assert_allclose(out["pct_rank"].to_numpy(),
+                               exp.to_numpy(), rtol=0, atol=0)
+    # range sanity: 0 at each group min, 1 at each unique max
+    assert out["pct_rank"].min() == 0.0
+    assert out["pct_rank"].max() <= 1.0
+    # single-row group → 0.0
+    t2 = pa.table({"g": ["solo"], "v": [5.0], "id": pa.array([0], pa.int64())})
+    o2 = with_group_percent_rank(rd.from_arrow(t2), "g", "v",
+                                 num_partitions=2).to_pandas()
+    assert o2["pct_rank"].iloc[0] == 0.0
