@@ -8376,6 +8376,111 @@ FROM events
 """
 
 
+def q_ndcg_events(sf_dir):
+    """Exact NDCG@100 per event_type
+    (stages/metrics.py::group_ndcg): graded relevance user_id % 3 over
+    the (floor(value) DESC, event_id) total order; log2 via ln(x)/ln(2)
+    on BOTH sides so each term is bit-identical; IDCG closed-form from
+    the bounded relevance histogram (no ideal-ranking shuffle).  1e-9
+    grid (partial-sum order)."""
+    from .stages.metrics import group_ndcg
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "event_id": t.column("event_id"),
+            "score": pa.array(np.floor(v)),
+            "rel": pa.array((u % 3).astype(np.int64)),
+        })
+
+    out = group_ndcg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "score", "rel", "event_id", k=100,
+        num_partitions=32)
+    for c in ("dcg", "idcg", "ndcg"):
+        out[c] = np.round(out[c], 9) + 0.0
+    return out
+
+
+SQL_NDCG_EVENTS = """
+WITH s AS (
+  SELECT event_type, floor(value) AS score, event_id,
+         CAST(user_id % 3 AS DOUBLE) AS rel
+  FROM events
+), r AS (
+  SELECT event_type, rel,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY score DESC, event_id)
+              AS DOUBLE) AS rn
+  FROM s
+), i AS (
+  SELECT event_type, rel,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY rel DESC) AS DOUBLE) AS rn
+  FROM s
+), d AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         sum(CASE WHEN rn <= 100
+                  THEN rel / (ln(rn + 1.0) / ln(2.0)) ELSE 0.0 END) AS dcg
+  FROM r GROUP BY event_type
+), ii AS (
+  SELECT event_type,
+         sum(CASE WHEN rn <= 100
+                  THEN rel / (ln(rn + 1.0) / ln(2.0)) ELSE 0.0 END)
+           AS idcg
+  FROM i GROUP BY event_type
+)
+SELECT d.event_type, d.n_rows,
+       ROUND(d.dcg, 9) + 0.0 AS dcg,
+       ROUND(ii.idcg, 9) + 0.0 AS idcg,
+       ROUND(d.dcg / ii.idcg, 9) + 0.0 AS ndcg
+FROM d JOIN ii ON d.event_type = ii.event_type
+"""
+
+
+def q_twa_users(sf_dir):
+    """Per-user TIME-WEIGHTED average value under zero-order hold
+    (stages/window.py::time_weighted_avg) — the irregular-sampling mean
+    the arithmetic mean gets wrong on bursty series.  Exact integer-µs
+    hold deltas; users with <2 rows or zero span dropped both sides.
+    1e-6 grid."""
+    from .stages.window import time_weighted_avg
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    out = time_weighted_avg(ds, "user_id", "ts", "value",
+                            num_buckets=32, tiebreak_cols=("event_id",))
+    df = out.to_pandas()
+    df["twa"] = np.round(df["twa"], 6) + 0.0
+    return df[["user_id", "n", "span_us", "twa"]]
+
+
+SQL_TWA_USERS = """
+WITH w AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) AS nt
+  FROM events
+), a AS (
+  SELECT user_id, count(*) AS n, max(t) - min(t) AS span_us,
+         sum(CASE WHEN nt IS NULL THEN 0.0
+                  ELSE value * CAST(nt - t AS DOUBLE) END) AS num
+  FROM w GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CAST(span_us AS BIGINT) AS span_us,
+       ROUND(num / CAST(span_us AS DOUBLE), 6) + 0.0 AS twa
+FROM a WHERE n >= 2 AND span_us > 0
+"""
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-5 rotation retires every oracled query
@@ -8601,6 +8706,8 @@ QUERIES = {
     "cusum_users": q_cusum_users,
     "avg_precision_events": q_avg_precision_events,
     "pct_rank_events": q_pct_rank_events,
+    "ndcg_events": q_ndcg_events,
+    "twa_users": q_twa_users,
 }
 
 ORACLE_SQL = {
@@ -8793,4 +8900,6 @@ ORACLE_SQL = {
     "cusum_users": SQL_CUSUM_USERS,
     "avg_precision_events": SQL_AVG_PRECISION_EVENTS,
     "pct_rank_events": SQL_PCT_RANK_EVENTS,
+    "ndcg_events": SQL_NDCG_EVENTS,
+    "twa_users": SQL_TWA_USERS,
 }

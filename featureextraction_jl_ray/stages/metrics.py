@@ -982,3 +982,183 @@ def group_avg_precision(
 
 
 __all__.append("group_avg_precision")
+
+
+def group_ndcg(
+    ds,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    *,
+    k: int | None = None,
+    num_partitions: int = 64,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Exact NDCG@k per group over the (score DESC, id ASC) total order
+    with INTEGER graded relevance — completes the retrieval-metric
+    family beside :func:`group_auc` / :func:`group_avg_precision`.
+
+        DCG@k  = Σ_{rank ≤ k} rel / log2(rank + 1)
+        IDCG@k = the same over relevance sorted descending
+        NDCG@k = DCG@k / IDCG@k        (NaN when IDCG = 0)
+
+    log2 is evaluated as ``ln(rank+1)/ln(2)`` so a SQL mirror using the
+    same expression is bit-identical per term.  Scale shape: the
+    partition-prefix exchange gives every row its exact global DESC
+    rank (rows in higher-score partitions counted by a no-shuffle
+    pre-pass); IDCG needs NO ranking at all — it comes closed-form from
+    the bounded per-(group, relevance) histogram, since ideal-order tie
+    arrangement doesn't change the sum.
+
+    Returns ``(group_col, n_rows, dcg, idcg, ndcg)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.pdconv import arrow_to_pandas_safe
+    from .blobshuffle import _BLOB, pack_by_bucket, unpack_blobs
+    from .groupagg import grouped_aggregate
+    from .partition import _BUCKET
+    from .sort import sample_boundaries
+
+    LN2 = np.log(2.0)
+    ds = ds.select_columns([group_col, score_col, rel_col, id_col])
+    ds = ds.materialize()
+    bounds = np.asarray(
+        sample_boundaries(ds, score_col, num_partitions, seed=seed),
+        dtype=np.float64)
+    nparts = len(bounds) + 1
+
+    def _clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t.column(score_col)),
+                                pc.is_valid(t.column(rel_col))))
+
+    def _part(v: np.ndarray) -> np.ndarray:
+        if len(bounds):
+            return np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return np.zeros(len(v), dtype=np.int64)
+
+    # pre-pass: per (group, partition) row counts → DESC offsets
+    cnt: dict[str, np.ndarray] = {}
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = _clean(t)
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "p": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        codes, uniq = pd.factorize(t.column(group_col).to_pandas(),
+                                   use_na_sentinel=False)
+        v = t.column(score_col).to_numpy(zero_copy_only=False) \
+             .astype(np.float64)
+        c = np.bincount(codes * nparts + _part(v),
+                        minlength=len(uniq) * nparts)
+        nz = np.flatnonzero(c)
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq, dtype=object)[nz // nparts]),
+            "p": pa.array(nz % nparts, type=pa.int64()),
+            "c": pa.array(c[nz], type=pa.int64()),
+        })
+
+    for b in ds.map_batches(counts, batch_format="pyarrow",
+                            zero_copy_batch=True
+                            ).iter_batches(batch_size=None,
+                                           batch_format="pyarrow"):
+        for g, p, c in zip(b.column(group_col).to_pylist(),
+                           b.column("p").to_pylist(),
+                           b.column("c").to_pylist()):
+            a = cnt.setdefault(g, np.zeros(nparts, dtype=np.int64))
+            a[p] += c
+    if not cnt:
+        return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                             "n_rows": pd.Series([], dtype=np.int64),
+                             "dcg": pd.Series([], dtype=np.float64),
+                             "idcg": pd.Series([], dtype=np.float64),
+                             "ndcg": pd.Series([], dtype=np.float64)})
+    suf = {}
+    for g, a in cnt.items():
+        rev = np.cumsum(a[::-1])[::-1]
+        s = np.zeros_like(a)
+        s[:-1] = rev[1:]
+        suf[g] = s
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = _clean(batch)
+        v = batch.column(score_col).to_numpy(zero_copy_only=False) \
+                 .astype(np.float64)
+        return pack_by_bucket(batch, _part(v))
+
+    empty = pa.table({group_col: pa.array([], type=pa.string()),
+                      "d": pa.array([], type=pa.float64())})
+
+    def part_dcg(tbl: pa.Table) -> pa.Table:
+        pid = int(tbl.column(_BUCKET)[0].as_py())
+        df = arrow_to_pandas_safe(unpack_blobs(tbl.column(_BLOB)))
+        if df.empty:
+            return empty
+        codes, uniq = pd.factorize(df[group_col], use_na_sentinel=False)
+        v = df[score_col].to_numpy(dtype=np.float64)
+        rel = df[rel_col].to_numpy(dtype=np.float64)
+        i = df[id_col].to_numpy()
+        order = np.lexsort((i, -v, codes))
+        codes, rel = codes[order], rel[order]
+        gstart = np.empty(len(codes), dtype=bool)
+        gstart[0] = True
+        gstart[1:] = codes[1:] != codes[:-1]
+        idx = np.arange(len(codes), dtype=np.int64)
+        local = idx - idx[np.flatnonzero(gstart)][np.cumsum(gstart) - 1] + 1
+        offs = np.array([suf[g][pid] for g in
+                         np.asarray(uniq, dtype=object)], dtype=np.int64)
+        rank = local + offs[codes]
+        term = rel / (np.log(rank + 1.0) / LN2)
+        if k is not None:
+            term = np.where(rank <= k, term, 0.0)
+        ng = len(uniq)
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq, dtype=object)),
+            "d": pa.array(np.bincount(codes, weights=term, minlength=ng)),
+        })
+
+    dcg_p = (ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+               .groupby(_BUCKET)
+               .map_groups(part_dcg, batch_format="pyarrow")
+               .to_pandas())
+
+    # IDCG: closed form from the bounded (group, relevance) histogram
+    def relprep(t: pa.Table) -> pa.Table:
+        t = _clean(t)
+        return pa.table({group_col: t.column(group_col),
+                         "__rel": pc.cast(t.column(rel_col), pa.int64())})
+
+    hist = grouped_aggregate(
+        ds.map_batches(relprep, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [group_col, "__rel"], {"c": ("__rel", "count")},
+        num_buckets=8,
+    ).to_pandas().sort_values([group_col, "__rel"],
+                              ascending=[True, False], ignore_index=True)
+    rows = []
+    for g in sorted(cnt):
+        sub = hist[hist[group_col] == g]
+        pos = 1
+        idcg = 0.0
+        for rel_v, c in zip(sub["__rel"], sub["c"]):
+            stop = pos + int(c)
+            if k is not None:
+                stop = min(stop, k + 1)
+            if stop > pos and rel_v > 0:
+                ranks = np.arange(pos, stop, dtype=np.float64)
+                idcg += float((rel_v / (np.log(ranks + 1.0) / LN2)).sum())
+            pos += int(c)
+            if k is not None and pos > k:
+                break
+        dcg = float(dcg_p.loc[dcg_p[group_col] == g, "d"].sum())
+        n_rows = int(cnt[g].sum())
+        ndcg = dcg / idcg if idcg > 0 else np.nan
+        rows.append((g, n_rows, dcg, idcg, ndcg))
+    return pd.DataFrame(rows, columns=[group_col, "n_rows", "dcg",
+                                       "idcg", "ndcg"])
+
+
+__all__.append("group_ndcg")

@@ -1027,3 +1027,68 @@ def cusum_stats(
 
 
 __all__.append("cusum_stats")
+
+
+def time_weighted_avg(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Per-entity TIME-WEIGHTED average under zero-order hold: each
+    sample holds its value until the next sample, so
+
+        twa = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t₁)
+
+    — the irregular-sampling mean (sensor/price/state series), where
+    the arithmetic mean over-weights bursts.  The last sample carries
+    no weight (nothing is held after it).  Entities with fewer than two
+    rows or zero time span are dropped (the oracle's HAVING).  Deltas
+    are exact integer µs; one sorted bucketed scan, vectorized shift —
+    no per-entity loop.
+
+    Returns one row per entity: ``(entity_col, n, span_us, twa)``.
+    """
+    from .partition import sorted_scan as _scan
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({entity_col: df[entity_col],
+                                 "n": pd.Series(dtype=np.int64),
+                                 "span_us": pd.Series(dtype=np.int64),
+                                 "twa": pd.Series(dtype=np.float64)})
+        ts = (df[ts_col].to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        g = df.groupby(entity_col, sort=False)
+        nxt = g[ts_col].shift(-1)
+        last = nxt.isna().to_numpy()        # NaT casts to INT64_MIN, mask first
+        nxt_us = (nxt.to_numpy().astype("datetime64[us]")
+                  .astype(np.int64).astype(np.float64))
+        delta = np.where(last, 0.0, nxt_us - ts)   # µs to next row
+        v = df[value_col].to_numpy(dtype=np.float64)
+        df = df.assign(__num=v * delta)
+        agg = (df.groupby(entity_col, sort=False)
+                 .agg(n=(value_col, "size"), __num=("__num", "sum"),
+                      __mn=(ts_col, "min"), __mx=(ts_col, "max"))
+                 .reset_index())
+        span = (agg["__mx"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64)
+                - agg["__mn"].to_numpy().astype("datetime64[us]")
+                .astype(np.int64))
+        agg["span_us"] = span
+        agg = agg[(agg["n"] >= 2) & (agg["span_us"] > 0)]
+        out = agg[[entity_col]].copy()
+        out["n"] = agg["n"].to_numpy(dtype=np.int64)
+        out["span_us"] = agg["span_us"].to_numpy(dtype=np.int64)
+        out["twa"] = (agg["__num"]
+                      / agg["span_us"].astype(np.float64)).to_numpy()
+        return out
+
+    return _scan(ds, entity_col, ts_col, fn, num_buckets=num_buckets,
+                 tiebreak_cols=tiebreak_cols)
+
+
+__all__.append("time_weighted_avg")

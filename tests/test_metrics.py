@@ -523,3 +523,75 @@ def test_with_group_percent_rank_vs_pandas(ray_session):
     o2 = with_group_percent_rank(rd.from_arrow(t2), "g", "v",
                                  num_partitions=2).to_pandas()
     assert o2["pct_rank"].iloc[0] == 0.0
+
+
+def test_group_ndcg_vs_oracle(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import group_ndcg
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    g = rng.choice(["a", "b"], n)
+    s = rng.integers(0, 25, n).astype(np.float64)
+    # graded relevance correlated with score in a, random in b
+    rel = np.where(g == "a",
+                   np.clip((s / 8).astype(int), 0, 3),
+                   rng.integers(0, 4, n)).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"g": g, "s": s, "rel": rel, "id": ids})
+    for k in (10, 100, None):
+        out = group_ndcg(rd.from_arrow(t), "g", "s", "rel", "id", k=k,
+                         num_partitions=8).set_index("g")
+        for lvl in ("a", "b"):
+            m = g == lvl
+            order = np.lexsort((ids[m], -s[m]))
+            r = rel[m][order].astype(float)
+            kk = len(r) if k is None else min(k, len(r))
+            pos = np.arange(1, len(r) + 1, dtype=float)
+            disc = np.log(pos + 1.0) / np.log(2.0)
+            dcg = (r[:kk] / disc[:kk]).sum()
+            ri = np.sort(rel[m])[::-1].astype(float)
+            idcg = (ri[:kk] / disc[:kk]).sum()
+            np.testing.assert_allclose(out.loc[lvl, "dcg"], dcg,
+                                       rtol=1e-10)
+            np.testing.assert_allclose(out.loc[lvl, "ndcg"], dcg / idcg,
+                                       rtol=1e-10)
+            assert out.loc[lvl, "n_rows"] == m.sum()
+    # correlated ranking beats random
+    out = group_ndcg(rd.from_arrow(t), "g", "s", "rel", "id", k=100,
+                     num_partitions=8).set_index("g")
+    assert out.loc["a", "ndcg"] > out.loc["b", "ndcg"]
+
+
+def test_time_weighted_avg_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import time_weighted_avg
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: hold 10 for 1h, then 20 for 3h → twa = (10·1+20·3)/4
+        (1, base, 10.0, 0),
+        (1, base + pd.Timedelta(hours=1), 20.0, 1),
+        (1, base + pd.Timedelta(hours=4), 99.0, 2),   # last: no weight
+        # user 2: burst of equal-ts ties (zero-delta rows) + spread
+        (2, base, 1.0, 10),
+        (2, base, 2.0, 11),            # tie: holds 0 µs
+        (2, base + pd.Timedelta(hours=2), 3.0, 12),
+        # user 3: single row → dropped; user 4: zero span → dropped
+        (3, base, 7.0, 20),
+        (4, base, 1.0, 30),
+        (4, base, 2.0, 31),
+    ]
+    df = pd.DataFrame(rows, columns=["uid", "ts", "v", "eid"])
+    out = time_weighted_avg(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        "uid", "ts", "v", num_buckets=4, tiebreak_cols=("eid",)
+    ).to_pandas().set_index("uid")
+    assert 3 not in out.index and 4 not in out.index
+    np.testing.assert_allclose(out.loc[1, "twa"],
+                               (10 * 1 + 20 * 3) / 4.0, rtol=1e-12)
+    assert out.loc[1, "n"] == 3
+    # user 2: value 1 holds 0h (tie), value 2 holds 2h → twa = 2
+    np.testing.assert_allclose(out.loc[2, "twa"], 2.0, rtol=1e-12)
