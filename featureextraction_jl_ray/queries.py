@@ -8481,6 +8481,143 @@ FROM a WHERE n >= 2 AND span_us > 0
 """
 
 
+def q_trend_spearman_users(sf_dir):
+    """Per-user Spearman trend (stages/window.py::user_trend_spearman):
+    rank correlation of value's average-tie rank against time order —
+    the outlier-robust monotonic-trend screen beside the OLS slope.
+    Users with <3 rows or zero rank variance dropped both sides.  1e-6
+    grid."""
+    from .stages.window import user_trend_spearman
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    out = user_trend_spearman(ds, "user_id", "ts", "value", min_rows=3,
+                              num_buckets=32, tiebreak_cols=("event_id",))
+    df = out.to_pandas()
+    df["spearman"] = np.round(df["spearman"], 6) + 0.0
+    return df[["user_id", "n", "spearman"]]
+
+
+SQL_TREND_SPEARMAN_USERS = """
+WITH r AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS DOUBLE) AS x,
+         CAST(RANK() OVER (PARTITION BY user_id ORDER BY value)
+              AS DOUBLE)
+         + (CAST(COUNT(*) OVER (PARTITION BY user_id, value) AS DOUBLE)
+            - 1.0) / 2.0 AS y
+  FROM events
+), a AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+         sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+         sum(y * y) AS syy
+  FROM r GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       ROUND((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+         + 0.0 AS spearman
+FROM a
+WHERE n >= 3 AND (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+"""
+
+
+def q_label_qa_events(sf_dir):
+    """Composed label-QA report (pipelines/labelqa.py::run_label_qa):
+    AUC + KS + Welch effect size per event_type in one call over a
+    once-materialized projection — the one-stop readout before trusting
+    a planted label.  Score = floor(value) (dense ties exercise every
+    tie path); ONE chained oracle joins the three formulations."""
+    from .pipelines.labelqa import run_label_qa
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "score": pa.array(np.floor(v)),
+            "y": pa.array((u % 2 == 0).astype(np.int64)),
+        })
+
+    out = run_label_qa(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "score", "y", num_partitions=32, num_buckets=8)
+    out["auc"] = np.round(out["auc"], 9) + 0.0
+    out["ks"] = np.round(out["ks"], 9) + 0.0
+    for c in ("mean_diff", "t_welch", "cohen_d"):
+        out[c] = np.round(out[c], 6) + 0.0
+    return out
+
+
+SQL_LABEL_QA_EVENTS = """
+WITH s AS (
+  SELECT event_type, floor(value) AS score,
+         CASE WHEN user_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+), r AS (
+  SELECT event_type, y,
+         CAST(RANK() OVER (PARTITION BY event_type ORDER BY score)
+              AS DOUBLE)
+         + (CAST(COUNT(*) OVER (PARTITION BY event_type, score)
+                 AS DOUBLE) - 1.0) / 2.0 AS ar
+  FROM s
+), auc AS (
+  SELECT event_type,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1.0 - y) AS BIGINT) AS n_neg,
+         ROUND((sum(CASE WHEN y = 1.0 THEN ar ELSE 0.0 END)
+                - sum(y) * (sum(y) + 1.0) / 2.0)
+               / (sum(y) * sum(1.0 - y)), 9) + 0.0 AS auc
+  FROM r GROUP BY event_type
+), c AS (
+  SELECT event_type, score, sum(y) AS ca, sum(1.0 - y) AS cb
+  FROM s GROUP BY event_type, score
+), w AS (
+  SELECT event_type,
+         sum(ca) OVER (PARTITION BY event_type ORDER BY score) AS cum_a,
+         sum(cb) OVER (PARTITION BY event_type ORDER BY score) AS cum_b,
+         sum(ca) OVER (PARTITION BY event_type) AS na,
+         sum(cb) OVER (PARTITION BY event_type) AS nb
+  FROM c
+), ks AS (
+  SELECT event_type,
+         ROUND(max(abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE))),
+               9) + 0.0 AS ks
+  FROM w GROUP BY event_type
+), agg AS (
+  SELECT event_type, y, CAST(count(*) AS DOUBLE) AS n,
+         sum(score) AS sv, sum(score * score) AS ss
+  FROM s GROUP BY event_type, y
+), ab AS (
+  SELECT t.event_type,
+         ROUND(t.sv / t.n - c2.sv / c2.n, 6) + 0.0 AS mean_diff,
+         ROUND((t.sv / t.n - c2.sv / c2.n)
+               / sqrt(((t.ss - t.sv * t.sv / t.n) / (t.n - 1)) / t.n
+                      + ((c2.ss - c2.sv * c2.sv / c2.n) / (c2.n - 1))
+                        / c2.n), 6) + 0.0 AS t_welch,
+         ROUND((t.sv / t.n - c2.sv / c2.n)
+               / sqrt(((t.n - 1) * ((t.ss - t.sv * t.sv / t.n)
+                                    / (t.n - 1))
+                       + (c2.n - 1) * ((c2.ss - c2.sv * c2.sv / c2.n)
+                                       / (c2.n - 1)))
+                      / (t.n + c2.n - 2)), 6) + 0.0 AS cohen_d
+  FROM agg t JOIN agg c2 ON t.event_type = c2.event_type
+  WHERE t.y = 1.0 AND c2.y = 0.0 AND t.n >= 2 AND c2.n >= 2
+)
+SELECT auc.event_type, auc.n_pos, auc.n_neg, auc.auc, ks.ks,
+       ab.mean_diff, ab.t_welch, ab.cohen_d
+FROM auc
+JOIN ks ON ks.event_type = auc.event_type
+JOIN ab ON ab.event_type = auc.event_type
+"""
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-5 rotation retires every oracled query
@@ -8708,6 +8845,8 @@ QUERIES = {
     "pct_rank_events": q_pct_rank_events,
     "ndcg_events": q_ndcg_events,
     "twa_users": q_twa_users,
+    "trend_spearman_users": q_trend_spearman_users,
+    "label_qa_events": q_label_qa_events,
 }
 
 ORACLE_SQL = {
@@ -8902,4 +9041,6 @@ ORACLE_SQL = {
     "pct_rank_events": SQL_PCT_RANK_EVENTS,
     "ndcg_events": SQL_NDCG_EVENTS,
     "twa_users": SQL_TWA_USERS,
+    "trend_spearman_users": SQL_TREND_SPEARMAN_USERS,
+    "label_qa_events": SQL_LABEL_QA_EVENTS,
 }

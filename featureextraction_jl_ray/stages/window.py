@@ -1092,3 +1092,60 @@ def time_weighted_avg(
 
 
 __all__.append("time_weighted_avg")
+
+
+def user_trend_spearman(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    min_rows: int = 3,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Per-entity Spearman trend: rank correlation between time order
+    (1..n) and the value's average-tie rank — the MONOTONIC-trend
+    strength ("is this user's value drifting up?"), robust where the
+    OLS slope (``user_value_trend``) is hostage to outliers.
+
+        ρ = Pearson(rn, rank_avg(value))      within each entity
+
+    computed from sufficient statistics over the bucketed sorted scan
+    (pandas ``rank(method="average")`` per entity — C kernel, no Python
+    loop).  Entities with < ``min_rows`` rows or zero rank variance
+    (all values equal) are dropped (the oracle's HAVING).
+
+    Returns ``(entity_col, n, spearman)``.
+    """
+    from .partition import sorted_scan as _scan
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({entity_col: df[entity_col],
+                                 "n": pd.Series(dtype=np.int64),
+                                 "spearman": pd.Series(dtype=np.float64)})
+        g = df.groupby(entity_col, sort=False)
+        x = (g.cumcount() + 1).to_numpy(dtype=np.float64)
+        y = g[value_col].rank(method="average").to_numpy(dtype=np.float64)
+        df = df.assign(__x=x, __y=y, __xy=x * y, __xx=x * x, __yy=y * y)
+        a = (df.groupby(entity_col, sort=False)
+               .agg(n=("__x", "size"), sx=("__x", "sum"),
+                    sy=("__y", "sum"), sxy=("__xy", "sum"),
+                    sxx=("__xx", "sum"), syy=("__yy", "sum"))
+               .reset_index())
+        n = a["n"].to_numpy(dtype=np.float64)
+        vx = a["sxx"] - a["sx"] ** 2 / n
+        vy = a["syy"] - a["sy"] ** 2 / n
+        cov = a["sxy"] - a["sx"] * a["sy"] / n
+        ok = (a["n"] >= min_rows) & (vx > 0) & (vy > 0)
+        out = a.loc[ok, [entity_col]].copy()
+        out["n"] = a.loc[ok, "n"].to_numpy(dtype=np.int64)
+        out["spearman"] = (cov[ok] / np.sqrt(vx[ok] * vy[ok])).to_numpy()
+        return out
+
+    return _scan(ds, entity_col, ts_col, fn, num_buckets=num_buckets,
+                 tiebreak_cols=tiebreak_cols)
+
+
+__all__.append("user_trend_spearman")

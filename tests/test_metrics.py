@@ -595,3 +595,67 @@ def test_time_weighted_avg_vs_bruteforce(ray_session):
     assert out.loc[1, "n"] == 3
     # user 2: value 1 holds 0h (tie), value 2 holds 2h → twa = 2
     np.testing.assert_allclose(out.loc[2, "twa"], 2.0, rtol=1e-12)
+
+
+def test_user_trend_spearman(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import user_trend_spearman
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: strictly increasing → ρ = 1; user 2: strictly decreasing
+    # → ρ = −1; user 3: constant (dropped); user 4: noisy with TIES
+    for i in range(20):
+        rows.append((1, base + pd.Timedelta(minutes=i), float(i), i))
+        rows.append((2, base + pd.Timedelta(minutes=i), float(-i), 50 + i))
+        rows.append((3, base + pd.Timedelta(minutes=i), 4.0, 100 + i))
+    rng = np.random.default_rng(53)
+    v4 = rng.integers(0, 5, 40).astype(float)      # heavy ties
+    for i, v in enumerate(v4):
+        rows.append((4, base + pd.Timedelta(minutes=i), float(v), 200 + i))
+    df = pd.DataFrame(rows, columns=["uid", "ts", "v", "eid"])
+    out = user_trend_spearman(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        "uid", "ts", "v", num_buckets=4, tiebreak_cols=("eid",)
+    ).to_pandas().set_index("uid")
+    np.testing.assert_allclose(out.loc[1, "spearman"], 1.0, atol=1e-12)
+    np.testing.assert_allclose(out.loc[2, "spearman"], -1.0, atol=1e-12)
+    assert 3 not in out.index
+    # tie-aware oracle: pearson of (position, average rank)
+    x = np.arange(1, 41, dtype=float)
+    y = pd.Series(v4).rank(method="average").to_numpy()
+    exp = np.corrcoef(x, y)[0, 1]
+    np.testing.assert_allclose(out.loc[4, "spearman"], exp, rtol=1e-10)
+
+
+def test_run_label_qa_composition(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.pipelines.labelqa import run_label_qa
+    from featureextraction_jl_ray.stages.metrics import (
+        ab_test_stats, group_auc, group_ks,
+    )
+
+    rng = np.random.default_rng(59)
+    n = 3000
+    g = rng.choice(["u", "v"], n)
+    s = rng.integers(0, 20, n).astype(np.float64)
+    y = (rng.random(n) < s / 20.0).astype(np.int64)
+    t = pa.table({"g": g, "s": s, "y": y})
+    ds = rd.from_arrow(t)
+    rep = run_label_qa(ds, "g", "s", "y", num_partitions=8,
+                       num_buckets=4).set_index("g")
+    # composition must agree with the individual stages
+    a = group_auc(ds, "g", "s", "y", num_partitions=8).set_index("g")
+    k = group_ks(ds, "g", "s", "y", num_partitions=8).set_index("g")
+    w = ab_test_stats(ds, "g", "s", "y", num_buckets=4).set_index("g")
+    for lvl in ("u", "v"):
+        assert rep.loc[lvl, "auc"] == a.loc[lvl, "auc"]
+        assert rep.loc[lvl, "ks"] == k.loc[lvl, "ks"]
+        assert rep.loc[lvl, "t_welch"] == w.loc[lvl, "t_welch"]
+    assert set(rep.columns) == {"n_pos", "n_neg", "auc", "ks",
+                                "mean_diff", "t_welch", "cohen_d"}
+    # informative score: every signal fires
+    assert (rep["auc"] > 0.6).all() and (rep["ks"] > 0.2).all()
+    assert (rep["t_welch"] > 5).all()
