@@ -23,7 +23,14 @@ Run:  python examples/metrics_pipeline.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
+
+# runnable from anywhere: the package resolves relative to this file,
+# and PYTHONPATH propagates it to Ray worker processes
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _repo)
+os.environ["PYTHONPATH"] = _repo + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 import numpy as np
 import pyarrow as pa
