@@ -8618,6 +8618,107 @@ JOIN ab ON ab.event_type = auc.event_type
 """
 
 
+def q_jsonl_ingest(sf_dir):
+    """Interchange-format ingest parity, JSON lines (S-family sibling of
+    ``csv_ingest``): events → write_json → read_table(fmt='json') →
+    grouped aggregate equals the same aggregate over the parquet
+    source.  Integer/string columns only (exact through text
+    serialization); JSONL is the crawl-dump interchange shape — the
+    reader docstring steers scale re-reads to parquet/lance."""
+    import shutil
+
+    from .sources.io import read_table, write_table
+    from .stages.groupagg import grouped_aggregate
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out_dir = f"/tmp/fx_jsonl_ingest_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    write_table(ds, out_dir, fmt="json")
+    back = read_table(out_dir, fmt="json", columns=["user_id", "event_type"])
+    return grouped_aggregate(
+        back, "event_type",
+        {"n": ("user_id", "count"), "user_max": ("user_id", "max"),
+         "user_min": ("user_id", "min")},
+        num_buckets=4,
+    )
+
+
+SQL_JSONL_INGEST = """
+SELECT event_type, count(user_id) AS n,
+       CAST(max(user_id) AS BIGINT) AS user_max,
+       CAST(min(user_id) AS BIGINT) AS user_min
+FROM events GROUP BY event_type
+"""
+
+
+def q_rank_gauss_events(sf_dir):
+    """RankGauss per-row transform (stages/sort.py::with_rank_gauss):
+    value → PERCENT_RANK within event_type → clip to [1e-6, 1-1e-6] →
+    inverse normal CDF (Acklam's rational approximation).  Fully
+    SQL-oracled: the approximation is pure IEEE +,*,/,sqrt,ln in a
+    fixed Horner order, so the oracle re-states the SAME polynomial
+    with the SAME parenthesization and literals — each row is
+    bit-identical up to ≤1-ulp libm ln() divergence, absorbed by the
+    1e-6 round grid (flip probability ~1e-12/row)."""
+    from .stages.sort import with_rank_gauss
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    out = with_rank_gauss(ds, "event_type", "value", out_col="z",
+                          num_partitions=32)
+    out = out.select_columns(["event_id", "event_type", "z"])
+    return _round_cols(out, {"z": 6})
+
+
+# Acklam's inverse-normal constants, literal-for-literal identical to
+# stages/sort.py::_ndtri so every +,*,/ matches the engine bitwise.
+SQL_RANK_GAUSS_EVENTS = """
+WITH pr AS (
+  SELECT event_id, event_type,
+         LEAST(GREATEST(
+           PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value),
+           0.000001), 1.0 - 0.000001) AS p
+  FROM events
+), m AS (
+  SELECT event_id, event_type, p,
+         p - 0.5 AS q,
+         (p - 0.5) * (p - 0.5) AS r,
+         CASE WHEN p < 0.02425
+              THEN sqrt(-2 * ln(p)) ELSE 0.0 END AS ql,
+         CASE WHEN p > 1 - 0.02425
+              THEN sqrt(-2 * ln(1 - p)) ELSE 0.0 END AS qh
+  FROM pr
+)
+SELECT event_id, event_type,
+  ROUND(CASE
+    WHEN p < 0.02425 THEN
+      ((((((-7.784894002430293e-03 * ql + -3.223964580411365e-01) * ql
+           + -2.400758277161838e+00) * ql + -2.549732539343734e+00) * ql
+           + 4.374664141464968e+00) * ql + 2.938163982698783e+00)
+       / ((((7.784695709041462e-03 * ql + 3.224671290700398e-01) * ql
+            + 2.445134137142996e+00) * ql + 3.754408661907416e+00) * ql
+            + 1))
+    WHEN p > 1 - 0.02425 THEN
+      -((((((-7.784894002430293e-03 * qh + -3.223964580411365e-01) * qh
+            + -2.400758277161838e+00) * qh + -2.549732539343734e+00) * qh
+            + 4.374664141464968e+00) * qh + 2.938163982698783e+00)
+        / ((((7.784695709041462e-03 * qh + 3.224671290700398e-01) * qh
+             + 2.445134137142996e+00) * qh + 3.754408661907416e+00) * qh
+             + 1))
+    ELSE
+      ((((((-3.969683028665376e+01 * r + 2.209460984245205e+02) * r
+           + -2.759285104469687e+02) * r + 1.383577518672690e+02) * r
+           + -3.066479806614716e+01) * r + 2.506628277459239e+00) * q
+       / (((((-5.447609879822406e+01 * r + 1.615858368580409e+02) * r
+             + -1.556989798598866e+02) * r + 6.680131188771972e+01) * r
+             + -1.328068155288572e+01) * r + 1))
+  END, 6) + 0.0 AS z
+FROM m
+"""
+
+
 QUERIES = {
     # --- driver 50-row CORRECTNESS window (the driver checks the FIRST 50
     # entries in dict order): round-5 rotation retires every oracled query
@@ -8847,6 +8948,8 @@ QUERIES = {
     "twa_users": q_twa_users,
     "trend_spearman_users": q_trend_spearman_users,
     "label_qa_events": q_label_qa_events,
+    "jsonl_ingest": q_jsonl_ingest,
+    "rank_gauss_events": q_rank_gauss_events,
 }
 
 ORACLE_SQL = {
@@ -9043,4 +9146,6 @@ ORACLE_SQL = {
     "twa_users": SQL_TWA_USERS,
     "trend_spearman_users": SQL_TREND_SPEARMAN_USERS,
     "label_qa_events": SQL_LABEL_QA_EVENTS,
+    "jsonl_ingest": SQL_JSONL_INGEST,
+    "rank_gauss_events": SQL_RANK_GAUSS_EVENTS,
 }

@@ -659,3 +659,69 @@ def test_run_label_qa_composition(ray_session):
     # informative score: every signal fires
     assert (rep["auc"] > 0.6).all() and (rep["ks"] > 0.2).all()
     assert (rep["t_welch"] > 5).all()
+
+
+def test_ndtri_accuracy():
+    from featureextraction_jl_ray.stages.sort import _ndtri
+
+    # published normal quantiles (Abramowitz & Stegun / R qnorm)
+    known = {
+        0.5: 0.0,
+        0.975: 1.959963984540054,
+        0.025: -1.959963984540054,
+        0.999: 3.090232306167813,
+        0.001: -3.090232306167813,
+        0.0001: -3.719016485455680,   # deep tail branch
+        0.9999: 3.719016485455680,
+        0.3: -0.5244005127080407,
+        0.84: 0.9944578832097532,
+    }
+    p = np.array(list(known))
+    z = _ndtri(p)
+    # Acklam's approximation: |rel err| < 1.15e-9
+    np.testing.assert_allclose(z, np.array(list(known.values())),
+                               rtol=2e-9, atol=2e-9)
+    # symmetry of the implementation itself
+    grid = np.linspace(1e-6, 1 - 1e-6, 10001)
+    np.testing.assert_allclose(_ndtri(grid), -_ndtri(1 - grid),
+                               rtol=0, atol=5e-9)
+
+
+def test_with_rank_gauss_vs_direct(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.sort import _ndtri, with_rank_gauss
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    g = rng.choice(["a", "b", "c"], n)
+    v = rng.integers(0, 200, n).astype(np.float64)   # ties included
+    ids = np.arange(n, dtype=np.int64)
+    out = (with_rank_gauss(rd.from_arrow(pa.table({"g": g, "v": v,
+                                                   "id": ids})),
+                           "g", "v", out_col="z", num_partitions=8)
+           .to_pandas().sort_values("id", ignore_index=True))
+    df = pd.DataFrame({"g": g, "v": v, "id": ids})
+    r = df.groupby("g")["v"].rank(method="min")
+    nn = df.groupby("g")["v"].transform("size")
+    pct = ((r - 1) / (nn - 1)).to_numpy()
+    exp = _ndtri(np.clip(pct, 1e-6, 1 - 1e-6))
+    # identical rank path + identical ndtri ⇒ bit-equal
+    np.testing.assert_array_equal(out["z"].to_numpy(), exp)
+    # monotone (order-preserving) within each group
+    for lvl in ("a", "b", "c"):
+        sub = out[out["g"] == lvl].sort_values("v")
+        assert (np.diff(sub["z"].to_numpy()) >= 0).all()
+    # Gaussianization: a big distinct-valued group lands near N(0,1)
+    m = 20000
+    v2 = np.exp(rng.normal(size=m)) * 100  # heavily skewed input
+    o2 = (with_rank_gauss(
+            rd.from_arrow(pa.table({"g": ["x"] * m, "v": v2,
+                                    "id": np.arange(m, dtype=np.int64)})),
+            "g", "v", out_col="z", num_partitions=8)
+          .to_pandas())
+    z2 = o2["z"].to_numpy()
+    assert abs(z2.mean()) < 0.01
+    assert abs(z2.std() - 1.0) < 0.02
+    skew = ((z2 - z2.mean()) ** 3).mean() / z2.std() ** 3
+    assert abs(skew) < 0.01
