@@ -8653,6 +8653,88 @@ FROM events GROUP BY event_type
 """
 
 
+def q_jw_similar_parts(sf_dir):
+    """Jaro-Winkler pair scoring
+    (stages/editdist.py::jaro_winkler_sim/with_pair_similarity): the
+    fuzzy-match verify stage after any blocking join, priced here on a
+    deterministic candidate set (each part paired with p_partkey+1) so
+    the oracle is a plain self-join.  The kernel is vectorized ACROSS
+    pairs (UTF-32 char matrices, O(L²) boolean passes) and matches
+    DuckDB's jaro_winkler_similarity exactly (empirics + fuzz pytest);
+    ROUND(9) absorbs division-order ulps."""
+    from .stages.editdist import with_pair_similarity
+    from .stages.joins import broadcast_join
+
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_name"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        k = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        return pa.table({"id_a": t.column("p_partkey"),
+                         "name_a": t.column("p_name"),
+                         "next_key": pa.array(k + 1)})
+
+    left = ds.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    dim = ds.map_batches(
+        lambda t: pa.table({"id_b": t.column("p_partkey"),
+                            "name_b": t.column("p_name")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pairs = broadcast_join(left, dim, on="next_key", right_on="id_b",
+                           how="inner")
+    scored = with_pair_similarity(pairs, "name_a", "name_b", out_col="jw")
+
+    def fin(t: pa.Table) -> pa.Table:
+        # Acero coalesces the right key into next_key (== id_b on inner)
+        return pa.table({"id_a": t.column("id_a"),
+                         "id_b": t.column("next_key"),
+                         "jw": t.column("jw")})
+
+    out = scored.map_batches(fin, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return _round_cols(out, {"jw": 9})
+
+
+SQL_JW_SIMILAR_PARTS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 9) + 0.0 AS jw
+FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+"""
+
+
+def q_isotonic_events(sf_dir):
+    """Isotonic (PAV) calibration per event_type
+    (stages/metrics.py::group_isotonic): score = floor(value) (dense
+    ties ⇒ the pre-pooling path provably fires), label = a
+    deterministic noisy-monotone function of (event_id, value) so the
+    fit has real steps AND real violations to pool.  Rows-only by
+    design — PAV's recursive pooling has no SQL formulation; the
+    numerics are pinned by the minimax-identity oracle in
+    tests/test_metrics.py."""
+    from .stages.metrics import group_isotonic
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        # noisy-monotone label: P(y=1) grows with value, the "noise" is
+        # a deterministic integer hash of event_id (reproducible runs)
+        u = (e.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1000)
+        y = (u.astype(np.float64) < 2.0 * np.floor(v)).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_type": t.column("event_type"),
+                         "score": pa.array(np.floor(v)),
+                         "y": pa.array(y)})
+
+    src = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = group_isotonic(src, "event_type", "score", "y", out_col="iso",
+                         num_buckets=8)
+    return _round_cols(out.select_columns(
+        ["event_id", "event_type", "score", "y", "iso"]), {"iso": 9})
+
+
 def q_rank_gauss_events(sf_dir):
     """RankGauss per-row transform (stages/sort.py::with_rank_gauss):
     value → PERCENT_RANK within event_type → clip to [1e-6, 1-1e-6] →
@@ -8716,6 +8798,83 @@ SELECT event_id, event_type,
              + -1.328068155288572e+01) * r + 1))
   END, 6) + 0.0 AS z
 FROM m
+"""
+
+
+def q_yeo_johnson_events(sf_dir):
+    """Yeo–Johnson power transform, fit + apply
+    (stages/scale.py::fit_yeo_johnson/power_transform): λ chosen by
+    profile log-likelihood over a 9-point grid from ONE no-shuffle
+    partials pass, then the per-row ψ(x, λ̂).  The value column is
+    centered (−100) so both the x≥0 and x<0 branches fire.  Fully
+    SQL-oracled: the oracle restates ψ and LL(λ) with the identical
+    IEEE op order (pow/ln), re-fits over events×grid, and picks argmax
+    with the same (LL desc, λ asc) tiebreak; per-row output on a 1e-6
+    grid, λ̂ exact (grid values are dyadic halves)."""
+    from .stages.scale import fit_yeo_johnson, power_transform
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({"event_id": t.column("event_id"),
+                         "x": pa.array(v - 100.0)})
+
+    src = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    grid = [-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0]
+    model = fit_yeo_johnson(src, "x", lambdas=grid)
+    out = power_transform(src, "x", model["lam"], out_col="yj")
+    lam = model["lam"]
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "lam": pa.array(np.full(t.num_rows, lam)),
+            "yj": t.column("yj"),
+        })
+
+    out = out.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+    return _round_cols(out, {"yj": 6})
+
+
+SQL_YEO_JOHNSON_EVENTS = """
+WITH src AS (SELECT event_id, value - 100.0 AS x FROM events),
+grid(lam) AS (VALUES (-2.0), (-1.5), (-1.0), (-0.5), (0.0),
+                     (0.5), (1.0), (1.5), (2.0)),
+y AS (
+  SELECT g.lam,
+         CASE WHEN s.x >= 0 THEN
+           CASE WHEN g.lam = 0 THEN ln(1.0 + s.x)
+                ELSE (pow(1.0 + s.x, g.lam) - 1.0) / g.lam END
+         ELSE
+           CASE WHEN g.lam = 2 THEN -ln(1.0 - s.x)
+                ELSE -(pow(1.0 - s.x, 2.0 - g.lam) - 1.0)
+                     / (2.0 - g.lam) END
+         END AS psi,
+         CASE WHEN s.x >= 0 THEN ln(1.0 + s.x)
+              ELSE -ln(1.0 - s.x) END AS jac
+  FROM src s, grid g
+),
+ll AS (
+  SELECT lam,
+         -0.5 * count(*) * ln(sum(psi * psi) / count(*)
+                              - (sum(psi) / count(*))
+                                * (sum(psi) / count(*)))
+         + (lam - 1.0) * sum(jac) AS ll
+  FROM y GROUP BY lam
+),
+best AS (SELECT lam FROM ll ORDER BY ll DESC, lam LIMIT 1)
+SELECT s.event_id, b.lam,
+  ROUND(CASE WHEN s.x >= 0 THEN
+          CASE WHEN b.lam = 0 THEN ln(1.0 + s.x)
+               ELSE (pow(1.0 + s.x, b.lam) - 1.0) / b.lam END
+        ELSE
+          CASE WHEN b.lam = 2 THEN -ln(1.0 - s.x)
+               ELSE -(pow(1.0 - s.x, 2.0 - b.lam) - 1.0)
+                    / (2.0 - b.lam) END
+        END, 6) + 0.0 AS yj
+FROM src s, best b
 """
 
 
@@ -8950,6 +9109,9 @@ QUERIES = {
     "label_qa_events": q_label_qa_events,
     "jsonl_ingest": q_jsonl_ingest,
     "rank_gauss_events": q_rank_gauss_events,
+    "yeo_johnson_events": q_yeo_johnson_events,
+    "isotonic_events": q_isotonic_events,
+    "jw_similar_parts": q_jw_similar_parts,
 }
 
 ORACLE_SQL = {
@@ -9148,4 +9310,6 @@ ORACLE_SQL = {
     "label_qa_events": SQL_LABEL_QA_EVENTS,
     "jsonl_ingest": SQL_JSONL_INGEST,
     "rank_gauss_events": SQL_RANK_GAUSS_EVENTS,
+    "yeo_johnson_events": SQL_YEO_JOHNSON_EVENTS,
+    "jw_similar_parts": SQL_JW_SIMILAR_PARTS,
 }

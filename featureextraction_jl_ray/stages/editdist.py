@@ -162,3 +162,97 @@ def edit1_pairs(ds, *, text_col: str, id_col: str, max_len: int = 32,
                                  zero_copy_batch=True, batch_size=None)
     return bucketed.groupby(_BUCKET).map_groups(verify_bucket,
                                                       batch_format="pyarrow")
+
+
+def jaro_winkler_sim(sa, sb, *, prefix_weight: float = 0.1,
+                     boost_threshold: float = 0.7,
+                     max_prefix: int = 4) -> np.ndarray:
+    """Jaro-Winkler similarity for PAIRED string arrays, vectorized
+    ACROSS pairs: fixed-width UTF-32 char matrices and O(L²) boolean
+    passes (L = longest string in the batch) replace the per-pair
+    Python scan — each pass is an O(n) numpy op over every pair at
+    once, so cost is L²·n/SIMD, not n·L² interpreted steps.
+
+    Matches DuckDB's ``jaro_winkler_similarity`` exactly (verified
+    empirically, tests/test_metrics.py): greedy smallest-j window
+    matching with window d = max(la,lb)//2 − 1 clamped at 0,
+    transpositions t = ⌊mismatched matched-positions / 2⌋, either
+    side empty → 0.0, and the Winkler prefix boost (common prefix
+    capped at 4, scale 0.1) applied only when jaro > 0.7."""
+    sa = np.asarray(sa, dtype=object)
+    sb = np.asarray(sb, dtype=object)
+    n = len(sa)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    L = 1
+    for s in sa:
+        L = max(L, len(s))
+    for s in sb:
+        L = max(L, len(s))
+    A = np.asarray(sa, dtype=f"U{L}").reshape(-1, 1).view(np.uint32)
+    B = np.asarray(sb, dtype=f"U{L}").reshape(-1, 1).view(np.uint32)
+    la = (A != 0).sum(axis=1)
+    lb = (B != 0).sum(axis=1)
+    d = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    matchA = np.zeros((n, L), dtype=bool)
+    matchB = np.zeros((n, L), dtype=bool)
+    for i in range(L):
+        ai = A[:, i]
+        live = ai != 0
+        if not live.any():
+            break
+        found = np.zeros(n, dtype=bool)
+        lo, hi = i - d, np.minimum(i + d + 1, lb)
+        for j in range(L):
+            if (j >= hi).all():
+                break
+            cand = (live & ~found & ~matchB[:, j] & (B[:, j] == ai)
+                    & (j >= lo) & (j < hi))
+            if cand.any():
+                matchB[:, j] |= cand
+                matchA[:, i] |= cand
+                found |= cand
+    m = matchA.sum(axis=1).astype(np.float64)
+    # transpositions: matched chars in A order vs in B order
+    packedA = np.zeros((n, L), dtype=np.uint32)
+    packedB = np.zeros((n, L), dtype=np.uint32)
+    posA = matchA.cumsum(axis=1) - 1
+    rows, cols = np.nonzero(matchA)
+    packedA[rows, posA[rows, cols]] = A[rows, cols]
+    posB = matchB.cumsum(axis=1) - 1
+    rows, cols = np.nonzero(matchB)
+    packedB[rows, posB[rows, cols]] = B[rows, cols]
+    t = (((packedA != packedB) & (packedA != 0)).sum(axis=1)
+         // 2).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    jaro = np.where(m > 0, jaro, 0.0)
+    # Winkler prefix boost
+    pfx = np.ones(n, dtype=np.int64) * 0
+    alive = np.ones(n, dtype=bool)
+    for i in range(min(max_prefix, L)):
+        alive &= (A[:, i] == B[:, i]) & (A[:, i] != 0)
+        pfx += alive
+    out = np.where(jaro > boost_threshold,
+                   jaro + pfx * prefix_weight * (1.0 - jaro), jaro)
+    return np.where((la == 0) | (lb == 0), 0.0, out)
+
+
+def with_pair_similarity(ds, left_col: str, right_col: str, *,
+                         out_col: str = "jw", metric: str = "jaro_winkler"):
+    """Score ALREADY-PAIRED string columns per row (the verify stage
+    after any blocking join — edit1/minhash/phash banding produce the
+    candidate pairs; this stage prices them).  Stateless vectorized
+    map_batches; no exchange."""
+    if metric != "jaro_winkler":
+        raise ValueError(f"unknown metric {metric!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a = batch.column(left_col).to_pandas().fillna("").to_numpy(dtype=object)
+        b = batch.column(right_col).to_pandas().fillna("").to_numpy(dtype=object)
+        return batch.append_column(out_col, pa.array(jaro_winkler_sim(a, b)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+__all__ += ["jaro_winkler_sim", "with_pair_similarity"]

@@ -1162,3 +1162,85 @@ def group_ndcg(
 
 
 __all__.append("group_ndcg")
+
+
+def _pav(y: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Weighted Pool-Adjacent-Violators over pre-sorted values: returns
+    the non-decreasing fit minimizing Σ w·(y − f)².  Stack-based, O(n)
+    amortized (each element is pushed once and merged at most once)."""
+    n = len(y)
+    means = np.empty(n, dtype=np.float64)
+    weights = np.empty(n, dtype=np.float64)
+    counts = np.empty(n, dtype=np.int64)
+    top = -1
+    for i in range(n):
+        top += 1
+        means[top], weights[top], counts[top] = y[i], w[i], 1
+        while top > 0 and means[top - 1] > means[top]:
+            tw = weights[top - 1] + weights[top]
+            means[top - 1] = (means[top - 1] * weights[top - 1]
+                              + means[top] * weights[top]) / tw
+            weights[top - 1] = tw
+            counts[top - 1] += counts[top]
+            top -= 1
+    return np.repeat(means[:top + 1], counts[:top + 1])
+
+
+def group_isotonic(
+    ds,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    *,
+    out_col: str = "iso",
+    num_buckets: int = 64,
+    seed: int = 42,
+):
+    """Isotonic-regression calibration per group (PAV): fit the
+    monotone-non-decreasing map score → E[label | score] that minimizes
+    squared error, and emit it per row — the non-parametric calibrator
+    (Zadrozny & Elkan 2002) that :func:`calibration_bins` approximates
+    with fixed bins.  Equal scores are pre-pooled (the calibrator must
+    be a FUNCTION of score), so output is deterministic regardless of
+    row order.
+
+    Distribution: one key-hash exchange (``bucketed_map_groups`` on
+    ``group_col``); PAV is inherently sequential per group, so each
+    group fits in one task — the standard calibration setting (groups =
+    segments/models, each ≪ memory; the stack loop is O(n) amortized).
+    Not SQL-expressible (no recursive pooling in SQL) — pinned by the
+    minimax-formula oracle in pytest instead.
+    """
+    from .partition import bucketed_map_groups
+
+    def fit_bucket(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        if not len(df):
+            return tbl.append_column(out_col, pa.array([], pa.float64()))
+        parts = []
+        for _, g in df.groupby(group_col, sort=False):
+            s = g[score_col].to_numpy(dtype=np.float64)
+            y = g[label_col].to_numpy(dtype=np.float64)
+            # pre-pool ties on score: block mean + weight per distinct score
+            order = np.argsort(s, kind="mergesort")
+            s_s, y_s = s[order], y[order]
+            new = np.empty(len(s_s), dtype=bool)
+            new[0] = True
+            new[1:] = s_s[1:] != s_s[:-1]
+            blk = np.cumsum(new) - 1
+            w = np.bincount(blk).astype(np.float64)
+            ym = np.bincount(blk, weights=y_s) / w
+            fit_blk = _pav(ym, w)
+            g = g.copy()
+            out = np.empty(len(s_s), dtype=np.float64)
+            out[order] = fit_blk[blk]
+            g[out_col] = out
+            parts.append(g)
+        return pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                    preserve_index=False)
+
+    return bucketed_map_groups(ds, group_col, fit_bucket,
+                               num_buckets=num_buckets, seed=seed)
+
+
+__all__.append("group_isotonic")

@@ -548,3 +548,108 @@ def grouped_robust_scale(ds, key_cols, value_col: str, *,
 
 
 __all__.append("grouped_robust_scale")
+
+
+def yeo_johnson_apply(x: np.ndarray, lam: float) -> np.ndarray:
+    """Vectorized Yeo–Johnson ψ(x, λ) (Yeo & Johnson 2000) — the power
+    transform defined on ALL of ℝ (Box–Cox needs x > 0):
+
+        x ≥ 0:  ((1+x)^λ − 1)/λ        (λ ≠ 0),  ln(1+x)   (λ = 0)
+        x < 0:  −((1−x)^{2−λ} − 1)/(2−λ) (λ ≠ 2), −ln(1−x)  (λ = 2)
+
+    ``np.log(1.0 + x)`` (not log1p) on purpose: the SQL oracle mirror is
+    ``ln(1.0 + x)`` and the two must be the SAME IEEE op sequence."""
+    x = np.asarray(x, dtype=np.float64)
+    pos = x >= 0
+    out = np.empty(x.shape, dtype=np.float64)
+    if lam == 0.0:
+        out[pos] = np.log(1.0 + x[pos])
+    else:
+        out[pos] = (np.power(1.0 + x[pos], lam) - 1.0) / lam
+    if lam == 2.0:
+        out[~pos] = -np.log(1.0 - x[~pos])
+    else:
+        out[~pos] = -(np.power(1.0 - x[~pos], 2.0 - lam) - 1.0) / (2.0 - lam)
+    return out
+
+
+def fit_yeo_johnson(ds, col: str, *, lambdas=None, fan_in: int = 64,
+                    batch_size=None) -> dict:
+    """Fit the Yeo–Johnson λ by profile log-likelihood over a grid —
+    the leakage-free Gaussianizing power transform (the parametric
+    sibling of :func:`~.sort.with_rank_gauss`; unlike RankGauss it is
+    smooth, invertible in closed form, and applies to unseen data).
+
+        LL(λ) = −n/2 · ln(σ̂²_MLE(ψ(x,λ))) + (λ−1) · Σ sgn(x)·ln(1+|x|)
+
+    One streaming pass, NO shuffle: each batch emits one (λ, n, Σψ,
+    Σψ², Σjac) row per grid point (grid-bounded partial ~ KB), a
+    ``fan_in``-ary map_batches layer tree-merges them, and the driver
+    reduces the grid-sized remainder — the same mergeable-partial shape
+    as :func:`fit_numeric_moments`.  Ties on LL break to the SMALLEST
+    λ (mirror an SQL oracle with ``ORDER BY ll DESC, lam``).
+
+    Returns ``{"lam": best λ, "ll": {λ: LL}, "n": N}``.
+    """
+    if lambdas is None:
+        lambdas = np.linspace(-2.0, 2.0, 17)
+    lams = np.asarray(sorted({float(l) for l in lambdas}), dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        jac = float(np.where(x >= 0, np.log(1.0 + x),
+                             -np.log(1.0 - x)).sum()) if len(x) else 0.0
+        n, s, ss = [], [], []
+        for lam in lams:
+            y = yeo_johnson_apply(x, lam)
+            n.append(len(x))
+            s.append(float(y.sum()))
+            ss.append(float((y * y).sum()))
+        return pa.table({"lam": pa.array(lams),
+                         "n": pa.array(n, type=pa.int64()),
+                         "s": pa.array(s), "ss": pa.array(ss),
+                         "jac": pa.array([jac] * len(lams))})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("lam", sort=True, as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+    merged = partials.map_batches(merge, batch_format="pyarrow",
+                                  batch_size=fan_in * len(lams))
+    final = pa.concat_tables(
+        list(merged.iter_batches(batch_size=None, batch_format="pyarrow")))
+    df = final.to_pandas().groupby("lam", sort=True, as_index=False).sum()
+    if not len(df) or int(df["n"].iloc[0]) == 0:
+        raise ValueError("fit_yeo_johnson over an empty column")
+    n = df["n"].to_numpy(dtype=np.float64)
+    mean = df["s"].to_numpy() / n
+    var = df["ss"].to_numpy() / n - mean * mean
+    if (var <= 0).any():
+        raise ValueError("fit_yeo_johnson: zero-variance transform "
+                         "(constant column?)")
+    lam_arr = df["lam"].to_numpy()
+    ll = -0.5 * n * np.log(var) + (lam_arr - 1.0) * df["jac"].to_numpy()
+    best = int(np.lexsort((lam_arr, -ll))[0])   # max LL, tie → smallest λ
+    return {"lam": float(lam_arr[best]),
+            "ll": dict(zip(lam_arr.tolist(), ll.tolist())),
+            "n": int(df["n"].iloc[0])}
+
+
+def power_transform(ds, col: str, lam: float, *, out_col: str | None = None):
+    """Apply ψ(·, λ) per row (stateless vectorized map_batches; pair
+    with :func:`fit_yeo_johnson` for the fitted λ)."""
+    out_col = out_col or f"{col}_yj"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False)
+        return batch.append_column(out_col,
+                                   pa.array(yeo_johnson_apply(x, lam)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+__all__ += ["yeo_johnson_apply", "fit_yeo_johnson", "power_transform"]

@@ -725,3 +725,98 @@ def test_with_rank_gauss_vs_direct(ray_session):
     assert abs(z2.std() - 1.0) < 0.02
     skew = ((z2 - z2.mean()) ** 3).mean() / z2.std() ** 3
     assert abs(skew) < 0.01
+
+
+def _iso_minimax(y, w):
+    """O(n³) reference: isotonic fit via the minimax identity
+    f(k) = max_{i≤k} min_{j≥k} weighted-avg(y[i..j])."""
+    n = len(y)
+    out = np.empty(n)
+    for k in range(n):
+        best = -np.inf
+        for i in range(k + 1):
+            m = min((w[i:j + 1] @ y[i:j + 1]) / w[i:j + 1].sum()
+                    for j in range(k, n))
+            best = max(best, m)
+        out[k] = best
+    return out
+
+
+def test_pav_vs_minimax_oracle():
+    from featureextraction_jl_ray.stages.metrics import _pav
+
+    rng = np.random.default_rng(83)
+    for trial in range(20):
+        n = int(rng.integers(1, 30))
+        y = rng.normal(size=n)
+        w = rng.integers(1, 5, n).astype(np.float64)
+        got = _pav(y, w)
+        np.testing.assert_allclose(got, _iso_minimax(y, w),
+                                   rtol=1e-12, atol=1e-12, err_msg=str(trial))
+        # monotone, mean-preserving, idempotent
+        assert (np.diff(got) >= 0).all()
+        np.testing.assert_allclose((got * w).sum(), (y * w).sum(), rtol=1e-12)
+        np.testing.assert_allclose(_pav(got, w), got, rtol=1e-12)
+
+
+def test_group_isotonic_distributed(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.metrics import _pav, group_isotonic
+
+    rng = np.random.default_rng(89)
+    n = 5000
+    g = rng.choice(["a", "b"], n)
+    s = rng.integers(0, 40, n).astype(np.float64)      # heavy score ties
+    y = (rng.random(n) < s / 40.0).astype(np.int64)    # noisy-monotone
+    ids = np.arange(n, dtype=np.int64)
+    out = (group_isotonic(
+            rd.from_arrow(pa.table({"g": g, "s": s, "y": y, "id": ids})),
+            "g", "s", "y", out_col="iso", num_buckets=4)
+           .to_pandas().sort_values("id", ignore_index=True))
+    df = pd.DataFrame({"g": g, "s": s, "y": y, "id": ids})
+    for lvl in ("a", "b"):
+        sub = df[df["g"] == lvl]
+        agg = (sub.groupby("s")["y"]
+               .agg(["mean", "count"]).sort_index())
+        fit = _pav(agg["mean"].to_numpy(),
+                   agg["count"].to_numpy(dtype=np.float64))
+        want = pd.Series(fit, index=agg.index)
+        got = out[out["g"] == lvl]
+        np.testing.assert_allclose(
+            got["iso"].to_numpy(),
+            want.reindex(got["s"]).to_numpy(), rtol=0, atol=0)
+        # calibration is monotone in score and inside [0, 1]
+        o = got.sort_values("s")
+        assert (np.diff(o["iso"].to_numpy()) >= 0).all()
+        assert o["iso"].between(0, 1).all()
+
+
+def test_jaro_winkler_vs_duckdb_fuzz():
+    import duckdb
+
+    from featureextraction_jl_ray.stages.editdist import jaro_winkler_sim
+
+    rng = np.random.default_rng(97)
+    alpha = np.array(list("abcde"))
+    pairs = []
+    for _ in range(400):
+        la, lb = rng.integers(0, 13, 2)
+        pairs.append(("".join(rng.choice(alpha, la)),
+                      "".join(rng.choice(alpha, lb))))
+    # planted edges: empties, equal, repeated chars, long shared prefix
+    pairs += [("", ""), ("", "abc"), ("aaaa", "aaaa"), ("aaab", "aaba"),
+              ("abcdefgh", "abcdxxxx"), ("ab", "ba"), ("aaaaa", "a")]
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    got = jaro_winkler_sim(a, b)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"a": a.astype(str), "b": b.astype(str),
+                                    "i": np.arange(len(a))}))
+    want = con.execute(
+        "SELECT jaro_winkler_similarity(a, b) FROM t ORDER BY i"
+    ).df().iloc[:, 0].to_numpy()
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    # count bit-exact agreement (the gate rounds to 1e-9, so a handful
+    # of ulp diffs are fine, but wholesale drift is a bug)
+    assert (got == want).mean() > 0.99

@@ -318,3 +318,63 @@ def test_grouped_robust_scale_planted(ray_session):
     np.testing.assert_allclose(
         out.loc[:3, "v_rz"].to_numpy(), [-1.5, -0.5, 0.5, 7.5])
     assert out.loc[4:, "v_rz"].isna().all()
+
+
+def test_yeo_johnson_apply_branches():
+    from featureextraction_jl_ray.stages.scale import yeo_johnson_apply
+
+    # NB: values within ~1e-9 of 0 are deliberately absent — the kernel
+    # uses the SQL-parity forms ln(1+x) / (1+x)^λ−1 (NOT log1p/expm1),
+    # which cost relative error ~|x|⁻¹·ulp near 0 by design: they must
+    # match the ln/pow oracle SQL bit-for-bit, and the round grid
+    # absorbs the absolute error (~1e-17).
+    x = np.array([-3.0, -1.0, 0.0, 1.0, 5.0])
+    # λ=1 is the exact identity on BOTH branches
+    np.testing.assert_array_equal(yeo_johnson_apply(x, 1.0), x)
+    # λ=0: log on the positive side, -((1-x)^2-1)/2 on the negative
+    y0 = yeo_johnson_apply(x, 0.0)
+    np.testing.assert_allclose(y0[x >= 0], np.log1p(x[x >= 0]), rtol=1e-12)
+    np.testing.assert_allclose(
+        y0[x < 0], -(((1 - x[x < 0]) ** 2) - 1) / 2, rtol=1e-12)
+    # λ=2: -log on the negative side
+    y2 = yeo_johnson_apply(x, 2.0)
+    np.testing.assert_allclose(y2[x < 0], -np.log1p(-x[x < 0]), rtol=1e-12)
+    # monotone in x for every grid λ
+    for lam in np.linspace(-2, 2, 17):
+        g = np.linspace(-50, 50, 2001)
+        assert (np.diff(yeo_johnson_apply(g, float(lam))) > 0).all(), lam
+
+
+def test_fit_yeo_johnson_recovers_lambda(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.scale import (
+        fit_yeo_johnson, power_transform, yeo_johnson_apply,
+    )
+
+    rng = np.random.default_rng(71)
+    grid = np.linspace(-2.0, 2.0, 17)
+    # lognormal-ish positive data: best λ should land near 0 (log)
+    x_log = np.exp(rng.normal(0.0, 1.0, 20000)) - 1.0 + 1e-9
+    ds = rd.from_arrow(pa.table({"x": x_log}))
+    m = fit_yeo_johnson(ds, "x", lambdas=grid)
+    assert abs(m["lam"]) <= 0.25, m["lam"]
+    # already-normal data: best λ near 1 (identity)
+    x_norm = rng.normal(0.0, 1.0, 20000)
+    m2 = fit_yeo_johnson(rd.from_arrow(pa.table({"x": x_norm})), "x",
+                         lambdas=grid)
+    assert abs(m2["lam"] - 1.0) <= 0.25, m2["lam"]
+    # partial/merge invariance: many tiny blocks == one block, bit-equal LL
+    ds_small = rd.from_arrow(pa.table({"x": x_log})).repartition(16)
+    m3 = fit_yeo_johnson(ds_small, "x", lambdas=grid, batch_size=512)
+    assert m3["lam"] == m["lam"]
+    assert m3["n"] == m["n"] == 20000
+    # apply matches the pure-numpy kernel and the fitted transform has
+    # lower |skewness| than the input
+    out = power_transform(ds, "x", m["lam"], out_col="y").to_pandas()
+    np.testing.assert_array_equal(
+        np.sort(out["y"].to_numpy()),
+        np.sort(yeo_johnson_apply(x_log, m["lam"])))
+    z = out["y"].to_numpy()
+    skew = lambda v: abs(((v - v.mean()) ** 3).mean() / v.std() ** 3)  # noqa: E731
+    assert skew(z) < 0.1 * skew(x_log)
