@@ -8653,6 +8653,166 @@ FROM events GROUP BY event_type
 """
 
 
+def q_ridge_events(sf_dir):
+    """Per-group ridge fit (stages/linmodel.py::grouped_ridge, k=2
+    cofactor path): value ~ days-since-epoch + user_id%10 within each
+    event_type, α=1 on centered covariates.  One Gram-partials
+    exchange; the driver's 2×2 cofactor solve is restated verbatim in
+    the oracle (same association order), so betas agree to
+    summation-order ulps — ROUND(9) pins them."""
+    from .stages.linmodel import grouped_ridge
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = (t.column("ts").to_numpy().astype("datetime64[us]")
+              .astype(np.int64).astype(np.float64))
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "days": pa.array((ts - 1704067200000000.0) / 86400000000.0),
+            "udig": pa.array((u % 10).astype(np.float64)),
+            "y": t.column("value"),
+        })
+
+    src = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    model = grouped_ridge(src, "event_type", ["days", "udig"], "y",
+                          alpha=1.0, num_buckets=8)
+    for c in ("intercept", "beta_days", "beta_udig"):
+        model[c] = np.round(model[c].to_numpy(), 9) + 0.0
+    model["n"] = model["n"].astype(np.int64)
+    return model.sort_values("event_type", ignore_index=True)
+
+
+SQL_RIDGE_EVENTS = """
+WITH src AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS DOUBLE) - 1704067200000000.0)
+           / 86400000000.0 AS x0,
+         CAST(user_id % 10 AS DOUBLE) AS x1,
+         value AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x0) AS sx0, sum(x1) AS sx1, sum(y) AS sy,
+         sum(x0 * x0) AS s00, sum(x0 * x1) AS s01,
+         sum(x1 * x1) AS s11, sum(x0 * y) AS s0y, sum(x1 * y) AS s1y
+  FROM src GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, sx0, sx1, sy,
+         s00 - sx0 * sx0 / n + 1.0 AS a11,
+         s11 - sx1 * sx1 / n + 1.0 AS a22,
+         s01 - sx0 * sx1 / n AS a12,
+         s0y - sx0 * sy / n AS c0,
+         s1y - sx1 * sy / n AS c1
+  FROM s
+),
+b AS (
+  SELECT event_type, n, sx0, sx1, sy,
+         (a22 * c0 - a12 * c1) / (a11 * a22 - a12 * a12) AS b0,
+         (a11 * c1 - a12 * c0) / (a11 * a22 - a12 * a12) AS b1
+  FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(sy / n - b0 * (sx0 / n) - b1 * (sx1 / n), 9) + 0.0
+         AS intercept,
+       ROUND(b0, 9) + 0.0 AS beta_days,
+       ROUND(b1, 9) + 0.0 AS beta_udig
+FROM b
+"""
+
+
+def q_theil_sen_users(sf_dir):
+    """Per-user Theil–Sen slope (stages/window.py::user_theil_sen):
+    median of all pairwise (Δvalue/Δt) — the robust trend in
+    value-units/µs beside the OLS slope (`user_value_trend`) and the
+    Spearman direction (`trend_spearman_users`).  Epoch-µs doubles are
+    exact below 2⁵³ so each pairwise slope is bit-identical to the
+    oracle's self-join; slopes are ~1e-5 value/µs, so ROUND(12) keeps
+    ~7 significant digits while absorbing the even-count median
+    interpolation ulp (np.median's (a+b)/2 vs quantile_cont's
+    lo+frac·(hi−lo))."""
+    from .stages.window import user_theil_sen
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value", "event_id"])
+    out = user_theil_sen(ds, "user_id", "ts", "value",
+                         tiebreak_cols=("event_id",), num_buckets=16)
+    return _round_cols(out, {"theil_sen": 12})
+
+
+SQL_THEIL_SEN_USERS = """
+WITH p AS (
+  SELECT a.user_id,
+         (b.value - a.value)
+         / (CAST(epoch_us(b.ts) AS DOUBLE)
+            - CAST(epoch_us(a.ts) AS DOUBLE)) AS slope
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id AND a.ts < b.ts
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(median(slope), 12) + 0.0 AS theil_sen
+FROM p GROUP BY user_id
+"""
+
+
+def q_attribution_events(sf_dir):
+    """Multi-touch LINEAR attribution
+    (stages/window.py::linear_attribution): each purchase distributes
+    one credit unit equally over the user's view/click touches in the
+    preceding hour (strictly-before upper bound, inclusive lower).
+    Credit fractions are exact 1/k; the oracle is the windowed
+    self-join + per-conversion COUNT, summed per touch type on a 1e-9
+    grid."""
+    from .stages.window import linear_attribution
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+    out = linear_attribution(
+        ds, "user_id", "ts", "event_type",
+        touch_types=("view", "click"), conversion_type="purchase",
+        window="1h", num_buckets=16)
+    out = out.copy()
+    out["credit"] = np.round(out["credit"].to_numpy(), 9) + 0.0
+    out["n_conversions_touched"] = out["n_conversions_touched"].astype(
+        np.int64)
+    return out
+
+
+SQL_ATTRIBUTION_EVENTS = """
+WITH conv AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT c.user_id, c.ts AS cts, t.event_type
+  FROM conv c JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 1 HOUR
+),
+k AS (SELECT user_id, cts, count(*) AS kk FROM pairs GROUP BY 1, 2),
+cr AS (
+  SELECT p.event_type, sum(1.0 / k.kk) AS credit
+  FROM pairs p JOIN k ON p.user_id = k.user_id AND p.cts = k.cts
+  GROUP BY 1
+),
+tc AS (
+  SELECT event_type, count(*) AS n_conversions_touched
+  FROM (SELECT DISTINCT user_id, cts, event_type FROM pairs)
+  GROUP BY 1
+)
+SELECT cr.event_type, ROUND(cr.credit, 9) + 0.0 AS credit,
+       CAST(tc.n_conversions_touched AS BIGINT) AS n_conversions_touched
+FROM cr JOIN tc ON cr.event_type = tc.event_type
+"""
+
+
 def q_jw_similar_parts(sf_dir):
     """Jaro-Winkler pair scoring
     (stages/editdist.py::jaro_winkler_sim/with_pair_similarity): the
@@ -9112,6 +9272,9 @@ QUERIES = {
     "yeo_johnson_events": q_yeo_johnson_events,
     "isotonic_events": q_isotonic_events,
     "jw_similar_parts": q_jw_similar_parts,
+    "theil_sen_users": q_theil_sen_users,
+    "attribution_events": q_attribution_events,
+    "ridge_events": q_ridge_events,
 }
 
 ORACLE_SQL = {
@@ -9312,4 +9475,7 @@ ORACLE_SQL = {
     "rank_gauss_events": SQL_RANK_GAUSS_EVENTS,
     "yeo_johnson_events": SQL_YEO_JOHNSON_EVENTS,
     "jw_similar_parts": SQL_JW_SIMILAR_PARTS,
+    "theil_sen_users": SQL_THEIL_SEN_USERS,
+    "attribution_events": SQL_ATTRIBUTION_EVENTS,
+    "ridge_events": SQL_RIDGE_EVENTS,
 }

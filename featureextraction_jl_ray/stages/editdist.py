@@ -256,3 +256,77 @@ def with_pair_similarity(ds, left_col: str, right_col: str, *,
 
 
 __all__ += ["jaro_winkler_sim", "with_pair_similarity"]
+
+
+# letter → soundex code; 0 = vowel/Y separator, 7 = H/W (transparent)
+_SOUNDEX_CODE = np.zeros(26, dtype=np.int8)
+for _letters, _code in (("BFPV", 1), ("CGJKQSXZ", 2), ("DT", 3),
+                        ("L", 4), ("MN", 5), ("R", 6), ("HW", 7)):
+    for _ch in _letters:
+        _SOUNDEX_CODE[ord(_ch) - 65] = _code
+
+
+def soundex(strings) -> np.ndarray:
+    """American Soundex codes for a string array, vectorized ACROSS
+    rows (UTF-32 char matrix; every rule is a per-column boolean pass):
+    first letter + 3 digits, H/W transparent between same-code
+    consonants (Ashcraft → A261), vowels reset the run, zero-padded.
+    Non-ASCII-alpha chars are stripped; all-stripped/empty input → "".
+
+    The classic record-linkage BLOCKING key to pair with
+    :func:`jaro_winkler_sim` scoring: block on soundex (cheap, high
+    recall for phonetic variants), verify with JW."""
+    s = np.asarray(strings, dtype=object)
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=object)
+    L = max(1, max((len(x) for x in s), default=1))
+    A = np.asarray(s, dtype=f"U{L}").reshape(-1, 1).view(np.uint32)
+    # uppercase and keep only A-Z (everything else → 0 = padding)
+    A = np.where((A >= 97) & (A <= 122), A - 32, A)
+    A = np.where((A >= 65) & (A <= 90), A, 0)
+    # left-compact the alpha chars (stable): "o'brien" → "OBRIEN"
+    keepc = A != 0
+    pos = keepc.cumsum(axis=1) - 1
+    B = np.zeros_like(A)
+    rows, cols = np.nonzero(keepc)
+    B[rows, pos[rows, cols]] = A[rows, cols]
+    A = B
+    code = np.where(A != 0, _SOUNDEX_CODE[np.clip(A - 65, 0, 25)], -1)
+    # effective previous code: forward-fill over non-transparent (≠7)
+    # positions, then shift right by one
+    opaque = (A != 0) & (code != 7)
+    idx = np.where(opaque, np.arange(L)[None, :], -1)
+    last_opaque = np.maximum.accumulate(idx, axis=1)
+    prev_idx = np.concatenate(
+        [np.full((n, 1), -1, dtype=np.int64), last_opaque[:, :-1]], axis=1)
+    r = np.arange(n)[:, None]
+    prev_code = np.where(prev_idx >= 0,
+                         code[r, np.maximum(prev_idx, 0)], -1)
+    keep = (code >= 1) & (code <= 6) & (code != prev_code)
+    keep[:, 0] = False                      # first letter is kept as itself
+    # first 3 kept digits
+    rank = keep.cumsum(axis=1)
+    take = keep & (rank <= 3)
+    digits = np.full((n, 3), ord("0"), dtype=np.uint32)
+    rows, cols = np.nonzero(take)
+    digits[rows, rank[rows, cols] - 1] = code[rows, cols] + ord("0")
+    first = A[:, 0]
+    out4 = np.concatenate([first[:, None], digits], axis=1)
+    out = out4.view(f"U4").ravel()
+    return np.where(first == 0, "", out).astype(object)
+
+
+def with_soundex(ds, col: str, *, out_col: str | None = None):
+    """Per-row soundex blocking key (stateless vectorized map_batches)."""
+    out_col = out_col or f"{col}_soundex"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_pandas().fillna("").to_numpy(dtype=object)
+        return batch.append_column(out_col, pa.array(soundex(v),
+                                                     type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+__all__ += ["soundex", "with_soundex"]

@@ -1149,3 +1149,169 @@ def user_trend_spearman(
 
 
 __all__.append("user_trend_spearman")
+
+
+def user_theil_sen(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    min_pairs: int = 1,
+    max_points: int = 2000,
+    num_buckets: int = 64,
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Per-entity Theil–Sen slope: the MEDIAN of all pairwise slopes
+    (vⱼ−vᵢ)/(tⱼ−tᵢ) over i<j with tᵢ≠tⱼ — the 29%-breakdown robust
+    trend estimator completing the family (``user_value_trend`` = OLS,
+    poisoned by one outlier; ``user_trend_spearman`` = direction only;
+    Theil–Sen = a robust SLOPE in value-units/second).
+
+    Time enters as epoch MICROSECONDS cast to float64 (resolution-
+    stable per the parquet convention), so an SQL oracle mirrors each
+    slope bit-for-bit with ``(b.value−a.value)/(epoch_us(b.ts)−
+    epoch_us(a.ts))``; the median of an even count averages the two
+    middle slopes (np.median == quantile_cont(0.5) up to one ulp —
+    pin with a round grid).
+
+    Scale shape: one bucketed sorted-scan exchange (entities never
+    split); the O(n²) pair enumeration is per-entity and vectorized
+    (triu index arithmetic, no Python loop over pairs).  ``max_points``
+    guards the quadratic blow-up LOUDLY — an entity series longer than
+    that should be pre-thinned (``sample_k_per_user``) rather than
+    silently subsampled here, so engine and oracle stay comparable.
+
+    Entities with fewer than ``min_pairs`` valid pairs are dropped
+    (the oracle's HAVING).  Returns ``(entity_col, n_pairs,
+    theil_sen)``.
+    """
+    from .partition import sorted_scan as _scan
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for key, g in df.groupby(entity_col, sort=False):
+            n = len(g)
+            if n > max_points:
+                raise ValueError(
+                    f"user_theil_sen: entity {key!r} has {n} rows > "
+                    f"max_points={max_points}; thin the series first "
+                    "(sample_k_per_user) — a silent subsample here would "
+                    "diverge from any oracle")
+            if n < 2:
+                continue
+            t = (g[ts_col].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64).astype(np.float64))
+            v = g[value_col].to_numpy(dtype=np.float64)
+            i, j = np.triu_indices(n, k=1)
+            dt = t[j] - t[i]
+            keep = dt != 0.0
+            if not keep.any():
+                continue
+            slopes = (v[j][keep] - v[i][keep]) / dt[keep]
+            if len(slopes) < min_pairs:
+                continue
+            out_rows.append((key, len(slopes), float(np.median(slopes))))
+        return pd.DataFrame(out_rows,
+                            columns=[entity_col, "n_pairs", "theil_sen"])
+
+    return _scan(ds, entity_col, ts_col, fn, num_buckets=num_buckets,
+                 tiebreak_cols=tiebreak_cols)
+
+
+__all__.append("user_theil_sen")
+
+
+def linear_attribution(
+    ds,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    touch_types: tuple[str, ...],
+    conversion_type: str,
+    window,
+    decay: float | None = None,
+    num_buckets: int = 64,
+):
+    """Multi-touch attribution: every ``conversion_type`` event
+    distributes one unit of credit over the entity's ``touch_types``
+    events in the preceding ``window`` — linear (equal split) by
+    default, exponential position decay when ``decay`` is given
+    (credit ∝ decay^(rank from conversion, nearest=0), normalized per
+    conversion).  The marketing-analytics completion of the touch
+    family (``first_last_touch`` = single-touch; this is fractional).
+
+    One bucketed sorted-scan exchange co-partitioned on the entity;
+    per entity the touch set is two ``searchsorted`` cuts per
+    conversion (vectorized bounds; the inner credit assignment visits
+    each (conversion, touch-in-window) pair once — bounded by the
+    window, the same cost any windowed join pays).
+
+    Credit fractions are exact small-integer ratios (1/k) or
+    normalized geometric weights, so an SQL oracle (windowed self-join
+    + COUNT per conversion) hash-matches on a round grid.  Returns
+    ``(type_col, credit, n_conversions_touched)`` — total credit per
+    touch type plus how many conversions each type touched.
+    """
+    from .partition import sorted_scan as _scan
+
+    window_us = np.int64(pd.Timedelta(window).value // 1000)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        credit: dict[str, float] = {}
+        touched: dict[str, int] = {}
+        for _, g in df.groupby(entity_col, sort=False):
+            t = (g[ts_col].to_numpy().astype("datetime64[us]")
+                 .astype(np.int64))
+            ty = g[type_col].to_numpy()
+            is_touch = np.isin(ty, touch_types)
+            tt = t[is_touch]
+            tty = ty[is_touch]
+            conv_t = t[ty == conversion_type]
+            if not len(conv_t) or not len(tt):
+                continue
+            lo = np.searchsorted(tt, conv_t - window_us, side="left")
+            hi = np.searchsorted(tt, conv_t, side="left")  # strictly before
+            k = hi - lo
+            m = k > 0
+            lo, k = lo[m], k[m]
+            if not k.size:
+                continue
+            # flatten every (conversion, touch-in-window) pair without a
+            # Python loop: pair_conv repeats the conversion index, the
+            # running offset rebuilds each window's local position
+            pair_conv = np.repeat(np.arange(len(k)), k)
+            pair_off = (np.arange(int(k.sum()))
+                        - np.repeat(np.cumsum(k) - k, k))
+            pair_touch = lo[pair_conv] + pair_off
+            if decay is None:
+                w = 1.0 / k[pair_conv]
+            else:
+                # nearest touch (latest in window) gets decay^0
+                w = decay ** (k[pair_conv] - 1 - pair_off).astype(np.float64)
+                w = w / np.bincount(pair_conv, weights=w)[pair_conv]
+            codes, uniq = pd.factorize(tty[pair_touch])
+            cr = np.bincount(codes, weights=w, minlength=len(uniq))
+            # conversions touched: distinct (conversion, type) pairs
+            dist = np.unique(pair_conv * np.int64(len(uniq)) + codes)
+            tc = np.bincount((dist % len(uniq)).astype(np.int64),
+                             minlength=len(uniq))
+            for ti, typ in enumerate(uniq):
+                credit[typ] = credit.get(typ, 0.0) + float(cr[ti])
+                touched[typ] = touched.get(typ, 0) + int(tc[ti])
+        return pd.DataFrame(
+            [(k, credit[k], touched[k]) for k in sorted(credit)],
+            columns=[type_col, "credit", "n_conversions_touched"])
+
+    partials = _scan(ds, entity_col, ts_col, fn, num_buckets=num_buckets)
+    out = partials.to_pandas()
+    if not len(out):
+        return out
+    return (out.groupby(type_col, sort=True)
+            .agg(credit=("credit", "sum"),
+                 n_conversions_touched=("n_conversions_touched", "sum"))
+            .reset_index())
+
+
+__all__.append("linear_attribution")

@@ -1304,3 +1304,144 @@ def test_run_length_stats_edges(ray_session):
                            ).to_pandas()
     assert got.u.tolist() == [2]
     assert got.iloc[0][["n_runs", "max_run", "long_runs"]].tolist() == [1, 3, 1]
+
+
+def test_user_theil_sen_vs_bruteforce(ray_session, sf_dir):
+    import ray
+
+    from featureextraction_jl_ray.stages.window import user_theil_sen
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"])
+    out = (user_theil_sen(ds, "user_id", "ts", "value",
+                          tiebreak_cols=("event_id",), num_buckets=4)
+           .to_pandas().set_index("user_id").sort_index())
+    df = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    for uid, g in df.groupby("user_id"):
+        t = (g["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64).astype(np.float64))
+        v = g["value"].to_numpy(dtype=np.float64)
+        i, j = np.triu_indices(len(g), k=1)
+        # rows are ts-ordered in the fixture; guard anyway
+        order = np.argsort(t, kind="mergesort")
+        t, v = t[order], v[order]
+        dt = t[j] - t[i]
+        keep = dt != 0
+        slopes = (v[j][keep] - v[i][keep]) / dt[keep]
+        assert out.loc[uid, "n_pairs"] == len(slopes)
+        np.testing.assert_allclose(out.loc[uid, "theil_sen"],
+                                   np.median(slopes), rtol=0, atol=0)
+    # robustness: one wild outlier barely moves Theil-Sen, wrecks OLS
+    rng = np.random.default_rng(101)
+    n = 101
+    tt = np.arange(n, dtype=np.float64) * 1_000_000
+    vv = 2e-6 * tt + rng.normal(0, 0.1, n)
+    vv[50] += 1e4
+    base = pd.Timestamp("2024-01-01").value // 1000
+    tsc = pd.to_datetime((base + tt).astype(np.int64), unit="us")
+    t2 = pa.table({"u": np.int64(1).repeat(n), "ts": tsc, "v": vv,
+                   "eid": np.arange(n, dtype=np.int64)})
+    import ray.data as rd
+    got = user_theil_sen(rd.from_arrow(t2), "u", "ts", "v",
+                         tiebreak_cols=("eid",), num_buckets=2).to_pandas()
+    assert abs(got["theil_sen"].iloc[0] - 2e-6) < 2e-7
+    ols = np.polyfit(tt, vv, 1)[0]
+    assert abs(ols - 2e-6) > 5e-7   # OLS got dragged, Theil-Sen didn't
+
+
+def test_user_theil_sen_guard(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import user_theil_sen
+
+    n = 30
+    ts = pd.date_range("2024-01-01", periods=n, freq="1min")
+    t = pa.table({"u": np.int64(1).repeat(n), "ts": ts,
+                  "v": np.arange(n, dtype=np.float64)})
+    with pytest.raises(Exception, match="max_points"):
+        user_theil_sen(rd.from_arrow(t), "u", "ts", "v",
+                       max_points=10, num_buckets=2).materialize()
+
+
+def test_linear_attribution_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import linear_attribution
+
+    rng = np.random.default_rng(103)
+    n = 4000
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(n):
+        rows.append((int(rng.integers(0, 40)),
+                     base + pd.Timedelta(seconds=int(rng.integers(0, 86400))),
+                     rng.choice(["view", "click", "purchase", "error"]),
+                     i))
+    df = pd.DataFrame(rows, columns=["u", "ts", "et", "i"])
+    df = df.drop_duplicates(["u", "ts"])  # mirror the no-collision contract
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = linear_attribution(ds, "u", "ts", "et",
+                             touch_types=("view", "click"),
+                             conversion_type="purchase", window="30m",
+                             num_buckets=4).set_index("et").sort_index()
+    # brute force
+    credit = {}
+    touched = {}
+    w_us = 30 * 60 * 1_000_000
+    for _, g in df.groupby("u"):
+        g = g.sort_values("ts")
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["et"].to_numpy()
+        for ci in np.flatnonzero(et == "purchase"):
+            inw = np.flatnonzero((t >= t[ci] - w_us) & (t < t[ci])
+                                 & np.isin(et, ["view", "click"]))
+            if not len(inw):
+                continue
+            for ti in inw:
+                credit[et[ti]] = credit.get(et[ti], 0.0) + 1.0 / len(inw)
+            for typ in np.unique(et[inw]):
+                touched[typ] = touched.get(typ, 0) + 1
+    for typ in sorted(credit):
+        np.testing.assert_allclose(got.loc[typ, "credit"], credit[typ],
+                                   rtol=1e-12)
+        assert got.loc[typ, "n_conversions_touched"] == touched[typ]
+    # conservation: total credit == number of conversions with ≥1 touch
+    n_conv_with_touch = 0
+    for _, g in df.groupby("u"):
+        g = g.sort_values("ts")
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["et"].to_numpy()
+        for ci in np.flatnonzero(et == "purchase"):
+            if (((t >= t[ci] - w_us) & (t < t[ci])
+                 & np.isin(et, ["view", "click"]))).any():
+                n_conv_with_touch += 1
+    np.testing.assert_allclose(got["credit"].sum(), n_conv_with_touch,
+                               rtol=1e-12)
+
+
+def test_linear_attribution_decay(ray_session):
+    import ray.data as rd
+
+    from featureextraction_jl_ray.stages.window import linear_attribution
+
+    # one user: touches view@0m click@10m view@20m, purchase@25m
+    base = pd.Timestamp("2024-01-01")
+    t = pa.table({
+        "u": np.int64(1).repeat(4),
+        "ts": [base, base + pd.Timedelta("10m"), base + pd.Timedelta("20m"),
+               base + pd.Timedelta("25m")],
+        "et": ["view", "click", "view", "purchase"],
+    })
+    got = linear_attribution(rd.from_arrow(t), "u", "ts", "et",
+                             touch_types=("view", "click"),
+                             conversion_type="purchase", window="1h",
+                             decay=0.5, num_buckets=2).set_index("et")
+    # weights oldest→newest: 0.25, 0.5, 1.0 → normalized /1.75
+    np.testing.assert_allclose(got.loc["view", "credit"],
+                               (0.25 + 1.0) / 1.75, rtol=1e-12)
+    np.testing.assert_allclose(got.loc["click", "credit"], 0.5 / 1.75,
+                               rtol=1e-12)
+    assert got.loc["view", "n_conversions_touched"] == 1
+    assert got.loc["click", "n_conversions_touched"] == 1
